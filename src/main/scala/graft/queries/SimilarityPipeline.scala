@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** The reference pipeline's flagship computation, re-hosted on the
+  * `embeddings` table (SURVEY.md §7.3): for each target vector, the
+  * top-10 most similar source vectors, with the reference's
+  * tie-at-the-cutoff flag (SURVEY.md §7.4; /root/reference/dags/modules/
+  * datamart.py:28-47).
+  *
+  * Reference shape: iterrows() cross join + per-pair Python Tanimoto
+  * (tanimoto.py:124-147), then per-target pandas sort/head(10)
+  * (datamart.py:28-47). Spark shape: one declarative plan —
+  * BroadcastNestedLoopJoin (targets broadcast) -> codegen'd similarity
+  * kernel -> window top-k. At cluster scale the small target side stays
+  * broadcast, the big source side streams partition-parallel, and the
+  * window shuffles only (target_id, source_id, sim) — never the vectors.
+  */
+object SimilarityPipeline {
+
+  val TopK = 10
+  val Tol  = 1e-9 // float-tolerance tie compare, readme.MD:63
+
+  /** (target_id, source_id, sim) pairs: every label=0 vector scored
+    * against every label<>0 vector, cosine similarity rounded to 6
+    * decimals for cross-engine determinism (SURVEY.md §5).
+    */
+  def pairs(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+    val targets = emb.filter(col("label") === 0)
+      .select(col("vec_id").as("target_id"), col("embedding").as("t_emb"))
+      .withColumn("t_norm", expr("norm_f(t_emb)"))
+    val sources = emb.filter(col("label") =!= 0)
+      .select(col("vec_id").as("source_id"), col("embedding").as("s_emb"))
+      .withColumn("s_norm", expr("norm_f(s_emb)"))
+    sources.crossJoin(broadcast(targets))
+      .filter(col("target_id") =!= col("source_id")) // P7 self-pair filter
+      .withColumn("sim",
+        round(expr("dot_f(t_emb, s_emb)") / (col("t_norm") * col("s_norm")), 6))
+      .select("target_id", "source_id", "sim")
+  }
+
+  /** W1 top-k + A4 cutoff + A5/W2 tie flag, deterministic ORDER BY. */
+  def topkTieFlag(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("target_id")
+      .orderBy(col("sim").desc, col("source_id").asc)
+    val wAll = Window.partitionBy("target_id")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val atCutoff = abs(col("sim") - col("cutoff")) < Tol
+    pairs(spark, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("cutoff", max(when(col("rn") === TopK, col("sim"))).over(wAll))
+      .withColumn("ties_total", count(when(atCutoff, 1)).over(wAll))
+      .withColumn("ties_top", count(when(atCutoff && col("rn") <= TopK, 1)).over(wAll))
+      .filter(col("rn") <= TopK)
+      .withColumn("tie_flag",
+        when(atCutoff && col("ties_total") > col("ties_top"), col("ties_total"))
+          .otherwise(lit(0L)))
+      .select(col("target_id"), col("source_id"), col("sim"),
+        col("rn").cast("long").as("rn"), col("tie_flag"))
+      .orderBy("target_id", "rn")
+  }
+
+  /** DuckDB twin of [[topkTieFlag]] (validated against duckdb v1.0.0). */
+  val topkTieFlagSql: String = """
+WITH t AS (
+  SELECT vec_id AS target_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings WHERE label = 0
+), s AS (
+  SELECT vec_id AS source_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings WHERE label <> 0
+), p AS (
+  SELECT t.target_id, s.source_id,
+         round(list_sum(list_transform(range(1, len(t.e)+1), i -> t.e[i] * s.e[i])) / (t.nrm * s.nrm), 6) AS sim
+  FROM t CROSS JOIN s WHERE t.target_id <> s.source_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY sim DESC, source_id ASC) AS rn FROM p
+), c AS (
+  SELECT *, max(CASE WHEN rn = 10 THEN sim END) OVER (PARTITION BY target_id) AS cutoff FROM r
+), c2 AS (
+  SELECT *, count(CASE WHEN abs(sim - cutoff) < 1e-9 THEN 1 END) OVER (PARTITION BY target_id) AS ties_total,
+            count(CASE WHEN abs(sim - cutoff) < 1e-9 AND rn <= 10 THEN 1 END) OVER (PARTITION BY target_id) AS ties_top
+  FROM c
+)
+SELECT target_id, source_id, sim, rn,
+  CASE WHEN abs(sim - cutoff) < 1e-9 AND ties_total > ties_top THEN ties_total ELSE 0 END AS tie_flag
+FROM c2 WHERE rn <= 10 ORDER BY target_id, rn
+""".trim
+}
