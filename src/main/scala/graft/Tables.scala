@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated parquet star schema (TESTDATA.md /
   * FIXTURES.md). Every query receives an `sfDir` like
@@ -19,7 +20,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
+    * outright. Read nanos as long (legacy conf) and truncate to
+    * microseconds — the same floor the DuckDB oracle applies with
+    * `CAST(ts AS TIMESTAMP)`. `div` keeps the arithmetic in exact
+    * integer space (ns since 2024 overflows double's 2^53).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

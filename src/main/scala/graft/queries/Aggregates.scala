@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.4 — aggregations (A1–A7).
+  *
+  * Hash aggregation with partial (map-side) combine is automatic in
+  * Spark; at 100 TB the only knob that matters is that grouping keys are
+  * low-cardinality relative to input (all of these are), so the
+  * final-aggregate shuffle is tiny.
+  *
+  * Float determinism: sums/avgs are either over integral-valued doubles
+  * (exact in IEEE754 up to 2^53 — order-independent) or rounded to 6
+  * decimals (SURVEY.md §5).
+  */
+object Aggregates {
+
+  def qs: Seq[Q] = Seq(
+    // A1 COUNT(*) scalar aggregate (compute_morgan.py:11-13)
+    Q("a1_count_star",
+      (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows")),
+      Some("SELECT count(*) AS n_rows FROM lineitem")),
+
+    // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
+    // so the sum is exact and the avg deterministic across engines
+    Q("a2_avg_groupby",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(avg("l_quantity"), 6).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, round(avg(l_quantity), 6) AS avg_qty,
+                     count(*) AS n
+              FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // A4 MIN within the top-k slice: the cutoff score per group
+    // (datamart.py:32) — derived from the flagship ranked pairs
+    Q("a4_min_in_topk",
+      (s, d) => {
+        val w = Window.partitionBy("target_id")
+          .orderBy(col("sim").desc, col("source_id").asc)
+        SimilarityPipeline.pairs(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= SimilarityPipeline.TopK)
+          .groupBy("target_id")
+          .agg(min("sim").as("cutoff_score"))
+          .orderBy("target_id")
+      },
+      Some("""
+WITH t AS (
+  SELECT vec_id AS target_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings WHERE label = 0
+), s AS (
+  SELECT vec_id AS source_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings WHERE label <> 0
+), p AS (
+  SELECT t.target_id, s.source_id,
+         round(list_sum(list_transform(range(1, len(t.e)+1), i -> t.e[i] * s.e[i])) / (t.nrm * s.nrm), 6) AS sim
+  FROM t CROSS JOIN s WHERE t.target_id <> s.source_id
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY target_id ORDER BY sim DESC, source_id ASC) AS rn FROM p
+)
+SELECT target_id, min(sim) AS cutoff_score FROM r WHERE rn <= 10
+GROUP BY target_id ORDER BY target_id""")),
+
+    // A5 conditional count with float tolerance: rows tying the group max
+    // (datamart.py:33-39; readme.MD:63)
+    Q("a5_tie_count",
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey")
+        Tables.lineitem(s, d)
+          .withColumn("mx", max("l_quantity").over(w))
+          .groupBy("l_orderkey")
+          .agg(count(when(abs(col("l_quantity") - col("mx")) < 1e-9, 1))
+            .as("tie_cnt"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey,
+                     count(CASE WHEN abs(l_quantity - mx) < 1e-9 THEN 1 END) AS tie_cnt
+              FROM (SELECT l_orderkey, l_quantity,
+                           max(l_quantity) OVER (PARTITION BY l_orderkey) AS mx
+                    FROM lineitem)
+              GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // A6 dedup by key with a DETERMINISTIC survivor — row_number over an
+    // explicit total order, not dropDuplicates (mpp.py:50; SURVEY §7.4)
+    Q("a6_dedup_by_key",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_id", "event_type")
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, event_type FROM (
+                SELECT user_id, event_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts ASC, event_id ASC) AS rn
+                FROM events)
+              WHERE rn = 1 ORDER BY user_id""")),
+
+    // A7 distinct union of two key roles (datamart.py:96-102)
+    Q("a7_distinct_union",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.select(col("l_partkey").as("id"))
+          .union(li.select(col("l_suppkey").as("id")))
+          .distinct()
+          .orderBy("id")
+      },
+      Some("""SELECT l_partkey AS id FROM lineitem
+              UNION
+              SELECT l_suppkey FROM lineitem
+              ORDER BY id"""))
+  )
+}

@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.3 — joins (J1–J9).
+  *
+  * Join-strategy notes for scale: small dims (nation, region, supplier)
+  * broadcast via `autoBroadcastJoinThreshold`; fact–fact equi-joins
+  * shuffle on the join key (sort-merge), which is the right plan at
+  * 100 TB as long as both sides are pre-filtered/pruned first — every
+  * query here filters before joining.
+  */
+object Joins {
+
+  def qs: Seq[Q] = Seq(
+    // J1 cross join + per-pair similarity kernel (tanimoto.py:124-147) —
+    // the flagship covers the full pipeline; this entry is the bare
+    // operator: BroadcastNestedLoopJoin with the small side broadcast
+    Q("j1_crossjoin_similarity",
+      (s, d) => SimilarityPipeline.pairs(s, d)
+        .filter(col("target_id") < 100)
+        .orderBy("target_id", "source_id"),
+      Some("""
+WITH t AS (
+  SELECT vec_id AS target_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings WHERE label = 0
+), s AS (
+  SELECT vec_id AS source_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+  FROM embeddings WHERE label <> 0
+)
+SELECT t.target_id, s.source_id,
+       round(list_sum(list_transform(range(1, len(t.e)+1), i -> t.e[i] * s.e[i])) / (t.nrm * s.nrm), 6) AS sim
+FROM t CROSS JOIN s
+WHERE t.target_id <> s.source_id AND t.target_id < 100
+ORDER BY target_id, source_id""")),
+
+    // J2 left equi-join recovering ids, unmatched rows kept (tanimoto.py:177-183)
+    Q("j2_left_equijoin",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+              FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+              ORDER BY o_orderkey""")),
+
+    // J3 multi-way inner equi-join with dim filter (datamart.py:155-167)
+    Q("j3_multiway_join",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("n_name") === "NATION_7")
+        .select("l_orderkey", "l_linenumber", "c_custkey", "n_name")
+        .orderBy("l_orderkey", "l_linenumber", "c_custkey"),
+      Some("""SELECT l_orderkey, l_linenumber, c_custkey, n_name
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              ORDER BY l_orderkey, l_linenumber, c_custkey""")),
+
+    // J4 fact -> dim inner join (views_p1.py:9-12)
+    Q("j4_fact_dim_join",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_brand", "p_type")
+        .orderBy("l_orderkey", "l_linenumber", "p_brand", "p_type"),
+      Some("""SELECT l_orderkey, l_linenumber, p_brand, p_type
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              ORDER BY l_orderkey, l_linenumber, p_brand, p_type""")),
+
+    // J5 role-playing dimension: the same dim joined twice under two
+    // roles (views_p1.py:22-26) — customer-nation vs supplier-nation
+    Q("j5_roleplaying_dim",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val cn = n.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+        val sn = n.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(cn, col("c_nationkey") === col("cnk"))
+          .join(sn, col("s_nationkey") === col("snk"))
+          .filter(col("cust_nation") =!= col("supp_nation"))
+          .filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_linenumber", "cust_nation", "supp_nation")
+          .orderBy("l_orderkey", "l_linenumber", "cust_nation", "supp_nation")
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+                     cn.n_name AS cust_nation, sn.n_name AS supp_nation
+              FROM lineitem
+              JOIN orders    ON l_orderkey = o_orderkey
+              JOIN customer  ON o_custkey = c_custkey
+              JOIN supplier  ON l_suppkey = s_suppkey
+              JOIN nation cn ON c_nationkey = cn.n_nationkey
+              JOIN nation sn ON s_nationkey = sn.n_nationkey
+              WHERE cn.n_name <> sn.n_name AND l_orderkey < 2000
+              ORDER BY l_orderkey, l_linenumber, cust_nation, supp_nation""")),
+
+    // J6 anti-join on a composite key: new fact pairs minus pairs already
+    // in the warehouse (datamart.py:59-80)
+    Q("j6_anti_join_pairs",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val cut = "1998-06-01"
+        val existing = li.filter(col("l_shipdate") < cut)
+          .select("l_orderkey", "l_partkey").distinct()
+        li.filter(col("l_shipdate") >= cut)
+          .select("l_orderkey", "l_partkey", "l_linenumber")
+          .join(existing, Seq("l_orderkey", "l_partkey"), "left_anti")
+          .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_linenumber FROM lineitem a
+              WHERE l_shipdate >= TIMESTAMP '1998-06-01' AND NOT EXISTS (
+                SELECT 1 FROM lineitem e
+                WHERE e.l_shipdate < TIMESTAMP '1998-06-01'
+                  AND e.l_orderkey = a.l_orderkey AND e.l_partkey = a.l_partkey)
+              ORDER BY l_orderkey, l_partkey, l_linenumber""")),
+
+    // J7 EXCEPT for new dim ids (datamart.py:86-103): fact-side ids
+    // not already present in the (BUILDING-segment) dim slice
+    Q("j7_except_new_ids",
+      (s, d) => Tables.orders(s, d).select(col("o_custkey").as("id"))
+        .except(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("id")))
+        .orderBy("id"),
+      Some("""SELECT o_custkey AS id FROM orders
+              EXCEPT
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              ORDER BY id""")),
+
+    // J8 incremental-ingest anti-join: input listing minus used set
+    // (tanimoto.py:28-49) — event days stand in for file names
+    Q("j8_incremental_listing",
+      (s, d) => {
+        val days = Tables.events(s, d)
+          .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+          .distinct()
+        val used = days.filter(col("day") < "2024-01-15")
+        days.join(used, Seq("day"), "left_anti").orderBy("day")
+      },
+      Some("""SELECT day FROM (SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day FROM events)
+              WHERE day NOT IN (
+                SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') FROM events
+                WHERE CAST(ts AS DATE) < DATE '2024-01-15')
+              ORDER BY day""")),
+
+    // J9 existence skip-join: don't reprocess targets whose output
+    // already exists (tanimoto.py:132-135) — 'F'-status orders stand in
+    // for already-written sink files
+    Q("j9_existence_skip",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val done = o.filter(col("o_orderstatus") === "F").select("o_orderkey")
+        o.select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .join(done, Seq("o_orderkey"), "left_anti")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+              WHERE o_orderstatus <> 'F' ORDER BY o_orderkey"""))
+  )
+}

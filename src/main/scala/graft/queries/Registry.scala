@@ -20,7 +20,12 @@ object Registry {
       Q("pipeline_topk_tieflag",
         SimilarityPipeline.topkTieFlag,
         Some(SimilarityPipeline.topkTieFlagSql))
-    )
+    ),
+    Sources.qs,
+    Filters.qs,
+    Joins.qs,
+    Aggregates.qs,
+    WindowsSorts.qs
   )
 
   lazy val all: Seq[Q] = groups.flatten

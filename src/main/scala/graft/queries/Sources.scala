@@ -1,0 +1,186 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.1 — scans / sources / sinks (S1–S6, K1–K6, M1).
+  *
+  * Sink operators (K*) are exercised as write-then-read-back round trips
+  * into a per-invocation temp dir, so the query is still a pure function
+  * of the testdata and the oracle runs against the original tables.
+  */
+object Sources {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  def qs: Seq[Q] = Seq(
+    // S1 warehouse table scan, full row materialization (db_interact.py:115-130)
+    Q("s1_warehouse_scan",
+      (s, d) => Tables.customer(s, d).orderBy("c_custkey"),
+      Some("SELECT * FROM customer ORDER BY c_custkey")),
+
+    // S2 range-chunked scan — the chunk predicate is pushed into the
+    // parquet scan (compute_morgan.py:11-44); one chunk shown, chunking
+    // itself is native partition parallelism in Spark
+    Q("s2_range_chunked_scan",
+      (s, d) => Tables.lineitem(s, d)
+        .where(col("l_orderkey") >= 5000 && col("l_orderkey") < 6000)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+              WHERE l_orderkey >= 5000 AND l_orderkey < 6000
+              ORDER BY l_orderkey, l_linenumber, l_extendedprice""")),
+
+    // S3 bronze materialization: extract -> sink -> re-scan (db_interact.py:68-78)
+    Q("s3_bronze_materialize",
+      (s, d) => {
+        val out = tmp("bronze")
+        Tables.orders(s, d).write.mode("overwrite").parquet(s"$out/orders")
+        s.read.parquet(s"$out/orders")
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+              FROM orders ORDER BY o_orderkey""")),
+
+    // S4 CSV source: explicit schema, header, PERMISSIVE bad-line mode,
+    // encoding option (S3_interact.py:78-96)
+    Q("s4_csv_roundtrip",
+      (s, d) => {
+        val out = tmp("csv")
+        val region = Tables.region(s, d)
+        region.write.mode("overwrite").option("header", "true").csv(s"$out/region")
+        s.read.schema(region.schema)
+          .option("header", "true").option("mode", "PERMISSIVE")
+          .option("encoding", "UTF-8")
+          .csv(s"$out/region")
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // S5 parquet source (S3_interact.py:98-109)
+    Q("s5_parquet_source",
+      (s, d) => Tables.part(s, d).orderBy("p_partkey"),
+      Some("SELECT * FROM part ORDER BY p_partkey")),
+
+    // S6 directory-listing source with glob filter (S3_interact.py:34-38)
+    Q("s6_glob_source",
+      (s, d) => s.read.parquet(s"$d/nat*.parquet").orderBy("n_nationkey"),
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // K1 CSV sink, append mode (compute_morgan.py:17-46)
+    Q("k1_csv_append_sink",
+      (s, d) => {
+        val out = tmp("csvsink")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+        o.filter(col("o_orderstatus") === "F")
+          .write.mode("overwrite").option("header", "true").csv(s"$out/o")
+        o.filter(col("o_orderstatus") === "O")
+          .write.mode("append").option("header", "true").csv(s"$out/o")
+        s.read.schema(o.schema).option("header", "true").csv(s"$out/o")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+              WHERE o_orderstatus IN ('F', 'O') ORDER BY o_orderkey""")),
+
+    // K2 parquet sink partitioned by group — partition dirs replace the
+    // reference's per-target file naming (S3_interact.py:56-70,
+    // tanimoto.py:132). At cluster scale this is the layout that lets a
+    // reader prune to one group without listing others.
+    Q("k2_partitioned_sink",
+      (s, d) => {
+        val out = tmp("partsink")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag")
+          .parquet(s"$out/li")
+        s.read.parquet(s"$out/li")
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+              FROM lineitem
+              ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""")),
+
+    // K3 warehouse sink, replace vs append modes (db_interact.py:87-97)
+    Q("k3_sink_modes",
+      (s, d) => {
+        val out = tmp("modes")
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o.filter(col("o_orderstatus") === "F")
+          .write.mode("overwrite").parquet(s"$out/t")
+        o.filter(col("o_orderstatus") === "O")
+          .write.mode("append").parquet(s"$out/t")
+        s.read.parquet(s"$out/t").orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+              WHERE o_orderstatus IN ('F', 'O') ORDER BY o_orderkey""")),
+
+    // K4 insert-select with conflict skip: uniqueness is enforced by an
+    // anti-join before append, Spark-side (db_interact.py:150-166,
+    // datamart.py:155-168) — result = the rows actually inserted
+    Q("k4_insert_select_conflict_skip",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val existing = c.filter(col("c_custkey") % 3 === 0)
+          .select("c_custkey")
+        c.select("c_custkey", "c_name", "c_nationkey")
+          .join(existing, Seq("c_custkey"), "left_anti")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+              WHERE NOT EXISTS (
+                SELECT 1 FROM customer e
+                WHERE e.c_custkey % 3 = 0 AND e.c_custkey = customer.c_custkey)
+              ORDER BY c_custkey""")),
+
+    // K5 DDL: CREATE TABLE IF NOT EXISTS -> temp view + catalog
+    // (datamart.py:108-145); constraints become engine-side dedup (K4)
+    Q("k5_create_if_not_exists",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("bronze_documents")
+        if (!s.catalog.tableExists("silver_dim_documents")) {
+          s.sql("""CREATE OR REPLACE TEMP VIEW silver_dim_documents AS
+                   SELECT doc_id, lang, source, n_chars FROM bronze_documents""")
+        }
+        s.table("silver_dim_documents").orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, source, n_chars FROM documents
+              ORDER BY doc_id""")),
+
+    // K6 view sink: CREATE OR REPLACE VIEW (views_p1.py:3-43)
+    Q("k6_view_sink",
+      (s, d) => {
+        Tables.documents(s, d).createOrReplaceTempView("k6_documents")
+        s.sql("""CREATE OR REPLACE TEMP VIEW k6_lang_counts AS
+                 SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+                 FROM k6_documents GROUP BY lang""")
+        s.table("k6_lang_counts").orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // M1 table-existence probe (db_interact.py:99-113)
+    Q("m1_table_exists",
+      (s, d) => {
+        import s.implicits._
+        Tables.nation(s, d).createOrReplaceTempView("m1_nation")
+        Seq(
+          ("m1_nation", s.catalog.tableExists("m1_nation")),
+          ("m1_no_such_table", s.catalog.tableExists("m1_no_such_table")))
+          .toDF("tbl", "present").orderBy("tbl")
+      },
+      Some("""SELECT * FROM (
+                SELECT 'm1_nation' AS tbl, true AS present
+                UNION ALL
+                SELECT 'm1_no_such_table', false)
+              ORDER BY tbl"""))
+  )
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.5–2.7 — window functions / top-k (W1–W2), sorts & limits
+  * (O1–O3), set operations (U1–U4).
+  *
+  * Top-k goes through `row_number` over a partitioned window (shuffles
+  * only the key+score columns), and sort+limit compiles to
+  * `TakeOrderedAndProject` (per-partition heap, no global sort) — both
+  * are the 100 TB-safe shapes.
+  */
+object WindowsSorts {
+
+  def qs: Seq[Q] = Seq(
+    // W1 per-group top-k by score with explicit tiebreak (datamart.py:28-47)
+    Q("w1_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // W2 group-relative tie computation over the whole partition frame
+    // (datamart.py:33-39): tie count at the top-3 cutoff, whole group vs
+    // inside the slice
+    Q("w2_group_tie_flag",
+      (s, d) => {
+        val wOrd = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val wAll = Window.partitionBy("o_custkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val atCut = abs(col("o_totalprice") - col("cutoff")) < 1e-9
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("cutoff", max(when(col("rn") === 3, col("o_totalprice"))).over(wAll))
+          .withColumn("ties_total", count(when(atCut, 1)).over(wAll))
+          .withColumn("ties_top", count(when(atCut && col("rn") <= 3, 1)).over(wAll))
+          .filter(col("rn") <= 3)
+          .withColumn("tie_flag",
+            when(atCut && col("ties_total") > col("ties_top"), col("ties_total"))
+              .otherwise(lit(0L)))
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("rn").cast("long").as("rn"), col("tie_flag"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""
+WITH r AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+), c AS (
+  SELECT *, max(CASE WHEN rn = 3 THEN o_totalprice END)
+              OVER (PARTITION BY o_custkey) AS cutoff
+  FROM r
+), c2 AS (
+  SELECT *,
+    count(CASE WHEN abs(o_totalprice - cutoff) < 1e-9 THEN 1 END)
+      OVER (PARTITION BY o_custkey) AS ties_total,
+    count(CASE WHEN abs(o_totalprice - cutoff) < 1e-9 AND rn <= 3 THEN 1 END)
+      OVER (PARTITION BY o_custkey) AS ties_top
+  FROM c
+)
+SELECT o_custkey, o_orderkey, rn,
+  CASE WHEN abs(o_totalprice - cutoff) < 1e-9 AND ties_total > ties_top
+       THEN ties_total ELSE 0 END AS tie_flag
+FROM c2 WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
+    // O1 global sort descending by score (datamart.py:31)
+    Q("o1_global_sort",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_totalprice > 400000.0
+              ORDER BY o_totalprice DESC, o_orderkey ASC""")),
+
+    // O2 sort + LIMIT -> TakeOrderedAndProject (datamart.py:31, head(10))
+    Q("o2_sort_limit",
+      (s, d) => Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""")),
+
+    // O3 reverse-sorted listing, newest first (tanimoto.py:67)
+    Q("o3_sort_desc_names",
+      (s, d) => Tables.documents(s, d)
+        .select("source").distinct()
+        .orderBy(col("source").desc),
+      Some("SELECT DISTINCT source FROM documents ORDER BY source DESC")),
+
+    // U1 UNION ALL of two disjoint slices (mpp.py:136)
+    Q("u1_union_all",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_returnflag")
+        li.filter(col("l_returnflag") === "A")
+          .union(li.filter(col("l_returnflag") === "R"))
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
+      },
+      Some("""SELECT * FROM (
+                SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+                WHERE l_returnflag = 'A'
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem
+                WHERE l_returnflag = 'R')
+              ORDER BY l_orderkey, l_linenumber, l_returnflag""")),
+
+    // U2 union-fold accumulation (datamart.py:54-58) — three slices
+    // folded; in Spark the fold is one union node, not N materializations
+    Q("u2_union_accumulate",
+      (s, d) => {
+        val o = Tables.orders(s, d).select("o_orderkey", "o_orderstatus")
+        Seq("F", "O", "P")
+          .map(st => o.filter(col("o_orderstatus") === st))
+          .reduce(_ union _)
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+              WHERE o_orderstatus IN ('F', 'O', 'P')
+              ORDER BY o_orderkey""")),
+
+    // U3 union + distinct of two column roles (datamart.py:96-102)
+    Q("u3_union_distinct",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val c = Tables.customer(s, d)
+        o.select(col("o_custkey").as("id"))
+          .union(c.select(col("c_custkey").as("id")))
+          .distinct()
+          .orderBy("id")
+      },
+      Some("""SELECT o_custkey AS id FROM orders
+              UNION SELECT c_custkey FROM customer ORDER BY id""")),
+
+    // U4 EXCEPT: parts not shipped before 1996 (datamart.py:86-103 pattern)
+    Q("u4_except",
+      (s, d) => Tables.part(s, d).select(col("p_partkey").as("id"))
+        .except(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") < "1996-01-01")
+          .select(col("l_partkey").as("id")))
+        .orderBy("id"),
+      Some("""SELECT p_partkey AS id FROM part
+              EXCEPT
+              SELECT l_partkey FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1996-01-01'
+              ORDER BY id"""))
+  )
+}
