@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{TextHash, VectorExpressions}
+
+/** SURVEY.md §2.8 — scalar functions (F1–F10).
+  *
+  * All stay inside whole-stage codegen (built-ins or native expressions);
+  * the only JVM UDF is the engine-portable rolling hash (F7), which is
+  * deliberately reproducible in DuckDB SQL (see TextHash).
+  */
+object Functions {
+
+  def qs: Seq[Q] = Seq(
+    // F1 id repair: first digit-run extracted and prefixed
+    // (tanimoto.py:70-80) — regexp_extract + concat, no UDF
+    Q("f1_id_repair",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("raw_name", concat(col("source"), lit("_"), col("doc_id")))
+        .withColumn("repaired",
+          concat(lit("CHEMBL"), regexp_extract(col("raw_name"), "([0-9]+)", 1)))
+        .select("doc_id", "raw_name", "repaired")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, source || '_' || doc_id AS raw_name,
+                     'CHEMBL' || regexp_extract(source || '_' || doc_id, '([0-9]+)', 1) AS repaired
+              FROM documents ORDER BY doc_id""")),
+
+    // F2/F3 ABS + float-tolerance compare as derived columns
+    // (views_p1.py:22,36; datamart.py:33-38)
+    Q("f2_f3_abs_tolerance",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_discount") - 0.03).as("dist"),
+          (abs(col("l_discount") - 0.03) < 1e-9).as("is_close"))
+        .orderBy("l_orderkey", "l_linenumber", "dist"),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     abs(l_discount - 0.03) AS dist,
+                     abs(l_discount - 0.03) < 1e-9 AS is_close
+              FROM lineitem ORDER BY l_orderkey, l_linenumber, dist""")),
+
+    // F4/F5 base64 encode/decode round trip (mpp.py:87, tanimoto.py:98-102)
+    Q("f4_f5_base64_roundtrip",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        // Spark's base64 MIME-chunks every 76 chars with CRLF; strip the
+        // chunking so the output matches RFC4648 'basic' (what DuckDB emits)
+        .select(col("doc_id"),
+          regexp_replace(base64(encode(col("text"), "UTF-8")), "[\\r\\n]", "")
+            .as("b64"),
+          decode(unbase64(base64(encode(col("text"), "UTF-8"))), "UTF-8").as("back"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, to_base64(encode(text)) AS b64,
+                     decode(from_base64(to_base64(encode(text)))) AS back
+              FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
+    // F6 fallible parse -> null -> filter (mpp.py:64-73 pattern) on JSON:
+    // every 7th props string is truncated to simulate malformed input
+    Q("f6_fallible_parse",
+      (s, d) => Tables.events(s, d)
+        .withColumn("raw",
+          when(col("event_id") % 7 === 0, substring(col("props"), 1, 3))
+            .otherwise(col("props")))
+        .withColumn("k", get_json_object(col("raw"), "$.k").cast("long"))
+        .filter(col("k").isNotNull)
+        .select("event_id", "k")
+        .orderBy("event_id"),
+      Some("""SELECT event_id, k FROM (
+                SELECT event_id,
+                       CASE WHEN json_valid(raw)
+                            THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+                       END AS k
+                FROM (SELECT event_id,
+                             CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 3)
+                                  ELSE props END AS raw
+                      FROM events))
+              WHERE k IS NOT NULL ORDER BY event_id""")),
+
+    // F7 deterministic feature hash: token -> bucket histogram per doc —
+    // the Morgan-fingerprint pattern (mpp.py:81-93) as a sparse
+    // fixed-width vectorization
+    Q("f7_feature_hash",
+      (s, d) => {
+        TextHash.register(s)
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .select(col("doc_id"), (expr("tok_hash(tok)") % 16).as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""SELECT doc_id, bucket, count(*) AS cnt FROM (
+                SELECT doc_id, ${TextHash.sqlTokenHash("tok")} % 16 AS bucket
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents))
+              GROUP BY doc_id, bucket ORDER BY doc_id, bucket""")),
+
+    // F8 Tanimoto similarity over real-valued vectors:
+    // dot / (|a|^2 + |b|^2 - dot) (tanimoto.py:138-139), native kernel
+    Q("f8_tanimoto",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+        val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+        a.crossJoin(b).filter(col("a_id") < col("b_id"))
+          .withColumn("dot", expr("dot_f(a_emb, b_emb)"))
+          .withColumn("tanimoto",
+            round(col("dot") /
+              (expr("dot_f(a_emb, a_emb)") + expr("dot_f(b_emb, b_emb)") - col("dot")), 6))
+          .select("a_id", "b_id", "tanimoto")
+          .orderBy("a_id", "b_id")
+      },
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 100),
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i] * b.v[i])) AS dot,
+         list_sum(list_transform(a.v, x -> x*x)) AS na,
+         list_sum(list_transform(b.v, x -> x*x)) AS nb
+  FROM e a CROSS JOIN e b WHERE a.vec_id < b.vec_id
+)
+SELECT a_id, b_id, round(dot / (na + nb - dot), 6) AS tanimoto
+FROM p ORDER BY a_id, b_id""")),
+
+    // F9 string concat / path formatting (tanimoto.py:132)
+    Q("f9_format_paths",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          format_string("similarity_%s_%d.parquet", col("source"), col("doc_id"))
+            .as("path"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, printf('similarity_%s_%d.parquet', source, doc_id) AS path
+              FROM documents ORDER BY doc_id""")),
+
+    // F10 timestamp-defaulted state rows (tanimoto.py:51-54) —
+    // current_timestamp() is inherently nondeterministic, so this entry
+    // has no oracle (driver records rows>0)
+    Q("f10_state_timestamp",
+      (s, d) => Tables.events(s, d)
+        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("file"))
+        .distinct()
+        .withColumn("used_at", current_timestamp())
+        .orderBy("file"),
+      None)
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SURVEY.md §2.9 — incremental / exactly-once semantics (I1–I3), batch
+  * formulations. The Structured Streaming formulation of I1 (file source
+  * + checkpoint + Trigger.AvailableNow) lives in
+  * graft.streaming.EventsStream and is exercised by its spec; these
+  * queries are the oracle-checkable batch twins.
+  */
+object Incremental {
+
+  def qs: Seq[Q] = Seq(
+    // I1 new-delta detection + process-only-the-delta
+    // (tanimoto.py:17-68): event days stand in for input files; the
+    // "used" state is the pre-cutoff day set; the delta aggregation only
+    // touches new days. Sum is computed in DECIMAL so the result is
+    // order-independent and engine-exact.
+    Q("i1_incremental_delta",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+        val used = ev.select("day").distinct()
+          .filter(col("day") < "2024-01-15")
+        ev.join(used, Seq("day"), "left_anti")
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+          .orderBy("day")
+      },
+      Some("""SELECT day, count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+              FROM (SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value
+                    FROM events)
+              WHERE day >= '2024-01-15'
+              GROUP BY day ORDER BY day""")),
+
+    // I2 idempotent output: dynamic-partition overwrite run twice yields
+    // the same sink state as run once (tanimoto.py:132-135 analog)
+    Q("i2_idempotent_sink",
+      (s, d) => {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        val out = Files.createTempDirectory("graft_idem").toString
+        val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$out/ev")
+        // re-run of the same batch — dynamic overwrite keeps it exactly-once
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$out/ev")
+        s.read.parquet(s"$out/ev")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+            max("event_id").as("max_id"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(*) AS n, min(event_id) AS min_id,
+                     max(event_id) AS max_id
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // I3 append-only fact with dedup-on-ingest (datamart.py:59-80 +
+    // db_interact.py:150-166): anti-join new batch against existing
+    // facts, append, and the union reconstructs exactly the full fact set
+    Q("i3_upsert_dedup",
+      (s, d) => {
+        val full = Views.silverFact(s, d)
+        val existing = full.filter(col("target_id") < 100)
+        val incoming = full // re-delivery of everything, overlap included
+        val fresh = incoming.join(existing.select("target_id", "source_id"),
+          Seq("target_id", "source_id"), "left_anti")
+        existing.union(fresh)
+          .orderBy("target_id", "source_id")
+      },
+      Some(Views.factCte + """
+SELECT target_id, source_id, sim FROM fact ORDER BY target_id, source_id"""))
+  )
+}

@@ -25,7 +25,10 @@ object Registry {
     Filters.qs,
     Joins.qs,
     Aggregates.qs,
-    WindowsSorts.qs
+    WindowsSorts.qs,
+    Functions.qs,
+    Views.qs,
+    Incremental.qs
   )
 
   lazy val all: Seq[Q] = groups.flatten
