@@ -48,7 +48,45 @@ object TextHash {
 
   def sqlAffine(h: String, a: Long, b: Long): String = s"($a * $h + $b) % ${P}"
 
+  /** Minimum rolling hash over 3-token shingles; whole-text hash when the
+    * document is shorter than one shingle. DuckDB twin built from
+    * sqlTokenHash over `range(1, len(toks)-1)` windows.
+    */
+  def shingleMin(s: String): Long = {
+    val t = s.split(" ", -1)
+    if (t.length < 3) tokenHash(s)
+    else t.sliding(3).map(w => tokenHash(w.mkString(" "))).min
+  }
+
+  /** 32-bit SimHash over whitespace tokens (frequency-weighted). Bit j is
+    * set when the sum of (+1/-1 for token-hash bit j) over all tokens is
+    * positive — the same integer arithmetic the DuckDB twin runs.
+    */
+  def simhash32(s: String): Long = {
+    val toks = s.split(" ", -1)
+    val acc = new Array[Int](32)
+    var k = 0
+    while (k < toks.length) {
+      val h = tokenHash(toks(k))
+      var j = 0
+      while (j < 32) {
+        if (((h >> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+      k += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 32) {
+      if (acc(j) > 0) r |= (1L << j)
+      j += 1
+    }
+    r
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("tok_hash", (s: String) => tokenHash(s))
+    spark.udf.register("shingle_min", (s: String) => shingleMin(s))
+    spark.udf.register("simhash32", (s: String) => simhash32(s))
   }
 }

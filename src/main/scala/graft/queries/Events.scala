@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+
+/** Event-time windowing over the `events` stream table — batch
+  * formulations with exact DuckDB twins. The Structured Streaming
+  * variants (watermark + windowed agg + stateful sessionization) live in
+  * graft.streaming.EventsStream; semantics here are identical, which is
+  * what makes the streaming path testable against the batch oracle.
+  *
+  * Window starts are computed by explicit epoch-microsecond floor
+  * arithmetic (exact integers) rather than engine-specific bucketing
+  * functions, so both engines land on identical timestamps.
+  */
+object Events {
+
+  def qs: Seq[Q] = Seq(
+    // Tumbling 10-minute window: count + DECIMAL-exact sum per window x type
+    Q("e1_tumbling_window",
+      (s, d) => Tables.events(s, d)
+        .withColumn("win_start",
+          date_format(window(col("ts"), "10 minutes").getField("start"),
+            "yyyy-MM-dd HH:mm:ss"))
+        .groupBy("win_start", "event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("win_start", "event_type"),
+      Some("""
+SELECT strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // Sliding window: 10-minute length, 5-minute slide — every event in
+    // exactly two windows (Spark's TimeWindow generator expands the
+    // assignment; the oracle mirrors it as an explicit 2-element unnest)
+    Q("e2_sliding_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("win_start", "event_type"),
+      Some("""
+WITH g AS (
+  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 300000000) * 300000000 AS grid_us,
+         event_type, value
+  FROM events
+), w AS (
+  SELECT unnest([grid_us - 300000000, grid_us]) AS start_us, event_type, value
+  FROM g
+)
+SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // Session windows: per-user, 30-minute inactivity gap, batch
+    // formulation via lag + running sum (the flatMapGroupsWithState
+    // analog)
+    Q("e3_session_window",
+      (s, d) => {
+        val byUser = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id", sum("new_sess").over(run))
+          .groupBy("user_id", "sess_id")
+          .agg(
+            date_format(min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+            date_format(max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+            count(lit(1)).as("n_events"))
+          .select("user_id", "sess_id", "session_start", "session_end", "n_events")
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""
+WITH x AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+), f AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM x
+), g AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM f
+)
+SELECT user_id, sess_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
+
+    // JSON extraction: typed struct parse of the props column
+    Q("e4_json_extract",
+      (s, d) => Tables.events(s, d)
+        .withColumn("parsed",
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .select(col("event_id"), col("parsed.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events ORDER BY event_id"""))
+  )
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: media carried as opaque `binary` columns
+  * with typed metadata derived per row, and per-frame sampling that fans
+  * one asset out into N frame rows.
+  *
+  * No image/audio codecs exist in this environment, so the *decode* step
+  * is a clearly-marked deterministic STUB (arithmetic on byte length +
+  * content digest standing in for pixel decoding). Everything around it
+  * — binary encoding, schema, per-frame explode fan-out, digesting,
+  * partition-friendly shapes — is real Spark plumbing and oracle-checked.
+  * A production build swaps `fakeWidth/fakeHeight` for a real decoder
+  * inside the same dataflow (see graft.multimodal.DecodeStub for the
+  * mapPartitions batch-shaped variant).
+  */
+object Multimodal {
+
+  def qs: Seq[Q] = Seq(
+    // Opaque binary column + typed metadata extraction. STUB: width/
+    // height are deterministic functions of byte length, not real pixels.
+    Q("mm_binary_metadata",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("media", encode(col("text"), "UTF-8")) // binary payload
+        .select(col("doc_id"),
+          length(col("media")).cast("long").as("byte_len"),
+          md5(col("media")).as("digest"),
+          (length(col("media")) % 640).cast("long").as("width"),   // STUB decode
+          ((length(col("media")) * 7) % 480).cast("long").as("height"), // STUB decode
+          lit(3L).as("channels"))
+        .orderBy("doc_id"),
+      Some("""
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       md5(text) AS digest,
+       (octet_length(encode(text)) % 640)::BIGINT AS width,
+       ((octet_length(encode(text)) * 7) % 480)::BIGINT AS height,
+       3::BIGINT AS channels
+FROM documents ORDER BY doc_id""")),
+
+    // Frame sampling: one asset -> N frame rows (explode fan-out), each
+    // frame sliced from the payload and digested. STUB: "frames" are
+    // fixed-offset slices of the payload, not decoded video.
+    Q("mm_frame_sample",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(3))).as("frame_idx"))
+        .withColumn("frame_payload",
+          col("text").substr(col("frame_idx") * 16 + 1, lit(16)))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          md5(encode(col("frame_payload"), "UTF-8")).as("frame_digest"),
+          length(col("frame_payload")).cast("long").as("frame_bytes"))
+        .orderBy("doc_id", "frame_idx"),
+      Some("""
+SELECT doc_id, frame_idx::BIGINT AS frame_idx,
+       md5(substring(text, frame_idx * 16 + 1, 16)) AS frame_digest,
+       length(substring(text, frame_idx * 16 + 1, 16))::BIGINT AS frame_bytes
+FROM documents, (SELECT unnest(range(0, 4)) AS frame_idx)
+ORDER BY doc_id, frame_idx"""))
+  )
+}

@@ -28,7 +28,12 @@ object Registry {
     WindowsSorts.qs,
     Functions.qs,
     Views.qs,
-    Incremental.qs
+    Incremental.qs,
+    TextAnalysis.qs,
+    Dedup.qs,
+    SimilaritySearch.qs,
+    Events.qs,
+    Multimodal.qs
   )
 
   lazy val all: Seq[Q] = groups.flatten

@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorExpressions
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Two paths:
+  *  - brute-force top-k (the exactness baseline): broadcast the query
+  *    set, stream the candidates, codegen'd cosine kernel, window top-k.
+  *    O(Q*N) compute but only one pass over the big side — correct
+  *    shape when Q is small;
+  *  - sign-random-projection LSH buckets (the 100 TB path): each vector
+  *    maps to a small bucket id from deterministic +/-1 hyperplanes;
+  *    search only joins query buckets to candidate buckets (equi-join,
+  *    shuffle ~ bucket-collision size), then exact re-rank inside the
+  *    bucket. Recall < 1 by design; the oracle mirrors the same
+  *    algorithm, so results are deterministic and checkable.
+  */
+object SimilaritySearch {
+
+  val NumPlanes = 4
+
+  /** Deterministic pseudo-random +/-1 hyperplane sign for (plane, dim). */
+  private def signExpr(plane: Int, dim: Column): Column =
+    when(((lit(plane) * 131 + dim * 137) % 2) === 0, lit(-1.0)).otherwise(lit(1.0))
+
+  /** Sign-random-projection bucket id over an array<float> column. */
+  def bucket(v: Column): Column = {
+    val dv = v.cast("array<double>")
+    (0 until NumPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1),
+          (x, i) => x * signExpr(j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[bucket]] over a DOUBLE[] expression (1-based i). */
+  def sqlBucket(v: String): String =
+    (0 until NumPlanes).map { j =>
+      s"""CASE WHEN list_sum(list_transform(range(1, len($v)+1),
+            i -> $v[i] * (CASE WHEN (($j * 131 + (i-1) * 137) % 2) = 0
+                          THEN -1.0 ELSE 1.0 END))) > 0
+          THEN ${1L << j} ELSE 0 END"""
+    }.mkString("(", " + ", ")")
+
+  def qs: Seq[Q] = Seq(
+    // Brute-force cosine top-k: exact kNN baseline
+    Q("simsearch_bruteforce_topk",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+          .withColumn("q_norm", expr("norm_f(q_emb)"))
+        val cands = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+          .withColumn("c_norm", expr("norm_f(c_emb)"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        cands.crossJoin(broadcast(queries))
+          .withColumn("cos",
+            round(expr("dot_f(q_emb, c_emb)") / (col("q_norm") * col("c_norm")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), col("cos"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+      FROM embeddings WHERE vec_id >= 10),
+p AS (SELECT q.q_id, c.c_id,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+      FROM q CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // LSH-bucketed ANN: candidates restricted to the query's bucket,
+    // exact cosine re-rank inside it
+    Q("simsearch_lsh_bucketed",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .withColumn("bkt", bucket(col("embedding")))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("bkt"))
+          .withColumn("q_norm", expr("norm_f(q_emb)"))
+        val cands = emb.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+            col("bkt"))
+          .withColumn("c_norm", expr("norm_f(c_emb)"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        cands.join(queries, Seq("bkt"))
+          .withColumn("cos",
+            round(expr("dot_f(q_emb, c_emb)") / (col("q_norm") * col("c_norm")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), col("bkt"), col("cos"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
+             ${sqlBucket("v")} AS bkt
+      FROM e0),
+q AS (SELECT vec_id AS q_id, v, nrm, bkt FROM e WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, v, nrm, bkt FROM e WHERE vec_id >= 10),
+p AS (SELECT q.q_id, c.c_id, q.bkt,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+      FROM q JOIN c ON q.bkt = c.bkt),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, bkt, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
+  )
+}

@@ -1,0 +1,140 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextHash
+
+/** Text-analysis operators for a training-data pipeline: language ID,
+  * quality scoring, token statistics, document fingerprinting. All
+  * deterministic and mirrored exactly in DuckDB SQL.
+  *
+  * The reference's text handling is SMILES parsing + id repair
+  * (mpp.py:64-73, tanimoto.py:70-80); these generalize the same
+  * "derive features from a free-text column" pattern to corpus curation.
+  */
+object TextAnalysis {
+
+  private val EN = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val FR = Seq("le", "la", "de", "et", "les", "des", "un")
+  private val DE = Seq("der", "die", "das", "und", "den", "von", "zu")
+
+  private def sqlList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** count of tokens belonging to a stopword set (codegen-friendly:
+    * array filter over the split, no UDF)
+    */
+  private def stopCount(toks: Column, ws: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(ws))).cast("long")
+
+  def qs: Seq[Q] = Seq(
+    // Language ID via stopword-hit scoring with deterministic argmax
+    Q("text_langid",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .withColumn("en_score", stopCount(toks, EN))
+          .withColumn("fr_score", stopCount(toks, FR))
+          .withColumn("de_score", stopCount(toks, DE))
+          .withColumn("predicted",
+            when(col("en_score") >= col("fr_score") &&
+                 col("en_score") >= col("de_score") && col("en_score") > 0, "en")
+              .when(col("fr_score") >= col("de_score") && col("fr_score") > 0, "fr")
+              .when(col("de_score") > 0, "de")
+              .otherwise("und"))
+          .select("doc_id", "en_score", "fr_score", "de_score", "predicted", "lang")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH sc AS (
+  SELECT doc_id, lang,
+    len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(EN)})) AS en_score,
+    len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(FR)})) AS fr_score,
+    len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(DE)})) AS de_score
+  FROM documents)
+SELECT doc_id, en_score, fr_score, de_score,
+  CASE WHEN en_score >= fr_score AND en_score >= de_score AND en_score > 0 THEN 'en'
+       WHEN fr_score >= de_score AND fr_score > 0 THEN 'fr'
+       WHEN de_score > 0 THEN 'de'
+       ELSE 'und' END AS predicted,
+  lang
+FROM sc ORDER BY doc_id""")),
+
+    // Quality scoring: stopword ratio + punctuation density + length
+    // prior, one double formula evaluated identically in both engines
+    Q("text_quality",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("stop_cnt", stopCount(toks, EN))
+          .withColumn("punct_cnt", expr("regexp_count(text, '[.!?,;:]')").cast("long"))
+          .withColumn("quality", round(
+            col("stop_cnt").cast("double") / col("n_tokens") * 0.5 +
+              (lit(1.0) - col("punct_cnt").cast("double") / col("n_chars")) * 0.3 +
+              least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+          .select("doc_id", "n_tokens", "stop_cnt", "punct_cnt", "quality")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH f AS (
+  SELECT doc_id, n_chars,
+    len(string_split(text, ' '))::BIGINT AS n_tokens,
+    len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(EN)}))::BIGINT AS stop_cnt,
+    len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS punct_cnt
+  FROM documents)
+SELECT doc_id, n_tokens, stop_cnt, punct_cnt,
+  round(CAST(stop_cnt AS DOUBLE) / n_tokens * 0.5 +
+        (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars) * 0.3 +
+        least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+FROM f ORDER BY doc_id""")),
+
+    // Token statistics: whitespace tokens, regex (BPE-ish word/number/
+    // symbol) tokens, distinct tokens, mean token length
+    Q("text_token_stats",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .withColumn("ws_tokens", size(toks).cast("long"))
+          .withColumn("re_tokens",
+            expr("regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')").cast("long"))
+          .withColumn("distinct_tokens", size(array_distinct(toks)).cast("long"))
+          .withColumn("mean_tok_len",
+            round(length(regexp_replace(col("text"), " ", "")).cast("double") /
+              col("ws_tokens"), 6))
+          .select("doc_id", "ws_tokens", "re_tokens", "distinct_tokens", "mean_tok_len")
+          .orderBy("doc_id")
+      },
+      Some("""
+SELECT doc_id,
+  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS re_tokens,
+  len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) /
+        len(string_split(text, ' ')), 6) AS mean_tok_len
+FROM documents ORDER BY doc_id""")),
+
+    // Document fingerprinting: full-text rolling hash + min-hash over
+    // 3-token shingles (winnowing-style content signature)
+    Q("text_fingerprint",
+      (s, d) => {
+        TextHash.register(s)
+        Tables.documents(s, d)
+          .withColumn("text_hash", expr("tok_hash(text)"))
+          .withColumn("shingle_min_hash", expr("shingle_min(text)"))
+          .select("doc_id", "text_hash", "shingle_min_hash")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  ${TextHash.sqlTokenHash("text")} AS text_hash,
+  CASE WHEN len(toks) < 3 THEN ${TextHash.sqlTokenHash("text")}
+       ELSE list_min(list_transform(range(1, len(toks)-1),
+              i -> ${TextHash.sqlTokenHash("(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")}))
+  END AS shingle_min_hash
+FROM t ORDER BY doc_id"""))
+  )
+}
