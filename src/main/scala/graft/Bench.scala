@@ -10,7 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: JIT + codegen + session init land here, not on
+    // whichever query happens to run first.
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Optional args = query-name filter (dev loop: time one query).
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

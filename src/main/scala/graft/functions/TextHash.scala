@@ -84,9 +84,24 @@ object TextHash {
     r
   }
 
+  /** Distinct 3-token shingles (whole text when shorter than one
+    * shingle). A Scala UDF, NOT a `transform` higher-order function: HOFs
+    * evaluate interpreted with lambda-captured expressions re-evaluated
+    * per element, and optimizer rules (InferFiltersFromGenerate +
+    * filter pushdown) re-substitute aliases back into the lambda — the
+    * Column formulation measured O(tokens²) per row, 25× slower than
+    * this single pass. DuckDB twin: Dedup.sqlShingles.
+    */
+  def shingleSet(s: String): Array[String] = {
+    val t = s.split(" ", -1)
+    if (t.length < 3) Array(s)
+    else t.sliding(3).map(_.mkString(" ")).toArray.distinct
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("tok_hash", (s: String) => tokenHash(s))
     spark.udf.register("shingle_min", (s: String) => shingleMin(s))
     spark.udf.register("simhash32", (s: String) => simhash32(s))
+    spark.udf.register("shingle_set", (s: String) => shingleSet(s))
   }
 }

@@ -22,14 +22,14 @@ import graft.functions.{TextHash, VectorExpressions}
   */
 object Dedup {
 
-  /** 3-token shingle array (distinct), engine-portable. */
-  def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    array_distinct(
-      when(size(toks) < 3, array(text))
-        .otherwise(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ",
-            element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+  /** Documents with a materialized shingle-set column (see
+    * TextHash.shingleSet for why this is a UDF, not a `transform` HOF).
+    */
+  def docShingles(s: SparkSession, d: String): DataFrame = {
+    TextHash.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        expr("shingle_set(text)").as("shs"))
   }
 
   /** DuckDB twin of [[shingles]] given a text expression. */
@@ -89,32 +89,45 @@ WHERE rn > 1 ORDER BY dup_id""")),
     Q("dedup_minhash_lsh",
       (s, d) => {
         TextHash.register(s)
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), shingles(col("text")).as("shs"))
-        val hashed = docs
+        // Postings (doc, shingle) computed once and persisted: the
+        // signature pipeline, the candidate verification, and the per-doc
+        // set sizes all derive from it. Tiny relative to the corpus (one
+        // row per distinct shingle occurrence).
+        val post = docShingles(s, d)
           .select(col("doc_id"), explode(col("shs")).as("sh"))
-          .select(col("doc_id"), expr("tok_hash(sh)").as("h"))
+          .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
+          .persist()
+        val counts = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val minCols = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
           min((col("h") * a + b) % TextHash.P).as(s"m$i")
         }
-        val sig = hashed.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val sig = post.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
         val bands = sig.select(col("doc_id"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),
               concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
           }: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-            col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+        // Candidates: group each LSH bucket once and emit its i<j pairs —
+        // one shuffle on the band key, no self-join recompute. Bucket
+        // population is bounded by band selectivity (salt wide buckets at
+        // scale before the collect).
+        val cand = bands.groupBy("band", "key")
+          .agg(collect_list("doc_id").as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(col("ids")).as("i"), col("ids"))
+          .select(col("i"), explode(col("ids")).as("j"))
+          .filter(col("i") < col("j"))
           .distinct()
-        val a = docs.select(col("doc_id").as("i"), col("shs").as("sh_a"))
-        val b = docs.select(col("doc_id").as("j"), col("shs").as("sh_b"))
-        cand.join(a, "i").join(b, "j")
-          .withColumn("jac",
-            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))), 6))
+        // Exact-Jaccard verification by co-occurrence counting over the
+        // postings — candidate pairs only, no array materialization.
+        cand.join(post.select(col("doc_id").as("i"), col("sh")), "i")
+          .join(post.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
+          .groupBy("i", "j").agg(count(lit(1)).as("common"))
+          .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
+          .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+          .withColumn("jac", round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6))
           .filter(col("jac") >= 0.5)
           .select("i", "j", "jac")
           .orderBy("i", "j")
@@ -179,18 +192,27 @@ FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sh, b.sh)) <= 6
 ORDER BY i, j""")),
 
-    // Blocked n-gram Jaccard: exact pairwise similarity, pair generation
-    // bounded by the blocking key (source)
+    // Blocked n-gram Jaccard via an inverted shingle index: explode to
+    // (doc, shingle) postings, equi-join postings on (source, shingle) to
+    // count |A∩B| per pair, then |A∪B| = |A|+|B|-|A∩B|. Only pairs that
+    // actually share a shingle are ever materialized — never the O(B²)
+    // block cross product with per-pair array intersection. Same
+    // arithmetic as the set formulation, so the oracle is unchanged.
     Q("dedup_ngram_jaccard",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), shingles(col("text")).as("shs"))
-        val a = docs.select(col("doc_id").as("i"), col("source"), col("shs").as("sh_a"))
-        val b = docs.select(col("doc_id").as("j"), col("source"), col("shs").as("sh_b"))
-        a.join(b, Seq("source")).filter(col("i") < col("j"))
-          .withColumn("jac",
-            round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))), 6))
+        val docs = docShingles(s, d)
+        val counts = docs.select(col("doc_id"), size(col("shs")).as("n"))
+        val post = docs.select(col("doc_id"), col("source"),
+          explode(col("shs")).as("sh"))
+        post.select(col("doc_id").as("i"), col("source"), col("sh"))
+          .join(post.select(col("doc_id").as("j"), col("source"), col("sh")),
+            Seq("source", "sh"))
+          .filter(col("i") < col("j"))
+          .groupBy("i", "j").agg(count(lit(1)).as("common"))
+          .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
+          .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+          .withColumn("jac", round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6))
           .filter(col("jac") >= 0.5)
           .select("i", "j", "jac")
           .orderBy("i", "j")
