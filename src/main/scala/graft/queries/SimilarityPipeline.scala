@@ -47,13 +47,20 @@ object SimilarityPipeline {
   }
 
   /** W1 top-k + A4 cutoff + A5/W2 tie flag, deterministic ORDER BY. */
-  def topkTieFlag(spark: SparkSession, dir: String): DataFrame = {
+  def topkTieFlag(spark: SparkSession, dir: String): DataFrame =
+    tieFlagOverPairs(pairs(spark, dir))
+
+  /** The windowed tie-flag computation over any (target_id, source_id,
+    * sim) relation — factored out so the semantics (SURVEY.md §7.4) are
+    * unit-testable on literal data.
+    */
+  def tieFlagOverPairs(pairs: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("target_id")
       .orderBy(col("sim").desc, col("source_id").asc)
     val wAll = Window.partitionBy("target_id")
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val atCutoff = abs(col("sim") - col("cutoff")) < Tol
-    pairs(spark, dir)
+    pairs
       .withColumn("rn", row_number().over(wOrd))
       .withColumn("cutoff", max(when(col("rn") === TopK, col("sim"))).over(wAll))
       .withColumn("ties_total", count(when(atCutoff, 1)).over(wAll))
