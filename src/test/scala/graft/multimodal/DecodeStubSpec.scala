@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+class DecodeStubSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = Tables.documents(spark, TestSpark.Sf0001).limit(50)
+
+  test("decode fans each asset into exactly FramesPerAsset typed frame rows") {
+    val frames = DecodeStub.decodeFrames(spark,
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media")))
+    val counts = frames.groupBy("doc_id").count().collect()
+    assert(counts.length == 50)
+    assert(counts.forall(_.getLong(1) == DecodeStub.FramesPerAsset))
+    val f = frames.head()
+    assert(f.pixels.length == DecodeStub.FrameBytes)
+    assert(f.width * f.height == DecodeStub.FrameBytes)
+  }
+
+  test("decode is deterministic (same input -> byte-identical frames)") {
+    val in = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+    val a = DecodeStub.decodeFrames(spark, in).collect()
+      .map(f => (f.doc_id, f.frame_idx, f.pixels.toSeq)).sortBy(x => (x._1, x._2))
+    val b = DecodeStub.decodeFrames(spark, in).collect()
+      .map(f => (f.doc_id, f.frame_idx, f.pixels.toSeq)).sortBy(x => (x._1, x._2))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("empty payloads decode to zero frames-bytes, not a crash") {
+    import spark.implicits._
+    val in = Seq((1L, Array.empty[Byte])).toDF("doc_id", "media")
+    val out = DecodeStub.decodeFrames(spark, in).collect()
+    assert(out.length == DecodeStub.FramesPerAsset)
+    assert(out.forall(_.pixels.forall(_ == 0)))
+  }
+
+  test("resize preserves doc identity and produces the requested grid") {
+    val f = DecodeStub.decodeFrames(spark,
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))).head()
+    val r = DecodeStub.resize(f, 4, 4)
+    assert(r.pixels.length == 16 && r.doc_id == f.doc_id && r.frame_idx == f.frame_idx)
+  }
+
+  test("feature vectors are fixed-width, L1-normalized, similarity-ready") {
+    val feats = DecodeStub.featureTable(spark, docs).collect()
+    assert(feats.length == 50 * DecodeStub.FramesPerAsset)
+    feats.foreach { r =>
+      val v = r.getSeq[Float](2)
+      assert(v.length == 16)
+      assert(math.abs(v.map(_.toDouble).sum - 1.0) < 1e-5)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.queries.Registry
+
+/** Stream == batch equivalence on the same files, and exactly-once file
+  * tracking across restarts (the reference's used_input_files semantics,
+  * tanimoto.py:17-68, re-expressed as the file-source checkpoint).
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  private def stageEvents(dir: Path, from: String = TestSpark.Sf0001): Unit =
+    Files.copy(Paths.get(s"$from/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+  test("streaming tumbling-window agg equals the oracle-checked batch query e1") {
+    val in = tmpDir("stream_in"); stageEvents(in)
+    val ckpt = tmpDir("stream_ckpt")
+    EventsStream.drainToMemory(
+      EventsStream.tumblingAgg(EventsStream.readEvents(spark, in.toString)),
+      "t_tumbling", ckpt.toString)
+    val streamed = spark.table("t_tumbling")
+      .orderBy("win_start", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batch = Registry.queries("e1_tumbling_window")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("streaming session windows equal the batch lag+running-sum sessionization e3") {
+    val in = tmpDir("sess_in"); stageEvents(in)
+    val ckpt = tmpDir("sess_ckpt")
+    EventsStream.drainToMemory(
+      EventsStream.sessionAgg(EventsStream.readEvents(spark, in.toString)),
+      "t_sessions", ckpt.toString)
+    val streamed = spark.table("t_sessions")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Registry.queries("e3_session_window")(spark, TestSpark.Sf0001)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("mapGroupsWithState running totals equal batch groupBy on drain") {
+    val in = tmpDir("state_in"); stageEvents(in)
+    val ckpt = tmpDir("state_ckpt")
+    EventsStream.drainToMemory(
+      EventsStream.runningUserTotals(spark,
+        EventsStream.readEvents(spark, in.toString)),
+      "t_totals", ckpt.toString, OutputMode.Update())
+    // Update-mode memory sink may hold one row per state update; the
+    // LAST row per user is the final state.
+    val streamed = spark.table("t_totals")
+      .groupBy("user_id").agg(max("n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.Tables.events(spark, TestSpark.Sf0001)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
+  test("I1: checkpoint makes file ingestion exactly-once across restarts") {
+    val in = tmpDir("inc_in"); val ckpt = tmpDir("inc_ckpt")
+    val sink = tmpDir("inc_sink")
+    stageEvents(in)
+    val passthrough = (d: String) =>
+      EventsStream.readEvents(spark, d).select("event_id")
+    def sinkCount(): Long = spark.read.parquet(sink.toString).count()
+
+    EventsStream.drainToParquet(passthrough(in.toString), sink.toString, ckpt.toString)
+    val n1 = sinkCount()
+    val expected1 = graft.Tables.events(spark, TestSpark.Sf0001).count()
+    assert(n1 == expected1)
+
+    // Restart with the same checkpoint, no new files: nothing reprocessed.
+    EventsStream.drainToParquet(passthrough(in.toString), sink.toString, ckpt.toString)
+    assert(sinkCount() == n1)
+
+    // A new file arrives: only its rows are appended.
+    Files.copy(Paths.get(s"${TestSpark.Sf001}/events.parquet"),
+      in.resolve("events2.parquet"))
+    EventsStream.drainToParquet(passthrough(in.toString), sink.toString, ckpt.toString)
+    val expected2 = graft.Tables.events(spark, TestSpark.Sf001).count()
+    assert(sinkCount() == n1 + expected2)
+  }
+}
