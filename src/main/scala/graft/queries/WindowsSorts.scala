@@ -81,6 +81,31 @@ SELECT o_custkey, o_orderkey, rn,
        THEN ties_total ELSE 0 END AS tie_flag
 FROM c2 WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // W1' — identical semantics to w1_topk_per_group, computed by the
+    // bounded TopKAgg aggregate instead of a window: the shuffle carries
+    // at most k rows per group per map task (see TopKAgg scaladoc). Same
+    // oracle SQL as w1 — the driver's hash-compare proves the two
+    // formulations agree.
+    Q("w1_topk_partial_agg",
+      (s, d) => {
+        val topk = udaf(new graft.functions.TopKAgg(3))
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+          .select(col("o_custkey"), posexplode(col("top")))
+          .select(col("o_custkey"),
+            col("col.id").as("o_orderkey"),
+            col("col.score").as("o_totalprice"),
+            (col("pos") + 1).cast("long").as("rn"))
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders)
+              WHERE rn <= 3 ORDER BY o_custkey, rn""")),
+
     // O1 global sort descending by score (datamart.py:31)
     Q("o1_global_sort",
       (s, d) => Tables.orders(s, d)
