@@ -166,6 +166,34 @@ ORDER BY target_id, source_id""")),
           .orderBy("o_orderkey")
       },
       Some("""SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
-              WHERE o_orderstatus <> 'F' ORDER BY o_orderkey"""))
+              WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""")),
+
+    // J10 salted skew join — the manual technique for a hot join key
+    // when AQE can't see the skew (e.g. the skewed side is an
+    // intermediate). The big side gets a per-row salt from an attribute
+    // that is NOT the join key (here l_linenumber; production: a random
+    // int — deterministic here so the DuckDB oracle stays hash-exact);
+    // the small side is replicated once per salt value. Each hot key's
+    // rows now land in R different shuffle partitions. Result set is
+    // provably identical to the unsalted join — which is exactly what
+    // the oracle (a plain join) checks.
+    Q("j10_salted_skew_join",
+      (s, d) => {
+        val R = 4
+        val big = Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .withColumn("salt", pmod(col("l_linenumber"), lit(R)))
+        val small = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+          .withColumn("salt", explode(array((0 until R).map(lit): _*)))
+        big.join(small,
+            big("l_orderkey") === small("o_orderkey") &&
+              big("salt") === small("salt"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber"""))
   )
 }
