@@ -97,11 +97,13 @@ WHERE rn > 1 ORDER BY dup_id""")),
           .select(col("doc_id"), explode(col("shs")).as("sh"))
           .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
           .persist()
-        val counts = post.groupBy("doc_id").agg(count(lit(1)).as("n"))
-        val minCols = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
-          min((col("h") * a + b) % TextHash.P).as(s"m$i")
+        // One aggregation pass yields the signature AND the set size —
+        // the verification step reads |A| from here instead of a second
+        // groupBy over the postings.
+        val aggCols = count(lit(1)).as("n") +: MinHashAB.zipWithIndex.map {
+          case ((a, b), i) => min((col("h") * a + b) % TextHash.P).as(s"m$i")
         }
-        val sig = post.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+        val sig = post.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
         val bands = sig.select(col("doc_id"),
           explode(array((0 until 4).map { b =>
             struct(lit(b).as("band"),
@@ -120,12 +122,16 @@ WHERE rn > 1 ORDER BY dup_id""")),
           .filter(col("i") < col("j"))
           .distinct()
         // Exact-Jaccard verification by co-occurrence counting over the
-        // postings — candidate pairs only, no array materialization.
-        cand.join(post.select(col("doc_id").as("i"), col("sh")), "i")
+        // postings — candidate pairs only, no array materialization. The
+        // candidate set and per-doc sizes are tiny relative to the
+        // postings: broadcast them so verification adds no shuffle of
+        // the postings side.
+        broadcast(cand)
+          .join(post.select(col("doc_id").as("i"), col("sh")), "i")
           .join(post.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
           .groupBy("i", "j").agg(count(lit(1)).as("common"))
-          .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
-          .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+          .join(broadcast(sig.select(col("doc_id").as("i"), col("n").as("na"))), "i")
+          .join(broadcast(sig.select(col("doc_id").as("j"), col("n").as("nb"))), "j")
           .withColumn("jac", round(col("common").cast("double") /
             (col("na") + col("nb") - col("common")), 6))
           .filter(col("jac") >= 0.5)
