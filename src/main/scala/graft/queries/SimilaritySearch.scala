@@ -126,6 +126,72 @@ p AS (SELECT q.q_id, c.c_id, q.bkt,
                    (q.nrm * c.nrm), 6) AS cos
       FROM q JOIN c ON q.bkt = c.bkt),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
-SELECT q_id, c_id, bkt, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
+SELECT q_id, c_id, bkt, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // IVF-style ANN: coarse quantization to the nearest of a small
+    // deterministic centroid set (every 100th vector — a real build runs
+    // k-means; any fixed centroid set gives the same plan shape), then
+    // candidate generation by shared cell (nprobe=1) and exact re-rank
+    // inside it. The centroid set broadcasts; the big side is scanned
+    // once for assignment and shuffles only by cell id. Recall improves
+    // by probing more cells — cost scales with cells probed, never |N|.
+    Q("simsearch_ivf_bucketed",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        val cents = emb.filter(col("vec_id") % 100 === 10)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        def assign(df: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)
+          df.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
+            .withColumn("rnc", row_number().over(w))
+            .filter(col("rnc") === 1)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("cent_id").as("cell"))
+        }
+        val q = assign(emb.filter(col("vec_id") < 10))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_norm"), col("cell"))
+        val c = assign(emb.filter(col("vec_id") >= 10))
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb2"),
+            col("nrm").as("c_norm"), col("cell"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        c.join(q, Seq("cell"))
+          .withColumn("cos",
+            round(expr("dot_f(q_emb, c_emb2)") / (col("q_norm") * col("c_norm")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), col("cell"), col("cos"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some("""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+cent AS (SELECT vec_id AS cent_id, v AS c_v, nrm AS c_nrm FROM e WHERE vec_id % 100 = 10),
+asg AS (
+  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+    SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                        i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
+             cent.cent_id ASC) AS rnc
+    FROM e CROSS JOIN cent)
+  WHERE rnc = 1),
+q AS (SELECT vec_id AS q_id, v, nrm, cell FROM asg WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, v, nrm, cell FROM asg WHERE vec_id >= 10),
+p AS (SELECT q.q_id, c.c_id, q.cell,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+      FROM q JOIN c ON q.cell = c.cell),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
 }
