@@ -60,6 +60,40 @@ object Dedup {
     (2971L, 1049L), (3517L, 2039L), (4349L, 3259L), (5237L, 4421L),
     (6101L, 5639L), (7013L, 6689L), (7919L, 7127L), (8543L, 8221L))
 
+  /** SimHash near-dup pairs (i < j) within a source block. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    TextHash.register(s)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), expr("simhash32(text)").as("sh"))
+    val a = docs.select(col("doc_id").as("i"), col("source"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("j"), col("source"), col("sh").as("sh_b"))
+    a.join(b, Seq("source")).filter(col("i") < col("j"))
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("i", "j", "hamming")
+  }
+
+  /** DuckDB CTE list computing `pairs` = [[simhashPairs]] (no WITH). */
+  val simhashCtesBody: String = """th AS (SELECT doc_id, source,
+              list_transform(string_split(text, ' '), t ->
+                CASE WHEN length(t) = 0 THEN 0
+                ELSE list_reduce(list_transform(string_split(t, ''),
+                       c -> ascii(c)::BIGINT), (x, y) -> (x * 31 + y) % 1000000007)
+                END) AS hs
+            FROM documents),
+sh AS (SELECT doc_id, source,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN 1 << j ELSE 0 END)) AS BIGINT) AS sh
+       FROM th),
+pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
+                 CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sh, b.sh)) <= 6)"""
+
+  val simhashCtes: String = "WITH " + simhashCtesBody
+
   def qs: Seq[Q] = Seq(
     // Exact dedup: hash group-by on full content; survivor = lowest id,
     // output = (duplicate, canonical) pairs
@@ -166,37 +200,60 @@ ORDER BY i, j"""
     // SimHash near-dup: 32-bit signature, Hamming distance <= 6 within a
     // source block
     Q("dedup_simhash",
+      (s, d) => simhashPairs(s, d).orderBy("i", "j"),
+      Some(simhashCtes + """
+SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
+
+    // Connected components over the near-dup pair graph — the stage that
+    // turns pairwise matches into dedup CLUSTERS (every doc labeled with
+    // the min doc_id reachable through near-dup edges; singletons label
+    // themselves). Iterative min-label propagation: each round is one
+    // join + aggregate, lineage truncated per round with localCheckpoint
+    // (at cluster scale: persist to the cluster checkpoint dir instead;
+    // same loop is expressible on GraphX/pregel, but the DataFrame
+    // formulation keeps it inside Catalyst and the oracle's reach).
+    // Rounds needed = graph diameter, which for dup clusters is tiny.
+    Q("dedup_connected_components",
       (s, d) => {
-        TextHash.register(s)
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), expr("simhash32(text)").as("sh"))
-        val a = docs.select(col("doc_id").as("i"), col("source"), col("sh").as("sh_a"))
-        val b = docs.select(col("doc_id").as("j"), col("source"), col("sh").as("sh_b"))
-        a.join(b, Seq("source")).filter(col("i") < col("j"))
-          .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
-          .filter(col("hamming") <= 6)
-          .select("i", "j", "hamming")
-          .orderBy("i", "j")
+        val edges = simhashPairs(s, d).select("i", "j")
+        val und = edges.select(col("i").as("a"), col("j").as("b"))
+          .union(edges.select(col("j").as("a"), col("i").as("b")))
+          .persist()
+        var labels = Tables.documents(s, d)
+          .select(col("doc_id"), col("doc_id").as("cluster"))
+          .localCheckpoint(true)
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 20) {
+          val nbrMin = und
+            .join(labels.select(col("doc_id").as("b"),
+              col("cluster").as("b_cluster")), Seq("b"))
+            .groupBy("a").agg(min("b_cluster").as("nbr_min"))
+          val next = labels
+            .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")),
+              Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("cluster"),
+                coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+            .localCheckpoint(true)
+          converged = next
+            .join(labels.select(col("doc_id"), col("cluster").as("old")),
+              Seq("doc_id"))
+            .filter(col("cluster") =!= col("old"))
+            .isEmpty
+          labels = next
+          iter += 1
+        }
+        labels.orderBy("doc_id")
       },
-      Some("""
-WITH th AS (SELECT doc_id, source,
-              list_transform(string_split(text, ' '), t ->
-                CASE WHEN length(t) = 0 THEN 0
-                ELSE list_reduce(list_transform(string_split(t, ''),
-                       c -> ascii(c)::BIGINT), (x, y) -> (x * 31 + y) % 1000000007)
-                END) AS hs
-            FROM documents),
-sh AS (SELECT doc_id, source,
-         CAST(list_sum(list_transform(range(0, 32), j ->
-           CASE WHEN list_sum(list_transform(hs,
-                  h -> CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                THEN 1 << j ELSE 0 END)) AS BIGINT) AS sh
-       FROM th)
-SELECT a.doc_id AS i, b.doc_id AS j,
-       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
-FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sh, b.sh)) <= 6
-ORDER BY i, j""")),
+      Some("WITH RECURSIVE " + simhashCtesBody + """,
+und AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j AS a, i AS b FROM pairs),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+)
+SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // Blocked n-gram Jaccard via an inverted shingle index: explode to
     // (doc, shingle) postings, equi-join postings on (source, shingle) to
