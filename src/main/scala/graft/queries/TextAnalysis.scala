@@ -116,6 +116,46 @@ SELECT doc_id,
         len(string_split(text, ' ')), 6) AS mean_tok_len
 FROM documents ORDER BY doc_id""")),
 
+    // Text normalization: casefold, strip non-alphanumerics, collapse
+    // whitespace — the canonical first step before tokenize/shingle/dedup
+    Q("text_normalize",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("normalized",
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")))
+        .select("doc_id", "normalized")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                     trim(regexp_replace(
+                       regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                       ' +', ' ', 'g')) AS normalized
+              FROM documents ORDER BY doc_id""")),
+
+    // Per-language top terms (Zipf head): token counts then windowed
+    // top-5 per lang — corpus vocabulary profiling
+    Q("text_top_terms",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("cnt").desc, col("tok").asc)
+        Tables.documents(s, d)
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("lang"), col("tok"), col("cnt"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("lang", "rn")
+      },
+      Some("""SELECT lang, tok, cnt, rn FROM (
+                SELECT lang, tok, count(*) AS cnt,
+                       row_number() OVER (PARTITION BY lang
+                         ORDER BY count(*) DESC, tok ASC) AS rn
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                GROUP BY lang, tok)
+              WHERE rn <= 5 ORDER BY lang, rn""")),
+
     // Document fingerprinting: full-text rolling hash + min-hash over
     // 3-token shingles (winnowing-style content signature)
     Q("text_fingerprint",
