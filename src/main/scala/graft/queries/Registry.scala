@@ -32,6 +32,7 @@ object Registry {
     TextAnalysis.qs,
     Dedup.qs,
     SimilaritySearch.qs,
+    Embeddings.qs,
     Events.qs,
     Multimodal.qs
   )
