@@ -194,6 +194,45 @@ ORDER BY target_id, source_id""")),
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // J11 bucketed co-located join — both sides written bucketBy the
+    // join key, so the sort-merge join consumes bucket files directly
+    // with NO shuffle exchange on either side (asserted in
+    // BucketedJoinSpec with broadcast disabled). At 100 TB this is the
+    // technique for fact-fact joins repeated across runs: pay the
+    // bucketed write once, skip the join shuffle every time after.
+    Q("j11_bucketed_colocated_join",
+      (s, d) => {
+        // a fresh in-memory catalog doesn't know tables whose warehouse
+        // dirs survive from a previous session — clear both
+        Seq("graft_orders_bucketed", "graft_lineitem_bucketed").foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val wh = s.conf.get("spark.sql.warehouse.dir")
+            .stripPrefix("file:")
+          def del(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles.foreach(del)
+            f.delete()
+          }
+          del(new java.io.File(wh, t))
+        }
+        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .saveAsTable("graft_orders_bucketed")
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .saveAsTable("graft_lineitem_bucketed")
+        s.table("graft_lineitem_bucketed")
+          .join(s.table("graft_orders_bucketed"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               ORDER BY l_orderkey, l_linenumber"""))
   )
 }
