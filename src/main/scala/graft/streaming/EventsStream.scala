@@ -129,4 +129,37 @@ object EventsStream {
       .start()
     q.awaitTermination()
   }
+
+  /** Streaming upsert — the I3 pattern (append-only fact with
+    * dedup-on-ingest, datamart.py:59-80) on a stream: each micro-batch is
+    * anti-joined against the current sink state inside foreachBatch, so
+    * redelivered rows never duplicate. Combined with the file-source
+    * checkpoint this gives end-to-end exactly-once into a plain parquet
+    * fact table, even when the SOURCE redelivers (e.g. a file re-arrives
+    * under a new name).
+    */
+  def drainUpsert(
+      df: DataFrame,
+      keys: Seq[String],
+      outDir: String,
+      checkpoint: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val sinkDir = new java.io.File(outDir)
+        val hasData = sinkDir.exists && Option(sinkDir.listFiles).toSeq.flatten
+          .exists(_.getName.endsWith(".parquet"))
+        val fresh =
+          if (hasData) {
+            val existing = spark.read.parquet(outDir).select(keys.map(col): _*)
+            batch.join(existing, keys, "left_anti")
+          } else batch
+        if (!fresh.isEmpty)
+          fresh.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -69,6 +69,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("I3: foreachBatch upsert dedups redelivered rows (exactly-once fact)") {
+    val in = tmpDir("ups_in"); val sink = tmpDir("ups_sink")
+    stageEvents(in)
+    val read = () => EventsStream.readEvents(spark, in.toString)
+      .select("event_id", "event_type", "value")
+
+    EventsStream.drainUpsert(read(), Seq("event_id"),
+      sink.toString, tmpDir("ups_ckpt1").toString)
+    val n1 = spark.read.parquet(sink.toString).count()
+    assert(n1 == graft.Tables.events(spark, TestSpark.Sf0001).count())
+
+    // the same file redelivered under a NEW name: the file source (fresh
+    // checkpoint) reprocesses it, but the upsert anti-join drops every row
+    Files.copy(Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+      in.resolve("events_redelivered.parquet"))
+    EventsStream.drainUpsert(read(), Seq("event_id"),
+      sink.toString, tmpDir("ups_ckpt2").toString)
+    assert(spark.read.parquet(sink.toString).count() == n1)
+  }
+
   test("I1: checkpoint makes file ingestion exactly-once across restarts") {
     val in = tmpDir("inc_in"); val ckpt = tmpDir("inc_ckpt")
     val sink = tmpDir("inc_sink")
