@@ -24,6 +24,35 @@ object Aggregates {
       (s, d) => Tables.lineitem(s, d).agg(count(lit(1)).as("n_rows")),
       Some("SELECT count(*) AS n_rows FROM lineitem")),
 
+    // The spark.sql(...) entry path: the same engine surface via SQL
+    // text on a registered view (TPC-H Q1 shape — pricing summary).
+    // DECIMAL-cast sums keep the aggregation order-independent so the
+    // hash compare is exact (SURVEY.md §5).
+    Q("sql_pricing_summary",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                 CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_qty,
+                 count(*) AS count_order
+          FROM sql_lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")),
+
     // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
     // so the sum is exact and the avg deterministic across engines
     Q("a2_avg_groupby",
