@@ -65,6 +65,35 @@ ORDER BY l_returnflag, l_linestatus""")),
                      count(*) AS n
               FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // Beyond the reference's ∅-list: PIVOT — docs-per-source breakdown
+    // by language (Spark pivot == conditional-count columns)
+    Q("a9_pivot_counts",
+      (s, d) => Tables.documents(s, d)
+        .groupBy("lang")
+        .pivot("source", Seq("src1", "src2", "src3"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("lang"),
+      Some("""SELECT lang,
+                     count(*) FILTER (source = 'src1') AS src1,
+                     count(*) FILTER (source = 'src2') AS src2,
+                     count(*) FILTER (source = 'src3') AS src3
+              FROM documents GROUP BY lang ORDER BY lang""")),
+
+    // Beyond the reference's ∅-list: ROLLUP — subtotal lattice over
+    // (returnflag, linestatus); NULL markers ordered explicitly so both
+    // engines agree (DuckDB defaults NULLS LAST on ASC, Spark FIRST)
+    Q("a10_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST,
+                       l_linestatus ASC NULLS FIRST""")),
+
     // A4 MIN within the top-k slice: the cutoff score per group
     // (datamart.py:32) — derived from the flagship ranked pairs
     Q("a4_min_in_topk",

@@ -142,6 +142,19 @@ object Filters {
           col("l_LineNumber").as("l_linenumber"))
         .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT L_ORDERKEY AS l_orderkey, l_LineNumber AS l_linenumber
-              FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+              FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // Beyond the reference's ∅-list: LIKE and RLIKE predicates on table
+    // data (the reference only regexes in a scalar transform, F1)
+    Q("p14_like_rlike",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_name").like("%bolt%") ||
+          col("p_name").rlike("^(red|blue) (widget|gear)$"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name FROM part
+              WHERE p_name LIKE '%bolt%'
+                 OR regexp_matches(p_name, '^(red|blue) (widget|gear)$')
+              ORDER BY p_partkey"""))
   )
 }
