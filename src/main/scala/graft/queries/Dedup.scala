@@ -219,7 +219,11 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
         val und = edges.select(col("i").as("a"), col("j").as("b"))
           .union(edges.select(col("j").as("a"), col("i").as("b")))
           .persist()
-        var labels = Tables.documents(s, d)
+        // Only edge-touched docs can change labels; singletons (the vast
+        // majority of a real corpus) skip the loop entirely and are
+        // appended as their own cluster at the end.
+        val inGraph = und.select(col("a").as("doc_id")).distinct()
+        var labels = inGraph
           .select(col("doc_id"), col("doc_id").as("cluster"))
           .localCheckpoint(true)
         var converged = false
@@ -244,7 +248,10 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
           labels = next
           iter += 1
         }
-        labels.orderBy("doc_id")
+        val singletons = Tables.documents(s, d)
+          .join(inGraph, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("cluster"))
+        labels.union(singletons).orderBy("doc_id")
       },
       Some("WITH RECURSIVE " + simhashCtesBody + """,
 und AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j AS a, i AS b FROM pairs),
