@@ -233,6 +233,39 @@ ORDER BY target_id, source_id""")),
       },
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-              ORDER BY l_orderkey, l_linenumber"""))
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // J12 as-of join — an operator Spark lacks natively, composed from
+    // existing ops (union + ordered window with IGNORE NULLS) per the
+    // composition-first preference: for each purchase event, the value
+    // of the user's latest signup at-or-before it. One shuffle on
+    // user_id; no range-explosion, no per-row subquery. The oracle is
+    // DuckDB's NATIVE ASOF JOIN, so the composition is checked against
+    // a first-class implementation.
+    Q("j12_asof_join",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("ts").asc, col("is_purchase").asc, col("event_id").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("purchase", "signup"))
+          .withColumn("is_purchase", (col("event_type") === "purchase").cast("int"))
+          .withColumn("asof_signup_value",
+            last(when(col("event_type") === "signup", col("value")), ignoreNulls = true)
+              .over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value"),
+            col("asof_signup_value"))
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT p.event_id, p.user_id, p.value, s.value AS asof_signup_value
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id"""))
   )
 }
