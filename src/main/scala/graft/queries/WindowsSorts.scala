@@ -106,6 +106,50 @@ FROM c2 WHERE rn <= 3 ORDER BY o_custkey, rn""")),
                 FROM orders)
               WHERE rn <= 3 ORDER BY o_custkey, rn""")),
 
+    // Beyond the reference's ∅-list: moving-frame aggregate — trailing
+    // 4-row average of event values per user (DECIMAL-exact arithmetic)
+    Q("w3_moving_avg",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(-3, 0)
+        Tables.events(s, d)
+          .withColumn("trail_avg",
+            (sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w)))
+          .select(col("event_id"), col("user_id"), col("value"),
+            round(col("trail_avg"), 6).as("trail_avg"))
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id, value,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS trail_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""")),
+
+    // Beyond the reference's ∅-list: lag/lead — per-user deltas between
+    // consecutive event values and the next event's type
+    Q("w4_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("delta", round(col("value") - lag("value", 1).over(w), 6))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .select("event_id", "user_id", "delta", "next_type")
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id,
+       round(value - lag(value, 1) OVER w, 6) AS delta,
+       lead(event_type, 1) OVER w AS next_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+ORDER BY event_id""")),
+
     // O1 global sort descending by score (datamart.py:31)
     Q("o1_global_sort",
       (s, d) => Tables.orders(s, d)
