@@ -231,6 +231,24 @@ ORDER BY event_id""")),
               EXCEPT
               SELECT l_partkey FROM lineitem
               WHERE l_shipdate < TIMESTAMP '1996-01-01'
+              ORDER BY id""")),
+
+    // Beyond the reference's ∅-list: INTERSECT — parts shipped in BOTH
+    // halves of the time range
+    Q("u5_intersect",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_shipdate") < "1996-01-01")
+          .select(col("l_partkey").as("id"))
+          .intersect(li.filter(col("l_shipdate") >= "1996-01-01")
+            .select(col("l_partkey").as("id")))
+          .orderBy("id")
+      },
+      Some("""SELECT l_partkey AS id FROM lineitem
+              WHERE l_shipdate < TIMESTAMP '1996-01-01'
+              INTERSECT
+              SELECT l_partkey FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               ORDER BY id"""))
   )
 }
