@@ -94,6 +94,32 @@ ORDER BY l_returnflag, l_linestatus""")),
               ORDER BY l_returnflag ASC NULLS FIRST,
                        l_linestatus ASC NULLS FIRST""")),
 
+    // Beyond the ∅-list: population variance — normally hash-unsafe
+    // (float sum order varies across engines), made exact by DECIMAL
+    // sums: values are 2dp, squares exact at 4dp, so sum and sum-of-
+    // squares are order-independent integers scaled by 10^-4
+    Q("a11_decimal_variance",
+      (s, d) => {
+        val v = col("value").cast("decimal(18,2)")
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(v).cast("double").as("s"),
+            sum((v * v).cast("decimal(28,4)")).cast("double").as("ss"))
+          .select(col("event_type"), col("n"),
+            round((col("ss") - col("s") * col("s") / col("n")) / col("n"), 4)
+              .as("var_pop"))
+          .orderBy("event_type")
+      },
+      Some("""
+SELECT event_type, n, round((ss - s * s / n) / n, 4) AS var_pop
+FROM (SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+                           CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE) AS ss
+      FROM events GROUP BY event_type)
+ORDER BY event_type""")),
+
     // A4 MIN within the top-k slice: the cutoff score per group
     // (datamart.py:32) — derived from the flagship ranked pairs
     Q("a4_min_in_topk",
