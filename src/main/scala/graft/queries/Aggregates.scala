@@ -94,6 +94,18 @@ ORDER BY l_returnflag, l_linestatus""")),
               ORDER BY l_returnflag ASC NULLS FIRST,
                        l_linestatus ASC NULLS FIRST""")),
 
+    // Beyond the reference's ∅-list: CUBE — the full grouping lattice
+    Q("a12_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+              FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+              ORDER BY o_orderstatus ASC NULLS FIRST,
+                       o_orderpriority ASC NULLS FIRST""")),
+
     // Beyond the ∅-list: population variance — normally hash-unsafe
     // (float sum order varies across engines), made exact by DECIMAL
     // sums: values are 2dp, squares exact at 4dp, so sum and sum-of-
