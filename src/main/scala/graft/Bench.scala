@@ -1,9 +1,23 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point: times every registered query on
+  * SPARK_GRAFT_SF_DIR and emits ONE machine-parseable JSON line.
+  *
+  * The JSON is printed to stdout AND written to `bench.json` in the
+  * working directory (override with SPARK_GRAFT_BENCH_OUT), so a harness
+  * that truncates stdout can still parse the totals. A query that throws
+  * is reported with time -1 and listed under "errors" — never silently
+  * timed as if it succeeded.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,19 +31,28 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
       val dt = (System.nanoTime() - t0) / 1e9
       // isolate queries: drop persisted blocks a query left behind so the
       // next one isn't taxed by eviction/GC of foreign cache
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val succeeded = results.values.filter(_ >= 0)
+    val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
+    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // First line of output AND a file: survives stdout truncation either way.
+    println(line)
+    Files.write(Paths.get(outPath), line.getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -16,11 +16,38 @@ import graft.functions.{TextHash, VectorExpressions}
   *    side), band keys exploded, candidates from an equi-join on band
   *    key (shuffle proportional to candidates, never O(N^2)), then exact
   *    verification only on candidates;
-  *  - blocked Jaccard / SimHash bound pair generation by a blocking key;
-  *  - embedding near-dup at scale rides the same LSH bucketing as
-  *    SimilaritySearch (sign-random-projection).
+  *  - hot shingles are cut by document frequency ([[DfCap]]) BEFORE any
+  *    pair join: a boilerplate shingle shared by B docs would otherwise
+  *    contribute B² candidate rows on its own while carrying no dedup
+  *    signal. The hot set itself is tiny by construction (only shingles
+  *    above the cap), so the cut is a broadcast anti-join — no extra
+  *    shuffle of the postings;
+  *  - SimHash blocks on (source, signature band): 32 bits in 7 bands
+  *    guarantees (pigeonhole) that any pair within Hamming 6 agrees on
+  *    a full band, so recall is exactly 1.0 while block size is bounded
+  *    by signature locality instead of corpus-per-source;
+  *  - embedding near-dup uses multi-band sign-random-projection buckets
+  *    (equi-join on bucket id, union over bands for recall, exact
+  *    re-rank on candidates only) — the all-pairs kernel survives only
+  *    as the tiny-N exactness baseline.
   */
 object Dedup {
+
+  /** Stop-shingle document-frequency cap: postings whose shingle occurs
+    * in more than this many documents (within the blocking scope) are
+    * dropped before pair generation. At a fixed near-dup threshold this
+    * only removes pairs whose overlap was boilerplate — and it is the
+    * difference between candidate counts bounded by df·cap and a
+    * quadratic blow-up on one hot shingle (asserted in DedupSpec).
+    */
+  val DfCap = 50
+
+  /** Bands for embedding LSH dedup; planes per band =
+    * SimilaritySearch.BandPlanes. More planes → smaller buckets and
+    * lower per-band recall; more bands → recall back up. At 1000×, grow
+    * planes with log(N) to hold bucket population constant.
+    */
+  val EmbBands = 6
 
   /** Documents with a materialized shingle-set column (see
     * TextHash.shingleSet for why this is a UDF, not a `transform` HOF).
@@ -60,14 +87,40 @@ object Dedup {
     (2971L, 1049L), (3517L, 2039L), (4349L, 3259L), (5237L, 4421L),
     (6101L, 5639L), (7013L, 6689L), (7919L, 7127L), (8543L, 8221L))
 
-  /** SimHash near-dup pairs (i < j) within a source block. */
+  /** 32-bit SimHash signature split into 7 (offset, width) bands. Any
+    * two signatures within Hamming distance 6 differ in at most 6 bands,
+    * so at least one of the 7 is bit-identical — banded blocking loses
+    * NO pair under the ≤6 threshold (pigeonhole; asserted in DedupSpec).
+    */
+  val SimHashBands: Seq[(Int, Int)] =
+    Seq((0, 5), (5, 5), (10, 5), (15, 5), (20, 4), (24, 4), (28, 4))
+
+  /** SimHash near-dup pairs (i < j) within a source block.
+    *
+    * Candidates come from an equi-join on (source, band index, band
+    * bits) — block population is bounded by how many docs share 4–5
+    * exact signature bits, not by corpus-per-source — then the exact
+    * Hamming filter keeps ≤6. Output identical to the all-pairs
+    * formulation (see [[SimHashBands]]), which is what the unchanged
+    * blocked-self-join oracle checks.
+    */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     TextHash.register(s)
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"), expr("simhash32(text)").as("sh"))
-    val a = docs.select(col("doc_id").as("i"), col("source"), col("sh").as("sh_a"))
-    val b = docs.select(col("doc_id").as("j"), col("source"), col("sh").as("sh_b"))
-    a.join(b, Seq("source")).filter(col("i") < col("j"))
+    val banded = docs.select(col("doc_id"), col("source"), col("sh"),
+      explode(array(SimHashBands.zipWithIndex.map { case ((off, w), bi) =>
+        struct(lit(bi).as("band"),
+          shiftright(col("sh"), off).bitwiseAND(lit(((1L << w) - 1))).as("bval"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("source"), col("sh"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val a = banded.select(col("doc_id").as("i"), col("source"),
+      col("sh").as("sh_a"), col("band"), col("bval"))
+    val b = banded.select(col("doc_id").as("j"), col("source"),
+      col("sh").as("sh_b"), col("band"), col("bval"))
+    a.join(b, Seq("source", "band", "bval")).filter(col("i") < col("j"))
+      .select("i", "j", "sh_a", "sh_b").distinct()
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
       .filter(col("hamming") <= 6)
       .select("i", "j", "hamming")
@@ -94,6 +147,33 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
 
   val simhashCtes: String = "WITH " + simhashCtesBody
 
+  /** Blocked n-gram Jaccard over an inverted shingle index with the
+    * [[DfCap]] stop-shingle cut. `docs` must carry (doc_id, source,
+    * shs). |A∩B| is counted from df-capped postings while |A| and |B|
+    * stay full-set sizes, so the score is a conservative lower bound:
+    * boilerplate overlap is never credited toward near-dup status.
+    * Exposed for DedupSpec's skew fixture.
+    */
+  def jaccardPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+    val counts = docs.select(col("doc_id"), size(col("shs")).as("n"))
+    val post = docs.select(col("doc_id"), col("source"),
+      explode(col("shs")).as("sh"))
+    val hot = post.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select("source", "sh")
+    val fp = post.join(broadcast(hot), Seq("source", "sh"), "left_anti")
+    fp.select(col("doc_id").as("i"), col("source"), col("sh"))
+      .join(fp.select(col("doc_id").as("j"), col("source"), col("sh")),
+        Seq("source", "sh"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+      .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jac") >= threshold)
+      .select("i", "j", "jac")
+  }
+
   def qs: Seq[Q] = Seq(
     // Exact dedup: hash group-by on full content; survivor = lowest id,
     // output = (duplicate, canonical) pairs
@@ -119,7 +199,10 @@ WHERE rn > 1 ORDER BY dup_id""")),
 
     // MinHash + LSH near-dup: global, no O(N^2) pair generation —
     // candidates only from shared LSH band keys, then exact-Jaccard
-    // verification of candidates
+    // verification of candidates. Shingles above the global DfCap are
+    // cut before signatures AND verification (both engines), so one
+    // boilerplate shingle can neither widen LSH buckets nor dominate
+    // the co-occurrence join.
     Q("dedup_minhash_lsh",
       (s, d) => {
         TextHash.register(s)
@@ -127,8 +210,11 @@ WHERE rn > 1 ORDER BY dup_id""")),
         // signature pipeline, the candidate verification, and the per-doc
         // set sizes all derive from it. Tiny relative to the corpus (one
         // row per distinct shingle occurrence).
-        val post = docShingles(s, d)
+        val rawPost = docShingles(s, d)
           .select(col("doc_id"), explode(col("shs")).as("sh"))
+        val hot = rawPost.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > DfCap).select("sh")
+        val post = rawPost.join(broadcast(hot), Seq("sh"), "left_anti")
           .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
           .persist()
         // One aggregation pass yields the signature AND the set size —
@@ -181,8 +267,13 @@ WHERE rn > 1 ORDER BY dup_id""")),
           s"SELECT doc_id, $b AS band, m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR AS key FROM sig"
         }.mkString("\nUNION ALL\n")
         s"""
-WITH d AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents),
-hs AS (SELECT doc_id, $h AS h FROM (SELECT doc_id, unnest(shs) AS sh FROM d)),
+WITH d0 AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents),
+p0 AS (SELECT doc_id, unnest(shs) AS sh FROM d0),
+dfreq AS (SELECT sh, count(*) AS df FROM p0 GROUP BY sh),
+p AS (SELECT doc_id, p0.sh AS sh FROM p0 JOIN dfreq ON p0.sh = dfreq.sh
+      WHERE dfreq.df <= $DfCap),
+d AS (SELECT doc_id, list(sh) AS shs FROM p GROUP BY doc_id),
+hs AS (SELECT doc_id, $h AS h FROM p),
 sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
 bands AS ($bandSelects),
 cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
@@ -198,7 +289,8 @@ ORDER BY i, j"""
       }),
 
     // SimHash near-dup: 32-bit signature, Hamming distance <= 6 within a
-    // source block
+    // source block — banded candidate generation, all-pairs oracle
+    // (identical result sets by the pigeonhole argument on SimHashBands)
     Q("dedup_simhash",
       (s, d) => simhashPairs(s, d).orderBy("i", "j"),
       Some(simhashCtes + """
@@ -208,13 +300,19 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
     // turns pairwise matches into dedup CLUSTERS (every doc labeled with
     // the min doc_id reachable through near-dup edges; singletons label
     // themselves). Iterative min-label propagation: each round is one
-    // join + aggregate, lineage truncated per round with localCheckpoint
-    // (at cluster scale: persist to the cluster checkpoint dir instead;
-    // same loop is expressible on GraphX/pregel, but the DataFrame
-    // formulation keeps it inside Catalyst and the oracle's reach).
-    // Rounds needed = graph diameter, which for dup clusters is tiny.
+    // join + aggregate, lineage truncated per round. With
+    // spark.graft.checkpointDir set, rounds checkpoint RELIABLY (HDFS/
+    // object store) — the cluster-scale mode, where a lost executor
+    // must not replay the whole loop; locally the default is
+    // executor-memory localCheckpoint. Rounds needed = graph diameter,
+    // which for dup clusters is tiny — but a non-converged exit is an
+    // ERROR, never a silent wrong answer.
     Q("dedup_connected_components",
       (s, d) => {
+        val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+        ckDir.foreach(s.sparkContext.setCheckpointDir)
+        def truncate(df: DataFrame): DataFrame =
+          if (ckDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
         val edges = simhashPairs(s, d).select("i", "j")
         val und = edges.select(col("i").as("a"), col("j").as("b"))
           .union(edges.select(col("j").as("a"), col("i").as("b")))
@@ -223,23 +321,22 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
         // majority of a real corpus) skip the loop entirely and are
         // appended as their own cluster at the end.
         val inGraph = und.select(col("a").as("doc_id")).distinct()
-        var labels = inGraph
-          .select(col("doc_id"), col("doc_id").as("cluster"))
-          .localCheckpoint(true)
+        var labels = truncate(inGraph
+          .select(col("doc_id"), col("doc_id").as("cluster")))
         var converged = false
         var iter = 0
-        while (!converged && iter < 20) {
+        val maxIters = 50
+        while (!converged && iter < maxIters) {
           val nbrMin = und
             .join(labels.select(col("doc_id").as("b"),
               col("cluster").as("b_cluster")), Seq("b"))
             .groupBy("a").agg(min("b_cluster").as("nbr_min"))
-          val next = labels
+          val next = truncate(labels
             .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")),
               Seq("doc_id"), "left")
             .select(col("doc_id"),
               least(col("cluster"),
-                coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-            .localCheckpoint(true)
+                coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
           converged = next
             .join(labels.select(col("doc_id"), col("cluster").as("old")),
               Seq("doc_id"))
@@ -248,6 +345,9 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
           labels = next
           iter += 1
         }
+        if (!converged) throw new IllegalStateException(
+          s"connected components did not converge within $maxIters rounds " +
+            "— component diameter exceeds the cap; raise maxIters")
         val singletons = Tables.documents(s, d)
           .join(inGraph, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("doc_id").as("cluster"))
@@ -263,43 +363,97 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // Blocked n-gram Jaccard via an inverted shingle index: explode to
-    // (doc, shingle) postings, equi-join postings on (source, shingle) to
-    // count |A∩B| per pair, then |A∪B| = |A|+|B|-|A∩B|. Only pairs that
-    // actually share a shingle are ever materialized — never the O(B²)
-    // block cross product with per-pair array intersection. Same
-    // arithmetic as the set formulation, so the oracle is unchanged.
+    // (doc, shingle) postings, cut hot shingles (df > DfCap within the
+    // source block), equi-join postings on (source, shingle) to count
+    // |A∩B| per pair, then |A∪B| = |A|+|B|-|A∩B|. Only pairs that
+    // actually share an UNCAPPED shingle are ever materialized — never
+    // the O(B²) block cross product, and never df² rows from one
+    // stop-shingle. The oracle applies the identical df cut.
     Q("dedup_ngram_jaccard",
-      (s, d) => {
-        val docs = docShingles(s, d)
-        val counts = docs.select(col("doc_id"), size(col("shs")).as("n"))
-        val post = docs.select(col("doc_id"), col("source"),
-          explode(col("shs")).as("sh"))
-        post.select(col("doc_id").as("i"), col("source"), col("sh"))
-          .join(post.select(col("doc_id").as("j"), col("source"), col("sh")),
-            Seq("source", "sh"))
-          .filter(col("i") < col("j"))
-          .groupBy("i", "j").agg(count(lit(1)).as("common"))
-          .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
-          .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
-          .withColumn("jac", round(col("common").cast("double") /
-            (col("na") + col("nb") - col("common")), 6))
-          .filter(col("jac") >= 0.5)
-          .select("i", "j", "jac")
-          .orderBy("i", "j")
-      },
+      (s, d) => jaccardPairs(docShingles(s, d), DfCap, 0.5).orderBy("i", "j"),
       Some(s"""
-WITH d AS (SELECT doc_id, source, ${sqlShingles("text")} AS shs FROM documents)
-SELECT a.doc_id AS i, b.doc_id AS j,
-       round(len(list_intersect(a.shs, b.shs))::DOUBLE /
-             len(list_distinct(a.shs || b.shs)), 6) AS jac
-FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
-WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
-            len(list_distinct(a.shs || b.shs)), 6) >= 0.5
+WITH d AS (SELECT doc_id, source, ${sqlShingles("text")} AS shs FROM documents),
+counts AS (SELECT doc_id, len(shs) AS n FROM d),
+post AS (SELECT doc_id, source, unnest(shs) AS sh FROM d),
+dfreq AS (SELECT source, sh, count(*) AS df FROM post GROUP BY source, sh),
+fp AS (SELECT p.doc_id, p.source, p.sh FROM post p
+       JOIN dfreq ON p.source = dfreq.source AND p.sh = dfreq.sh
+       WHERE dfreq.df <= $DfCap),
+common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+           FROM fp a JOIN fp b
+             ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT i, j,
+       round(common::DOUBLE / (na.n + nb.n - common), 6) AS jac
+FROM common JOIN counts na ON common.i = na.doc_id
+            JOIN counts nb ON common.j = nb.doc_id
+WHERE round(common::DOUBLE / (na.n + nb.n - common), 6) >= 0.5
 ORDER BY i, j""")),
 
-    // Embedding-cosine near-dup: exact pairwise over the native kernel;
-    // at 100 TB this becomes LSH-bucketed (see simsearch_lsh_bucketed)
+    // Embedding-cosine near-dup, the 100 TB shape: multi-band
+    // sign-random-projection buckets (EmbBands bands ×
+    // SimilaritySearch.BandPlanes planes), candidates from an equi-join
+    // on (band, bucket) unioned across bands, exact cosine re-rank on
+    // candidates only. Shuffle is proportional to bucket collisions,
+    // never N². Recall < 1 by LSH design; the oracle runs the identical
+    // bucket arithmetic, so the output is deterministic and
+    // hash-checkable. The exactness baseline below bounds what banding
+    // can miss.
     Q("dedup_embedding_cosine",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        val banded = emb.select(col("vec_id"),
+          explode(array((0 until EmbBands).map { bnd =>
+            struct(lit(bnd).as("band"),
+              SimilaritySearch.bandBucket(col("embedding"), bnd).as("bkt"))
+          }: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+        val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
+          .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
+            Seq("band", "bkt"))
+          .filter(col("i") < col("j"))
+          .select("i", "j").distinct()
+        cand
+          .join(emb.select(col("vec_id").as("i"), col("embedding").as("e_a"),
+            col("nrm").as("n_a")), "i")
+          .join(emb.select(col("vec_id").as("j"), col("embedding").as("e_b"),
+            col("nrm").as("n_b")), "j")
+          .withColumn("cos",
+            round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
+          .filter(col("cos") >= 0.4)
+          .select("i", "j", "cos")
+          .orderBy("i", "j")
+      },
+      Some {
+        val bandSelects = (0 until EmbBands).map { bnd =>
+          s"SELECT vec_id, $bnd AS band, ${SimilaritySearch.sqlBandBucket("v", bnd)} AS bkt FROM e"
+        }.mkString("\nUNION ALL\n")
+        s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e0),
+b AS ($bandSelects),
+cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         FROM b x JOIN b y
+           ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+SELECT i, j,
+       round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
+             (a.nrm * c.nrm), 6) AS cos
+FROM cand JOIN e a ON cand.i = a.vec_id JOIN e c ON cand.j = c.vec_id
+WHERE round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
+            (a.nrm * c.nrm), 6) >= 0.4
+ORDER BY i, j"""
+      }),
+
+    // Exact pairwise embedding near-dup — the tiny-N exactness baseline
+    // the bucketed operator is measured against (DedupSpec asserts the
+    // bucketed output is a subset of this at the same threshold). Keep
+    // for small candidate sets only: O(N²) in the embedding count.
+    Q("dedup_embedding_cosine_exact",
       (s, d) => {
         VectorExpressions.register(s)
         val emb = Tables.embeddings(s, d)

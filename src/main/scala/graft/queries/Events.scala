@@ -95,8 +95,8 @@ WITH x AS (
                    OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
   FROM x
 ), g AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
   FROM f
 )
 SELECT user_id, sess_id,

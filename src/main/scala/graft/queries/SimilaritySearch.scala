@@ -50,6 +50,52 @@ object SimilaritySearch {
           THEN ${1L << j} ELSE 0 END"""
     }.mkString("(", " + ", ")")
 
+  /** Planes per band for the multi-band family below. */
+  val BandPlanes = 4
+
+  /** Deterministic ±1 hyperplane sign for (band, plane, dim).
+    *
+    * Unlike [[signExpr]] (whose parity of a linear form makes planes
+    * with the same parity collinear), this squares a per-(band, plane,
+    * dim) integer before reducing mod 2, so every (band, plane) pair is
+    * a genuinely distinct hyperplane — required for multi-band LSH,
+    * where recall comes from bands being independent. All arithmetic is
+    * exact 64-bit integer (max value ~4e16, well inside BIGINT), so the
+    * DuckDB twin reproduces it bit-for-bit.
+    */
+  private def bandSign(band: Int, plane: Int, dim: Column): Column = {
+    val h = lit((band * 101 + plane).toLong * 1000003L) + dim.cast("long") + lit(1L)
+    when(pmod(h * h, lit(1013L)) % 2 === 0, lit(-1.0)).otherwise(lit(1.0))
+  }
+
+  /** Sign-random-projection bucket id for one band of a multi-band LSH
+    * family: [[BandPlanes]] independent hyperplanes per band, bands made
+    * independent by the band index entering the plane hash. A pair of
+    * vectors collides when SOME band agrees on all its planes — the
+    * union over bands is what buys recall without widening any single
+    * band's buckets.
+    */
+  def bandBucket(v: Column, band: Int): Column = {
+    val dv = v.cast("array<double>")
+    (0 until BandPlanes).map { j =>
+      val proj = aggregate(
+        zip_with(dv, sequence(lit(0), size(dv) - 1),
+          (x, i) => x * bandSign(band, j, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[bandBucket]] (1-based i, so dim+1 == i). */
+  def sqlBandBucket(v: String, band: Int): String =
+    (0 until BandPlanes).map { j =>
+      val base = (band * 101 + j).toLong * 1000003L
+      s"""CASE WHEN list_sum(list_transform(range(1, len($v)+1),
+            i -> $v[i] * (CASE WHEN ((($base + i) * ($base + i)) % 1013) % 2 = 0
+                          THEN -1.0 ELSE 1.0 END))) > 0
+          THEN ${1L << j} ELSE 0 END"""
+    }.mkString("(", " + ", ")")
+
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-k: exact kNN baseline
     Q("simsearch_bruteforce_topk",

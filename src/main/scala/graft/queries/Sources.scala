@@ -164,7 +164,8 @@ object Sources {
                  FROM k6_documents GROUP BY lang""")
         s.table("k6_lang_counts").orderBy("lang")
       },
-      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      Some("""SELECT lang, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
     // M1 table-existence probe (db_interact.py:99-113)
