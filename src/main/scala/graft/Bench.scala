@@ -33,15 +33,22 @@ object Bench {
       else SparkEntry.queries.filter(kv => args.contains(kv._1))
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop persisted blocks a query left behind so the
-      // next one isn't taxed by eviction/GC of foreign cache
-      spark.catalog.clearCache()
-      name -> (if (ok) dt else -1.0)
+      // min of 2 timed runs: one noisy measurement on a loaded machine
+      // cannot fabricate a regression. A query that throws is reported
+      // once with time -1; the second run is skipped.
+      def once(): Option[Double] = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // isolate runs: drop persisted blocks a query left behind so the
+        // next one isn't taxed by eviction/GC of foreign cache
+        spark.catalog.clearCache()
+        if (ok) Some(dt) else None
+      }
+      val t = once().flatMap(t1 => once().map(t2 => math.min(t1, t2)))
+      name -> t.getOrElse(-1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

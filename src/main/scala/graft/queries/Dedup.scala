@@ -331,18 +331,19 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
             .join(labels.select(col("doc_id").as("b"),
               col("cluster").as("b_cluster")), Seq("b"))
             .groupBy("a").agg(min("b_cluster").as("nbr_min"))
-          val next = truncate(labels
+          // One heavy job per round: the label join carries BOTH the old
+          // and the new cluster through the (eager) checkpoint, so the
+          // convergence check below is a trivial scan of the
+          // already-materialized round output — no second join, no
+          // recomputation of the propagation.
+          val step = truncate(labels
             .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")),
               Seq("doc_id"), "left")
-            .select(col("doc_id"),
+            .select(col("doc_id"), col("cluster").as("old"),
               least(col("cluster"),
                 coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
-          converged = next
-            .join(labels.select(col("doc_id"), col("cluster").as("old")),
-              Seq("doc_id"))
-            .filter(col("cluster") =!= col("old"))
-            .isEmpty
-          labels = next
+          converged = step.filter(col("cluster") =!= col("old")).isEmpty
+          labels = step.select("doc_id", "cluster")
           iter += 1
         }
         if (!converged) throw new IllegalStateException(

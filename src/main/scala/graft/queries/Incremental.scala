@@ -61,10 +61,15 @@ object Incremental {
 
     // I3 append-only fact with dedup-on-ingest (datamart.py:59-80 +
     // db_interact.py:150-166): anti-join new batch against existing
-    // facts, append, and the union reconstructs exactly the full fact set
+    // facts, append, and the union reconstructs exactly the full fact set.
+    // The expensive similarity fact is materialized ONCE (persist):
+    // `existing`, `incoming`, and the final union all read the cached
+    // copy instead of re-deriving the cross join + window stack three
+    // times in one plan (the round-2 scale flaw). Bench/Verify clear the
+    // cache between queries, so the persisted block does not leak.
     Q("i3_upsert_dedup",
       (s, d) => {
-        val full = Views.silverFact(s, d)
+        val full = Views.silverFact(s, d).persist()
         val existing = full.filter(col("target_id") < 100)
         val incoming = full // re-delivery of everything, overlap included
         val fresh = incoming.join(existing.select("target_id", "source_id"),

@@ -204,25 +204,22 @@ ORDER BY target_id, source_id""")),
     // bucketed write once, skip the join shuffle every time after.
     Q("j11_bucketed_colocated_join",
       (s, d) => {
-        // a fresh in-memory catalog doesn't know tables whose warehouse
-        // dirs survive from a previous session — clear both
-        Seq("graft_orders_bucketed", "graft_lineitem_bucketed").foreach { t =>
-          s.sql(s"DROP TABLE IF EXISTS $t")
-          val wh = s.conf.get("spark.sql.warehouse.dir")
-            .stripPrefix("file:")
-          def del(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles.foreach(del)
-            f.delete()
-          }
-          del(new java.io.File(wh, t))
-        }
+        // Catalog-managed cleanup only: DROP the catalog entries, then
+        // recreate as EXTERNAL bucketed tables at a fresh per-invocation
+        // temp path — no filesystem code, and stale warehouse dirs from a
+        // previous session can never collide with the new location.
+        val out = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+        Seq("graft_orders_bucketed", "graft_lineitem_bucketed")
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
         Tables.orders(s, d).select("o_orderkey", "o_totalprice")
           .write.mode("overwrite").format("parquet")
+          .option("path", s"$out/orders")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
           .saveAsTable("graft_orders_bucketed")
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_quantity")
           .write.mode("overwrite").format("parquet")
+          .option("path", s"$out/lineitem")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
           .saveAsTable("graft_lineitem_bucketed")
         s.table("graft_lineitem_bucketed")
