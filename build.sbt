@@ -1,6 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "finalpipelinespark"
+// source files carry UTF-8 string literals (cp1252 CSV fixture, oracle
+// SQL with accented chars) — never depend on the platform charset
+scalacOptions ++= Seq("-encoding", "UTF-8")
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -63,10 +63,90 @@ object Sources {
       },
       Some("SELECT * FROM region ORDER BY r_regionkey")),
 
+    // S4b CSV encoding fallback + bad-line drop — the hard parts of the
+    // reference's CSV ingest (S3_interact.py:88-96): try utf-8 first, on
+    // decode failure retry cp1252, and warn-drop malformed lines. The
+    // fixture carries cp1252 bytes (0xE9/0xEF — invalid UTF-8 lead
+    // sequences) and one row that cannot parse against the schema; the
+    // fallback probe detects the U+FFFD replacement chars a UTF-8 decode
+    // produces and re-reads with windows-1252, and PERMISSIVE mode parks
+    // the malformed row in the corrupt-record column, where it is
+    // dropped (the reference logs-and-drops bad lines).
+    Q("s4b_csv_encoding_fallback",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val out = tmp("csvenc")
+        val bytes = "id,name,val\n1,café,10\n2,naïve,20\nnot_parseable\n"
+          .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/data.csv"), bytes)
+        val schema = StructType(Seq(
+          StructField("id", IntegerType), StructField("name", StringType),
+          StructField("val", IntegerType), StructField("_corrupt", StringType)))
+        // Spark 4 restricts CSV charsets to a safe list by default;
+        // cp1252 (the reference's fallback encoding) needs the legacy
+        // full-JVM-charset switch
+        s.conf.set("spark.sql.legacy.javaCharsets", "true")
+        def read(enc: String) = s.read.schema(schema)
+          .option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .option("encoding", enc).csv(out)
+        val bad = read("UTF-8")
+          .filter(col("name").contains("�")).limit(1).count() > 0
+        val chosen = if (bad) read("windows-1252") else read("UTF-8")
+        chosen.filter(col("_corrupt").isNull)
+          .select("id", "name", "val").orderBy("id")
+      },
+      Some("SELECT * FROM (VALUES (1, 'café', 10), (2, 'naïve', 20)) " +
+        "AS t(id, name, val) ORDER BY id")),
+
     // S5 parquet source (S3_interact.py:98-109)
     Q("s5_parquet_source",
       (s, d) => Tables.part(s, d).orderBy("p_partkey"),
       Some("SELECT * FROM part ORDER BY p_partkey")),
+
+    // S7 true JDBC partitioned source — the reference's core warehouse
+    // I/O is a JDBC database: arbitrary-SELECT scans
+    // (db_interact.py:115-130) and hand-rolled range-chunked extraction
+    // (compute_morgan.py:11-44, `WHERE molregno >= lo AND < hi` in a
+    // loop). Spark's JDBC source does the same range split natively:
+    // partitionColumn/lowerBound/upperBound/numPartitions issues one
+    // bounded query per partition, in parallel. Demonstrated end-to-end
+    // against embedded Derby (ships with the Spark distribution): load
+    // the table over JDBC, read it back 4-way range-partitioned
+    // (JdbcSourceSpec asserts the partitioning), compare to the same
+    // rows from parquet via the oracle.
+    Q("s7_jdbc_partitioned_source",
+      (s, d) => {
+        // keep Derby's derby.log inside a temp dir, not the working dir
+        if (System.getProperty("derby.system.home") == null)
+          System.setProperty("derby.system.home", tmp("derby"))
+        val url = "jdbc:derby:memory:graft_" +
+          java.util.UUID.randomUUID().toString.take(8) + ";create=true"
+        val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+        val src = Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+        src.write.format("jdbc")
+          .option("url", url).option("driver", driver)
+          .option("dbtable", "customer_jdbc")
+          .mode("overwrite").save()
+        val bounds = src.agg(min("c_custkey"), max("c_custkey")).head()
+        s.read.format("jdbc")
+          .option("url", url).option("driver", driver)
+          .option("dbtable", "customer_jdbc")
+          .option("partitionColumn", "c_custkey")
+          .option("lowerBound", bounds.getLong(0))
+          .option("upperBound", bounds.getLong(1) + 1)
+          .option("numPartitions", 4)
+          .load()
+          // strip the JDBC client-type field metadata so the result
+          // schema is identical to the parquet-sourced one
+          .select(src.columns.map(c =>
+            col(c).as(c, org.apache.spark.sql.types.Metadata.empty)): _*)
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+              FROM customer ORDER BY c_custkey""")),
 
     // S6 directory-listing source with glob filter (S3_interact.py:34-38)
     Q("s6_glob_source",
