@@ -19,7 +19,13 @@ object Registry {
     Seq(
       Q("pipeline_topk_tieflag",
         SimilarityPipeline.topkTieFlag,
-        Some(SimilarityPipeline.topkTieFlagSql))
+        Some(SimilarityPipeline.topkTieFlagSql)),
+      // the beyond-broadcast contingency as running code: same top-k +
+      // tie flag, candidates from banded LSH buckets, no cross join
+      Q("pipeline_topk_tieflag_lsh",
+        (s, d) => SimilarityPipeline.tieFlagOverPairs(
+          SimilarityPipeline.lshPairs(s, d)),
+        Some(SimilarityPipeline.topkTieFlagLshSql))
     ),
     Sources.qs,
     Filters.qs,

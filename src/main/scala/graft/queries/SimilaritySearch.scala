@@ -50,8 +50,16 @@ object SimilaritySearch {
           THEN ${1L << j} ELSE 0 END"""
     }.mkString("(", " + ", ")")
 
-  /** Planes per band for the multi-band family below. */
-  val BandPlanes = 4
+  /** Planes per band for the multi-band family below. 3 planes (not 4):
+    * for sign-random-projection LSH the per-plane collision probability
+    * at cosine θ is 1 - θ/π, ≈ 0.63 at the dedup threshold cos ≥ 0.4,
+    * so band recall is 1-(1-p^k)^B — k=4/B=6 gives ≈0.65 (and measured
+    * 56% on sf0.01), while k=3/B=8 gives ≈0.90 at the SAME total
+    * projection cost (24 plane-projections per vector). At 1000×, grow
+    * planes with log(N) to hold bucket population constant and add
+    * bands to restore recall.
+    */
+  val BandPlanes = 3
 
   /** Deterministic ±1 hyperplane sign for (band, plane, dim).
     *
@@ -60,11 +68,18 @@ object SimilaritySearch {
     * dim) integer before reducing mod 2, so every (band, plane) pair is
     * a genuinely distinct hyperplane — required for multi-band LSH,
     * where recall comes from bands being independent. All arithmetic is
-    * exact 64-bit integer (max value ~4e16, well inside BIGINT), so the
-    * DuckDB twin reproduces it bit-for-bit.
+    * exact 64-bit integer: h = (band*101+plane)*1000003 + dim + 1, so
+    * with band ≤ 7, plane ≤ 2 and dim < 1e6, h < 7.1e8 and h*h < 5.1e17
+    * — inside Long (and DuckDB BIGINT), enforced by the require below
+    * for anyone widening the family.
     */
   private def bandSign(band: Int, plane: Int, dim: Column): Column = {
-    val h = lit((band * 101 + plane).toLong * 1000003L) + dim.cast("long") + lit(1L)
+    val base = (band * 101 + plane).toLong * 1000003L
+    // h = base + dim + 1 must square within Long (dim headroom 1e6);
+    // floor(sqrt(Long.MaxValue)) = 3037000499
+    require(base + 1000001L <= 3037000499L,
+      s"bandSign base $base too large: h*h would overflow Long")
+    val h = lit(base) + dim.cast("long") + lit(1L)
     when(pmod(h * h, lit(1013L)) % 2 === 0, lit(-1.0)).otherwise(lit(1.0))
   }
 

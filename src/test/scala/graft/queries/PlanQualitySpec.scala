@@ -53,6 +53,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[target_id""".r.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("flagship LSH variant: candidates from an equi-join on (band, bucket), no cross join") {
+    val p = plan("pipeline_topk_tieflag_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"LSH flagship still cross-joins:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(p.contains("band"), p.take(2000))
+  }
+
   test("I3: the expensive fact is materialized once — no cross join outside one shared cache") {
     val df = Registry.queries("i3_upsert_dedup")(spark, TestSpark.Sf001)
     try {
