@@ -19,9 +19,13 @@ import graft.functions.{TextHash, VectorExpressions}
   *  - hot shingles are cut by document frequency ([[DfCap]]) BEFORE any
   *    pair join: a boilerplate shingle shared by B docs would otherwise
   *    contribute B² candidate rows on its own while carrying no dedup
-  *    signal. The hot set itself is tiny by construction (only shingles
-  *    above the cap), so the cut is a broadcast anti-join — no extra
-  *    shuffle of the postings;
+  *    signal. The cut is a hint-free anti-join (the hot set is bounded
+  *    by postings/DfCap — small in practice but not broadcast-safe by
+  *    construction; AQE picks the strategy), and docs the cut would
+  *    erase entirely are rescued with their full posting set (see
+  *    [[DfCap]]);
+  *  - wide LSH buckets are salted into bounded block pairs before any
+  *    membership list is collected ([[bucketPairs]] / [[SaltCap]]);
   *  - SimHash blocks on (source, signature band): 32 bits in 7 bands
   *    guarantees (pigeonhole) that any pair within Hamming 6 agrees on
   *    a full band, so recall is exactly 1.0 while block size is bounded
@@ -35,12 +39,77 @@ object Dedup {
 
   /** Stop-shingle document-frequency cap: postings whose shingle occurs
     * in more than this many documents (within the blocking scope) are
-    * dropped before pair generation. At a fixed near-dup threshold this
-    * only removes pairs whose overlap was boilerplate — and it is the
-    * difference between candidate counts bounded by df·cap and a
-    * quadratic blow-up on one hot shingle (asserted in DedupSpec).
+    * dropped before pair generation — the difference between candidate
+    * counts bounded by df·cap and a quadratic blow-up on one hot
+    * shingle (asserted in DedupSpec).
+    *
+    * Limitation and its guard: the cut removes pairs whose SHARED
+    * shingles are all boilerplate — intended — but a document
+    * mass-duplicated in > DfCap docs has ALL its shingles above the
+    * cap, which would erase it from the index entirely (exactly the
+    * 1000×-spam content near-dup dedup exists to catch). Both engines
+    * therefore RESCUE such docs: a doc whose capped posting set is
+    * empty keeps its full posting set instead (see dedup_minhash_lsh /
+    * jaccardPairs). Rescued hot shingles only join other rescued docs
+    * (normal docs dropped theirs), so the candidate cost is the rescued
+    * clique itself — which is the true duplicate set being reported.
+    * For corpora with huge exact-dup cliques, run exact dedup first and
+    * feed survivors here.
     */
   val DfCap = 50
+
+  /** Per-bucket membership cap before pair expansion ([[bucketPairs]]):
+    * LSH buckets wider than this are salted into ceil(n/SaltCap) groups
+    * and expanded block-pair-wise, so no single task materializes a
+    * quadratic-in-bucket candidate explosion.
+    */
+  val SaltCap = 1000
+
+  /** Two-level salted expansion of LSH buckets into i<j candidate
+    * pairs. `bands` carries (doc_id, band, key). A bucket of n >
+    * saltCap members is split into G = ceil(n/saltCap) hash-salt
+    * groups and emitted as its G·(G+1)/2 ordered block pairs: each
+    * member replicates into the blocks where its group is the left (L)
+    * or right (R) side, each (band, key, blk_a, blk_b) group collects
+    * ≤ ~2·saltCap members, and per-task pair output is bounded by
+    * ~saltCap² instead of n². Buckets at or under the cap take the
+    * G = 1 single-block path, identical to an unsalted expansion. The
+    * pair SET equals the unsalted one (asserted in DedupSpec): a
+    * same-bucket pair with salt groups (gi, gj) lands in exactly the
+    * block pair (min(gi,gj), max(gi,gj)).
+    */
+  def bucketPairs(bands: DataFrame, saltCap: Int): DataFrame =
+    saltedBlocks(bands, saltCap)
+      .groupBy("band", "key", "blk_a", "blk_b")
+      .agg(
+        collect_list(when(col("side") === "L", col("doc_id"))).as("ls"),
+        collect_list(when(col("side") === "R", col("doc_id"))).as("rs"))
+      .select(explode(col("ls")).as("i"), col("rs"))
+      .select(col("i"), explode(col("rs")).as("j"))
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .distinct()
+
+  /** The salted block replication feeding [[bucketPairs]] — exposed so
+    * DedupSpec can assert the per-block population bound directly.
+    */
+  def saltedBlocks(bands: DataFrame, saltCap: Int): DataFrame = {
+    val sizes = bands.groupBy("band", "key").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > 1) // singleton buckets emit no pairs
+    val sized = bands.join(sizes, Seq("band", "key"))
+      .withColumn("g", ceil(col("bn") / lit(saltCap.toDouble)).cast("int"))
+      .withColumn("grp", pmod(xxhash64(col("doc_id")), col("g")).cast("int"))
+    val left = sized
+      .withColumn("blk_b", explode(sequence(col("grp"), col("g") - 1)))
+      .select(col("band"), col("key"), col("grp").as("blk_a"), col("blk_b"),
+        col("doc_id"), lit("L").as("side"))
+    val right = sized
+      .withColumn("blk_a", explode(sequence(lit(0), col("grp"))))
+      .select(col("band"), col("key"), col("blk_a"), col("grp").as("blk_b"),
+        col("doc_id"), lit("R").as("side"))
+    left.union(right)
+  }
 
   /** Bands for embedding LSH dedup; planes per band =
     * SimilaritySearch.BandPlanes. More planes → smaller buckets and
@@ -162,7 +231,16 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
       explode(col("shs")).as("sh"))
     val hot = post.groupBy("source", "sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("source", "sh")
-    val fp = post.join(broadcast(hot), Seq("source", "sh"), "left_anti")
+    // hint-free: the hot set is bounded by postings/dfCap, not
+    // broadcast-safe at corpus scale — AQE picks the join strategy
+    val kept = post.join(hot, Seq("source", "sh"), "left_anti")
+    // recall-cliff guard (see DfCap doc): docs whose capped posting set
+    // is empty keep their full posting set
+    val rescued = post.join(kept.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    // using-column joins reorder columns — realign before the union
+    val fp = kept.select("doc_id", "source", "sh")
+      .union(rescued.select("doc_id", "source", "sh"))
     fp.select(col("doc_id").as("i"), col("source"), col("sh"))
       .join(fp.select(col("doc_id").as("j"), col("source"), col("sh")),
         Seq("source", "sh"))
@@ -216,7 +294,18 @@ WHERE rn > 1 ORDER BY dup_id""")),
           .select(col("doc_id"), explode(col("shs")).as("sh"))
         val hot = rawPost.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > DfCap).select("sh")
-        val post = rawPost.join(broadcast(hot), Seq("sh"), "left_anti")
+        // The hot set is bounded only by totalPostings/DfCap — billions
+        // of rows at the 100 TB design point, NOT broadcast-safe. The
+        // anti-join stays hint-free so AQE broadcasts it while small
+        // and shuffles it when it isn't.
+        val kept = rawPost.join(hot, Seq("sh"), "left_anti")
+        // Recall-cliff guard (see DfCap doc): docs erased entirely by
+        // the cut keep their full posting set instead.
+        val rescued = rawPost.join(kept.select("doc_id").distinct(),
+          Seq("doc_id"), "left_anti")
+        // using-column joins reorder columns — realign before the union
+        val post = kept.select("doc_id", "sh")
+          .union(rescued.select("doc_id", "sh"))
           .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
           .persist()
         // One aggregation pass yields the signature AND the set size —
@@ -232,17 +321,11 @@ WHERE rn > 1 ORDER BY dup_id""")),
               concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
           }: _*)).as("bk"))
           .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        // Candidates: group each LSH bucket once and emit its i<j pairs —
-        // one shuffle on the band key, no self-join recompute. Bucket
-        // population is bounded by band selectivity (salt wide buckets at
-        // scale before the collect).
-        val cand = bands.groupBy("band", "key")
-          .agg(collect_list("doc_id").as("ids"))
-          .filter(size(col("ids")) > 1)
-          .select(explode(col("ids")).as("i"), col("ids"))
-          .select(col("i"), explode(col("ids")).as("j"))
-          .filter(col("i") < col("j"))
-          .distinct()
+        // Candidates: one shuffle on the band key, with wide buckets
+        // salted into bounded block pairs before any list is collected
+        // ([[bucketPairs]]) — extreme band-key skew can no longer pin
+        // one task on a quadratic expansion.
+        val cand = bucketPairs(bands, SaltCap)
         // Exact-Jaccard verification by co-occurrence counting over the
         // postings — candidate pairs only, no array materialization. The
         // candidate set and per-doc sizes are tiny relative to the
@@ -272,8 +355,11 @@ WHERE rn > 1 ORDER BY dup_id""")),
 WITH d0 AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents),
 p0 AS (SELECT doc_id, unnest(shs) AS sh FROM d0),
 dfreq AS (SELECT sh, count(*) AS df FROM p0 GROUP BY sh),
-p AS (SELECT doc_id, p0.sh AS sh FROM p0 JOIN dfreq ON p0.sh = dfreq.sh
-      WHERE dfreq.df <= $DfCap),
+kept AS (SELECT doc_id, p0.sh AS sh FROM p0 JOIN dfreq ON p0.sh = dfreq.sh
+         WHERE dfreq.df <= $DfCap),
+rescued AS (SELECT doc_id, sh FROM p0
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM kept)),
+p AS (SELECT * FROM kept UNION ALL SELECT * FROM rescued),
 d AS (SELECT doc_id, list(sh) AS shs FROM p GROUP BY doc_id),
 hs AS (SELECT doc_id, $h AS h FROM p),
 sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
@@ -379,9 +465,12 @@ WITH d AS (SELECT doc_id, source, ${sqlShingles("text")} AS shs FROM documents),
 counts AS (SELECT doc_id, len(shs) AS n FROM d),
 post AS (SELECT doc_id, source, unnest(shs) AS sh FROM d),
 dfreq AS (SELECT source, sh, count(*) AS df FROM post GROUP BY source, sh),
-fp AS (SELECT p.doc_id, p.source, p.sh FROM post p
-       JOIN dfreq ON p.source = dfreq.source AND p.sh = dfreq.sh
-       WHERE dfreq.df <= $DfCap),
+fp0 AS (SELECT p.doc_id, p.source, p.sh FROM post p
+        JOIN dfreq ON p.source = dfreq.source AND p.sh = dfreq.sh
+        WHERE dfreq.df <= $DfCap),
+rescued AS (SELECT doc_id, source, sh FROM post
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM fp0)),
+fp AS (SELECT * FROM fp0 UNION ALL SELECT * FROM rescued),
 common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
            FROM fp a JOIN fp b
              ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id

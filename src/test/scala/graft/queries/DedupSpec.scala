@@ -70,4 +70,86 @@ class DedupSpec extends AnyFunSuite {
     assert(out.forall(_.getDouble(2) >= 0.5))
     assert(out.forall(r => r.getLong(0) < r.getLong(1))) // canonical pair order
   }
+
+  test("SimHash banded blocking == all-pairs at Hamming <= 6 (pigeonhole)") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    TextHash.register(s)
+    val docs = graft.Tables.documents(s, TestSpark.Sf0001)
+      .select(col("doc_id"), col("source"), expr("simhash32(text)").as("sh"))
+    val brute = docs.select(col("doc_id").as("i"), col("source"), col("sh").as("sh_a"))
+      .join(docs.select(col("doc_id").as("j"), col("source"), col("sh").as("sh_b")),
+        Seq("source"))
+      .filter(col("i") < col("j"))
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+      .filter(col("hamming") <= 6)
+      .select("i", "j", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Dedup.simhashPairs(s, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
+  }
+
+  test("df-cap cuts boilerplate-only overlap without pairing on it") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    // 12 docs share one boilerplate shingle and carry one unique each:
+    // with dfCap 10 the hot shingle is cut, every doc keeps its unique
+    // shingle (no rescue), and NO pair shares an uncapped shingle
+    val docs = (1 to 12)
+      .map(i => (i.toLong, "srcA", Seq("boilerplate header line", s"unique $i")))
+      .toDF("doc_id", "source", "shs")
+    assert(Dedup.jaccardPairs(docs, 10, 0.1).collect().isEmpty)
+  }
+
+  test("mass-duplicated docs (all shingles hot) are rescued, not silently dropped") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    // 12 identical docs: every shingle has df 12 > cap 10 — the cut
+    // alone would erase them from the index (the recall cliff); the
+    // rescue keeps their full posting sets and reports the full clique
+    val docs = (1 to 12)
+      .map(i => (i.toLong, "srcA", Seq("dup shingle one", "dup shingle two")))
+      .toDF("doc_id", "source", "shs")
+    val pairs = Dedup.jaccardPairs(docs, 10, 0.5).collect()
+    assert(pairs.length == 12 * 11 / 2)
+    assert(pairs.forall(_.getDouble(2) == 1.0))
+  }
+
+  test("salted bucket expansion emits exactly the unsalted pair set, bounded per block") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val n = 40
+    val bands = (1 to n).map(i => (i.toLong, 0, "k")).toDF("doc_id", "band", "key")
+    val saltCap = 7
+    val salted = Dedup.bucketPairs(bands, saltCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unsalted = Dedup.bucketPairs(bands, 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for (i <- 1 to n; j <- i + 1 to n) yield (i.toLong, j.toLong)).toSet
+    assert(unsalted == expected)
+    assert(salted == expected)
+    // the bound the salting buys: no block side ever collects more than
+    // one salt group (~bucket/G docs; 2*saltCap is the designed ceiling)
+    val maxSide = Dedup.saltedBlocks(bands, saltCap)
+      .groupBy("band", "key", "blk_a", "blk_b", "side").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxSide <= 2L * saltCap, s"block side grew to $maxSide")
+  }
+
+  test("bucketed embedding near-dup output is a subset of the exact all-pairs baseline") {
+    val s = TestSpark.spark
+    def pairsOf(name: String) =
+      Registry.queries(name)(s, TestSpark.Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = pairsOf("dedup_embedding_cosine")
+    val exact = pairsOf("dedup_embedding_cosine_exact")
+    assert(bucketed.nonEmpty)
+    assert(bucketed.subsetOf(exact),
+      s"bucketed emitted ${(bucketed -- exact).size} pairs the exact kernel rejects")
+  }
 }
