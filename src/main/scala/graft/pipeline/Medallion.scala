@@ -112,8 +112,13 @@ object Medallion {
     val joined = factNow
       .join(tDim, col("target_id") === col("t_id"))
       .join(sDim, col("source_id") === col("s_id"))
+    // same DECIMAL-sum discipline as the declared view_7a query: sims
+    // are exact 6dp values, so the sum (and thus the average) is
+    // order-independent — a re-run over reshuffled partitions produces
+    // bit-identical view rows
     val v7a = factNow.groupBy("source_id")
-      .agg(avg("sim").as("avg_sim"), count(lit(1)).as("n_pairs"))
+      .agg((sum(col("sim").cast("decimal(10,6)")).cast("double") /
+        count(lit(1))).as("avg_sim"), count(lit(1)).as("n_pairs"))
     val v7b = joined.groupBy("source_id")
       .agg(avg(abs(col("s_attr") - col("t_attr"))).as("avg_attr_diff"))
     val v7b2 = joined

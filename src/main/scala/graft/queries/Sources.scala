@@ -93,7 +93,12 @@ object Sources {
           .option("encoding", enc).csv(out)
         val bad = read("UTF-8")
           .filter(col("name").contains("�")).limit(1).count() > 0
-        val chosen = if (bad) read("windows-1252") else read("UTF-8")
+        // persist the parsed rows before touching _corrupt: Spark
+        // (correctly) refuses plans whose pruned scan schema collapses
+        // to only the internal corrupt-record column, e.g. a count()
+        // over the corrupt-filtered read
+        val chosen =
+          (if (bad) read("windows-1252") else read("UTF-8")).persist()
         chosen.filter(col("_corrupt").isNull)
           .select("id", "name", "val").orderBy("id")
       },

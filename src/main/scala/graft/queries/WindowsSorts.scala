@@ -176,6 +176,19 @@ ORDER BY event_id""")),
         .orderBy(col("source").desc),
       Some("SELECT DISTINCT source FROM documents ORDER BY source DESC")),
 
+    // O4 LIMIT/OFFSET pagination (db_interact.py:181-200 — broken and
+    // unused in the reference; implemented here for inventory
+    // completeness). Pagination over a total order is well-defined;
+    // at cluster scale prefer keyset pagination (WHERE key > last) —
+    // OFFSET still sorts-and-skips the prefix.
+    Q("o4_limit_offset",
+      (s, d) => Tables.customer(s, d)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+        .offset(20).limit(10),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+              ORDER BY c_custkey LIMIT 10 OFFSET 20""")),
+
     // U1 UNION ALL of two disjoint slices (mpp.py:136)
     Q("u1_union_all",
       (s, d) => {
