@@ -36,6 +36,7 @@ object Registry {
     Views.qs,
     Incremental.qs,
     TextAnalysis.qs,
+    Curation.qs,
     Dedup.qs,
     SimilaritySearch.qs,
     Embeddings.qs,
