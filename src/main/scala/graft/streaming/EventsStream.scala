@@ -95,6 +95,19 @@ object EventsStream {
       .toDF("user_id", "n", "total")
   }
 
+  /** Streaming duplicate suppression — the streaming twin of the batch
+    * dedup family (north-star) and of the reference's "skip what was
+    * already ingested" semantics: redeliveries of an event inside the
+    * watermark horizon are dropped exactly once, and the per-key state
+    * is EVICTED once the watermark passes — bounded state, unlike a
+    * global streaming distinct, which is what makes this shape viable
+    * on an unbounded 100 TB/day stream.
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain everything currently available into an in-memory table and
     * stop — the cron-tick batch semantics (I1). Returns the table name.
     */

@@ -113,4 +113,27 @@ class StreamingSpec extends AnyFunSuite {
     val expected2 = graft.Tables.events(spark, TestSpark.Sf001).count()
     assert(sinkCount() == n1 + expected2)
   }
+
+  test("streaming dedup drops within-watermark redeliveries, once per event") {
+    import scala.jdk.CollectionConverters._
+    val in = tmpDir("dedup_in"); stageEvents(in)
+    // redeliver a subset of the same events under a new file name
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventsStream.rawSchema)
+      .parquet(s"$in/events.parquet")
+    val resend = tmpDir("dedup_resend")
+    raw.filter(col("event_id") % 7 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(resend.toString)
+    val part = Files.list(resend).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, in.resolve("redelivered.parquet"))
+    val ckpt = tmpDir("dedup_ckpt")
+    EventsStream.drainToMemory(
+      EventsStream.dedupStream(EventsStream.readEvents(spark, in.toString)),
+      "t_dedup", ckpt.toString, OutputMode.Append())
+    val ids = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length.toLong == raw.count()) // every event exactly once
+    assert(ids.distinct.length == ids.length) // no duplicate survived
+  }
 }
