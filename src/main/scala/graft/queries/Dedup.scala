@@ -254,6 +254,156 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
       .select("i", "j", "jac")
   }
 
+  /** MinHash+LSH verified near-dup pairs (i, j, jac ≥ 0.5), unordered —
+    * the full pipeline: df-capped postings with the mass-dup rescue,
+    * one-pass signatures+sizes, salted band-bucket candidates
+    * ([[bucketPairs]]), exact-Jaccard verification by co-occurrence
+    * counting. Shared by dedup_minhash_lsh and dedup_survivors.
+    */
+  def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+    TextHash.register(s)
+    // Postings (doc, shingle) computed once and persisted: the
+    // signature pipeline, the candidate verification, and the per-doc
+    // set sizes all derive from it. Tiny relative to the corpus (one
+    // row per distinct shingle occurrence).
+    val rawPost = docShingles(s, d)
+      .select(col("doc_id"), explode(col("shs")).as("sh"))
+    val hot = rawPost.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("sh")
+    // The hot set is bounded only by totalPostings/DfCap — billions
+    // of rows at the 100 TB design point, NOT broadcast-safe. The
+    // anti-join stays hint-free so AQE broadcasts it while small
+    // and shuffles it when it isn't.
+    val kept = rawPost.join(hot, Seq("sh"), "left_anti")
+    // Recall-cliff guard (see DfCap doc): docs erased entirely by
+    // the cut keep their full posting set instead.
+    val rescued = rawPost.join(kept.select("doc_id").distinct(),
+      Seq("doc_id"), "left_anti")
+    // using-column joins reorder columns — realign before the union
+    val post = kept.select("doc_id", "sh")
+      .union(rescued.select("doc_id", "sh"))
+      .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
+      .persist()
+    // One aggregation pass yields the signature AND the set size —
+    // the verification step reads |A| from here instead of a second
+    // groupBy over the postings.
+    val aggCols = count(lit(1)).as("n") +: MinHashAB.zipWithIndex.map {
+      case ((a, b), i) => min((col("h") * a + b) % TextHash.P).as(s"m$i")
+    }
+    val sig = post.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Candidates: one shuffle on the band key, with wide buckets
+    // salted into bounded block pairs before any list is collected
+    // ([[bucketPairs]]) — extreme band-key skew can no longer pin
+    // one task on a quadratic expansion.
+    val cand = bucketPairs(bands, SaltCap)
+    // Exact-Jaccard verification by co-occurrence counting over the
+    // postings — candidate pairs only, no array materialization. The
+    // candidate set and per-doc sizes are tiny relative to the
+    // postings: broadcast them so verification adds no shuffle of
+    // the postings side.
+    broadcast(cand)
+      .join(post.select(col("doc_id").as("i"), col("sh")), "i")
+      .join(post.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+      .join(broadcast(sig.select(col("doc_id").as("i"), col("n").as("na"))), "i")
+      .join(broadcast(sig.select(col("doc_id").as("j"), col("n").as("nb"))), "j")
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+      .filter(col("jac") >= 0.5)
+      .select("i", "j", "jac")
+  }
+
+  /** DuckDB CTE list ending in `verified` = [[minhashVerifiedPairs]]
+    * (no WITH prefix — callers prepend WITH or WITH RECURSIVE).
+    */
+  val minhashCtesBody: String = {
+    val h = TextHash.sqlTokenHash("sh")
+    val mins = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % ${TextHash.P}) AS m$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { b =>
+      s"SELECT doc_id, $b AS band, m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR AS key FROM sig"
+    }.mkString("\nUNION ALL\n")
+    s"""d0 AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents),
+p0 AS (SELECT doc_id, unnest(shs) AS sh FROM d0),
+dfreq AS (SELECT sh, count(*) AS df FROM p0 GROUP BY sh),
+kept AS (SELECT doc_id, p0.sh AS sh FROM p0 JOIN dfreq ON p0.sh = dfreq.sh
+         WHERE dfreq.df <= $DfCap),
+rescued AS (SELECT doc_id, sh FROM p0
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM kept)),
+p AS (SELECT * FROM kept UNION ALL SELECT * FROM rescued),
+d AS (SELECT doc_id, list(sh) AS shs FROM p GROUP BY doc_id),
+hs AS (SELECT doc_id, $h AS h FROM p),
+sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+bands AS ($bandSelects),
+cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+verified AS (SELECT i, j,
+       round(len(list_intersect(a.shs, b.shs))::DOUBLE /
+             len(list_distinct(a.shs || b.shs)), 6) AS jac
+FROM cand JOIN d a ON cand.i = a.doc_id JOIN d b ON cand.j = b.doc_id
+WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
+            len(list_distinct(a.shs || b.shs)), 6) >= 0.5)"""
+  }
+
+  /** Iterative min-label propagation over undirected `edges` (i, j):
+    * every doc in `allDocs` gets the min doc_id reachable through
+    * edges; singletons (no edge) skip the loop and label themselves.
+    * One heavy job per round — the label join carries old+new labels
+    * through the eager checkpoint so the convergence check is a scan of
+    * the materialized round output. With spark.graft.checkpointDir set,
+    * rounds checkpoint RELIABLY (HDFS/object store — the cluster mode
+    * where a lost executor must not replay the loop); locally the
+    * default is executor-memory localCheckpoint. Non-convergence
+    * throws, never silently wrong. Shared by
+    * dedup_connected_components and dedup_survivors.
+    */
+  def labelPropagation(s: SparkSession, edges: DataFrame,
+      allDocs: DataFrame): DataFrame = {
+    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
+    ckDir.foreach(s.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (ckDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    val und = edges.select(col("i").as("a"), col("j").as("b"))
+      .union(edges.select(col("j").as("a"), col("i").as("b")))
+      .persist()
+    val inGraph = und.select(col("a").as("doc_id")).distinct()
+    var labels = truncate(inGraph
+      .select(col("doc_id"), col("doc_id").as("cluster")))
+    var converged = false
+    var iter = 0
+    val maxIters = 50
+    while (!converged && iter < maxIters) {
+      val nbrMin = und
+        .join(labels.select(col("doc_id").as("b"),
+          col("cluster").as("b_cluster")), Seq("b"))
+        .groupBy("a").agg(min("b_cluster").as("nbr_min"))
+      val step = truncate(labels
+        .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster").as("old"),
+          least(col("cluster"),
+            coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
+      converged = step.filter(col("cluster") =!= col("old")).isEmpty
+      labels = step.select("doc_id", "cluster")
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIters rounds " +
+        "— component diameter exceeds the cap; raise maxIters")
+    val singletons = allDocs.select("doc_id")
+      .join(inGraph, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+    labels.union(singletons)
+  }
+
   def qs: Seq[Q] = Seq(
     // Exact dedup: hash group-by on full content; survivor = lowest id,
     // output = (duplicate, canonical) pairs
@@ -284,97 +434,9 @@ WHERE rn > 1 ORDER BY dup_id""")),
     // boilerplate shingle can neither widen LSH buckets nor dominate
     // the co-occurrence join.
     Q("dedup_minhash_lsh",
-      (s, d) => {
-        TextHash.register(s)
-        // Postings (doc, shingle) computed once and persisted: the
-        // signature pipeline, the candidate verification, and the per-doc
-        // set sizes all derive from it. Tiny relative to the corpus (one
-        // row per distinct shingle occurrence).
-        val rawPost = docShingles(s, d)
-          .select(col("doc_id"), explode(col("shs")).as("sh"))
-        val hot = rawPost.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > DfCap).select("sh")
-        // The hot set is bounded only by totalPostings/DfCap — billions
-        // of rows at the 100 TB design point, NOT broadcast-safe. The
-        // anti-join stays hint-free so AQE broadcasts it while small
-        // and shuffles it when it isn't.
-        val kept = rawPost.join(hot, Seq("sh"), "left_anti")
-        // Recall-cliff guard (see DfCap doc): docs erased entirely by
-        // the cut keep their full posting set instead.
-        val rescued = rawPost.join(kept.select("doc_id").distinct(),
-          Seq("doc_id"), "left_anti")
-        // using-column joins reorder columns — realign before the union
-        val post = kept.select("doc_id", "sh")
-          .union(rescued.select("doc_id", "sh"))
-          .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
-          .persist()
-        // One aggregation pass yields the signature AND the set size —
-        // the verification step reads |A| from here instead of a second
-        // groupBy over the postings.
-        val aggCols = count(lit(1)).as("n") +: MinHashAB.zipWithIndex.map {
-          case ((a, b), i) => min((col("h") * a + b) % TextHash.P).as(s"m$i")
-        }
-        val sig = post.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-        val bands = sig.select(col("doc_id"),
-          explode(array((0 until 4).map { b =>
-            struct(lit(b).as("band"),
-              concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
-          }: _*)).as("bk"))
-          .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-        // Candidates: one shuffle on the band key, with wide buckets
-        // salted into bounded block pairs before any list is collected
-        // ([[bucketPairs]]) — extreme band-key skew can no longer pin
-        // one task on a quadratic expansion.
-        val cand = bucketPairs(bands, SaltCap)
-        // Exact-Jaccard verification by co-occurrence counting over the
-        // postings — candidate pairs only, no array materialization. The
-        // candidate set and per-doc sizes are tiny relative to the
-        // postings: broadcast them so verification adds no shuffle of
-        // the postings side.
-        broadcast(cand)
-          .join(post.select(col("doc_id").as("i"), col("sh")), "i")
-          .join(post.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
-          .groupBy("i", "j").agg(count(lit(1)).as("common"))
-          .join(broadcast(sig.select(col("doc_id").as("i"), col("n").as("na"))), "i")
-          .join(broadcast(sig.select(col("doc_id").as("j"), col("n").as("nb"))), "j")
-          .withColumn("jac", round(col("common").cast("double") /
-            (col("na") + col("nb") - col("common")), 6))
-          .filter(col("jac") >= 0.5)
-          .select("i", "j", "jac")
-          .orderBy("i", "j")
-      },
-      Some {
-        val h = TextHash.sqlTokenHash("sh")
-        val mins = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
-          s"min(($a * h + $b) % ${TextHash.P}) AS m$i"
-        }.mkString(", ")
-        val bandSelects = (0 until 4).map { b =>
-          s"SELECT doc_id, $b AS band, m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR AS key FROM sig"
-        }.mkString("\nUNION ALL\n")
-        s"""
-WITH d0 AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents),
-p0 AS (SELECT doc_id, unnest(shs) AS sh FROM d0),
-dfreq AS (SELECT sh, count(*) AS df FROM p0 GROUP BY sh),
-kept AS (SELECT doc_id, p0.sh AS sh FROM p0 JOIN dfreq ON p0.sh = dfreq.sh
-         WHERE dfreq.df <= $DfCap),
-rescued AS (SELECT doc_id, sh FROM p0
-            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM kept)),
-p AS (SELECT * FROM kept UNION ALL SELECT * FROM rescued),
-d AS (SELECT doc_id, list(sh) AS shs FROM p GROUP BY doc_id),
-hs AS (SELECT doc_id, $h AS h FROM p),
-sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
-bands AS ($bandSelects),
-cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
-         FROM bands x JOIN bands y
-           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-SELECT i, j,
-       round(len(list_intersect(a.shs, b.shs))::DOUBLE /
-             len(list_distinct(a.shs || b.shs)), 6) AS jac
-FROM cand JOIN d a ON cand.i = a.doc_id JOIN d b ON cand.j = b.doc_id
-WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
-            len(list_distinct(a.shs || b.shs)), 6) >= 0.5
-ORDER BY i, j"""
-      }),
+      (s, d) => minhashVerifiedPairs(s, d).orderBy("i", "j"),
+      Some("WITH " + minhashCtesBody + """
+SELECT i, j, jac FROM verified ORDER BY i, j""")),
 
     // SimHash near-dup: 32-bit signature, Hamming distance <= 6 within a
     // source block — banded candidate generation, all-pairs oracle
@@ -396,52 +458,8 @@ SELECT i, j, hamming FROM pairs ORDER BY i, j""")),
     // which for dup clusters is tiny — but a non-converged exit is an
     // ERROR, never a silent wrong answer.
     Q("dedup_connected_components",
-      (s, d) => {
-        val ckDir = s.conf.getOption("spark.graft.checkpointDir")
-        ckDir.foreach(s.sparkContext.setCheckpointDir)
-        def truncate(df: DataFrame): DataFrame =
-          if (ckDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
-        val edges = simhashPairs(s, d).select("i", "j")
-        val und = edges.select(col("i").as("a"), col("j").as("b"))
-          .union(edges.select(col("j").as("a"), col("i").as("b")))
-          .persist()
-        // Only edge-touched docs can change labels; singletons (the vast
-        // majority of a real corpus) skip the loop entirely and are
-        // appended as their own cluster at the end.
-        val inGraph = und.select(col("a").as("doc_id")).distinct()
-        var labels = truncate(inGraph
-          .select(col("doc_id"), col("doc_id").as("cluster")))
-        var converged = false
-        var iter = 0
-        val maxIters = 50
-        while (!converged && iter < maxIters) {
-          val nbrMin = und
-            .join(labels.select(col("doc_id").as("b"),
-              col("cluster").as("b_cluster")), Seq("b"))
-            .groupBy("a").agg(min("b_cluster").as("nbr_min"))
-          // One heavy job per round: the label join carries BOTH the old
-          // and the new cluster through the (eager) checkpoint, so the
-          // convergence check below is a trivial scan of the
-          // already-materialized round output — no second join, no
-          // recomputation of the propagation.
-          val step = truncate(labels
-            .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")),
-              Seq("doc_id"), "left")
-            .select(col("doc_id"), col("cluster").as("old"),
-              least(col("cluster"),
-                coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
-          converged = step.filter(col("cluster") =!= col("old")).isEmpty
-          labels = step.select("doc_id", "cluster")
-          iter += 1
-        }
-        if (!converged) throw new IllegalStateException(
-          s"connected components did not converge within $maxIters rounds " +
-            "— component diameter exceeds the cap; raise maxIters")
-        val singletons = Tables.documents(s, d)
-          .join(inGraph, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("doc_id").as("cluster"))
-        labels.union(singletons).orderBy("doc_id")
-      },
+      (s, d) => labelPropagation(s, simhashPairs(s, d).select("i", "j"),
+        Tables.documents(s, d)).orderBy("doc_id"),
       Some("WITH RECURSIVE " + simhashCtesBody + """,
 und AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j AS a, i AS b FROM pairs),
 reach(id, r) AS (
@@ -450,6 +468,28 @@ reach(id, r) AS (
   SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
 )
 SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id ORDER BY doc_id""")),
+
+    // Survivor selection — the dedup loop closed end-to-end: MinHash
+    // verified pairs → connected components → per-cluster canonical
+    // (min doc_id) → keep/drop flag per document. This is the row a
+    // curation pipeline actually consumes ("which docs enter the
+    // training set"); the recursive-CTE oracle recomputes the identical
+    // clustering from the identical verified pairs.
+    Q("dedup_survivors",
+      (s, d) => labelPropagation(s,
+          minhashVerifiedPairs(s, d).select("i", "j"),
+          Tables.documents(s, d))
+        .withColumn("keep", col("doc_id") === col("cluster"))
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE " + minhashCtesBody + """,
+und AS (SELECT i AS a, j AS b FROM verified UNION ALL SELECT j AS a, i AS b FROM verified),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+)
+SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
+FROM reach GROUP BY id ORDER BY doc_id""")),
 
     // Blocked n-gram Jaccard via an inverted shingle index: explode to
     // (doc, shingle) postings, cut hot shingles (df > DfCap within the

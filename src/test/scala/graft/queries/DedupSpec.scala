@@ -141,6 +141,17 @@ class DedupSpec extends AnyFunSuite {
     assert(maxSide <= 2L * saltCap, s"block side grew to $maxSide")
   }
 
+  test("survivor selection keeps exactly one canonical (the min id) per cluster") {
+    val out = Registry.queries("dedup_survivors")(TestSpark.spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (cluster, docs) =>
+      assert(docs.count(_._3) == 1, s"cluster $cluster keeper count")
+      assert(docs.filter(_._3).head._1 == cluster)
+      assert(docs.map(_._1).min == cluster)
+    }
+  }
+
   test("bucketed embedding near-dup output is a subset of the exact all-pairs baseline") {
     val s = TestSpark.spark
     def pairsOf(name: String) =
