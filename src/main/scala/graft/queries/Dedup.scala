@@ -260,7 +260,18 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
     * ([[bucketPairs]]), exact-Jaccard verification by co-occurrence
     * counting. Shared by dedup_minhash_lsh and dedup_survivors.
     */
-  def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame = {
+  def minhashVerifiedPairs(s: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairs(s, d, identity)
+
+  /** As above with a candidate-set filter applied BEFORE verification —
+    * the incremental hook: a daily run prunes candidates to pairs
+    * touching the new batch, so existing×existing pairs (already
+    * emitted by previous runs) are never re-verified. The signature
+    * index and df stats still cover the whole corpus, exactly as a
+    * persisted index would.
+    */
+  def minhashVerifiedPairs(s: SparkSession, d: String,
+      candFilter: DataFrame => DataFrame): DataFrame = {
     TextHash.register(s)
     // Postings (doc, shingle) computed once and persisted: the
     // signature pipeline, the candidate verification, and the per-doc
@@ -301,7 +312,7 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
     // salted into bounded block pairs before any list is collected
     // ([[bucketPairs]]) — extreme band-key skew can no longer pin
     // one task on a quadratic expansion.
-    val cand = bucketPairs(bands, SaltCap)
+    val cand = candFilter(bucketPairs(bands, SaltCap))
     // Exact-Jaccard verification by co-occurrence counting over the
     // postings — candidate pairs only, no array materialization. The
     // candidate set and per-doc sizes are tiny relative to the
@@ -322,7 +333,13 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
   /** DuckDB CTE list ending in `verified` = [[minhashVerifiedPairs]]
     * (no WITH prefix — callers prepend WITH or WITH RECURSIVE).
     */
-  val minhashCtesBody: String = {
+  val minhashCtesBody: String = minhashCtes("")
+
+  /** As above with an extra predicate on the candidate pair CTE
+    * (mirrors the Spark-side `candFilter`); `candExtra` is ANDed into
+    * the cand join, e.g. "AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)".
+    */
+  def minhashCtes(candExtra: String): String = {
     val h = TextHash.sqlTokenHash("sh")
     val mins = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % ${TextHash.P}) AS m$i"
@@ -344,7 +361,8 @@ sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
 bands AS ($bandSelects),
 cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
          FROM bands x JOIN bands y
-           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+           ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+              $candExtra),
 verified AS (SELECT i, j,
        round(len(list_intersect(a.shs, b.shs))::DOUBLE /
              len(list_distinct(a.shs || b.shs)), 6) AS jac
@@ -436,6 +454,20 @@ WHERE rn > 1 ORDER BY dup_id""")),
     Q("dedup_minhash_lsh",
       (s, d) => minhashVerifiedPairs(s, d).orderBy("i", "j"),
       Some("WITH " + minhashCtesBody + """
+SELECT i, j, jac FROM verified ORDER BY i, j""")),
+
+    // Incremental near-dup — the daily-crawl shape: docs with
+    // doc_id % 5 = 0 stand in for the new batch; candidate pairs are
+    // pruned to those touching it BEFORE verification, so
+    // existing×existing pairs (already emitted by previous runs) are
+    // never re-verified. At scale this is the difference between a run
+    // proportional to the delta and one proportional to the corpus.
+    Q("dedup_incremental_minhash",
+      (s, d) => minhashVerifiedPairs(s, d,
+          _.filter(col("i") % 5 === 0 || col("j") % 5 === 0))
+        .orderBy("i", "j"),
+      Some("WITH " + minhashCtes(
+        "AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)") + """
 SELECT i, j, jac FROM verified ORDER BY i, j""")),
 
     // SimHash near-dup: 32-bit signature, Hamming distance <= 6 within a

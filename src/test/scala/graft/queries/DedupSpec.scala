@@ -141,6 +141,15 @@ class DedupSpec extends AnyFunSuite {
     assert(maxSide <= 2L * saltCap, s"block side grew to $maxSide")
   }
 
+  test("incremental dedup equals the full run restricted to new-batch pairs") {
+    def pairs(name: String) =
+      Registry.queries(name)(TestSpark.spark, TestSpark.Sf0001)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs("dedup_minhash_lsh")
+      .filter { case (i, j) => i % 5 == 0 || j % 5 == 0 }
+    assert(pairs("dedup_incremental_minhash") == full)
+  }
+
   test("survivor selection keeps exactly one canonical (the min id) per cluster") {
     val out = Registry.queries("dedup_survivors")(TestSpark.spark, TestSpark.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
