@@ -161,6 +161,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("salted expansion equals all-pairs across bucket sizes and caps (incl. cap=1, cap>n)") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    // two buckets of different sizes plus a singleton (must emit nothing)
+    for ((n1, n2, cap) <- Seq((5, 13, 1), (12, 30, 4), (9, 3, 100))) {
+      val bands = ((1 to n1).map(i => (i.toLong, 0, "p")) ++
+        (101 to (100 + n2)).map(i => (i.toLong, 1, "q")) :+ (999L, 2, "single"))
+        .toDF("doc_id", "band", "key")
+      val got = Dedup.bucketPairs(bands, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected =
+        (for (i <- 1 to n1; j <- i + 1 to n1) yield (i.toLong, j.toLong)).toSet ++
+        (for (i <- 101 to (100 + n2); j <- i + 1 to (100 + n2))
+          yield (i.toLong, j.toLong)).toSet
+      assert(got == expected, s"n1=$n1 n2=$n2 cap=$cap")
+    }
+  }
+
   test("bucketed embedding near-dup output is a subset of the exact all-pairs baseline") {
     val s = TestSpark.spark
     def pairsOf(name: String) =
