@@ -142,8 +142,12 @@ WITH h AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
                   $sqlHkey AS hkey, $sqlHkey % $Shards AS shard
            FROM documents),
 c AS (SELECT doc_id, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey ASC, doc_id ASC
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             -- DuckDB windowed sum over BIGINT yields HUGEINT (lands as
+             -- float64 in the compare); CAST pins it to int64 to match
+             -- Spark's long cum_tokens.
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey ASC, doc_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
       FROM h)
 SELECT doc_id, shard, n_tokens, cum_tokens FROM c
 WHERE cum_tokens <= 3000 ORDER BY shard, cum_tokens, doc_id"""))

@@ -264,71 +264,122 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
     minhashVerifiedPairs(s, d, identity)
 
   /** As above with a candidate-set filter applied BEFORE verification —
-    * the incremental hook: a daily run prunes candidates to pairs
-    * touching the new batch, so existing×existing pairs (already
-    * emitted by previous runs) are never re-verified. The signature
-    * index and df stats still cover the whole corpus, exactly as a
-    * persisted index would.
+    * prunes candidates to pairs touching some set of interest so the
+    * rest are never re-verified. [[DedupIndex]] is the durable-state
+    * incremental version of this a daily pipeline actually runs (delta-
+    * only text processing against persisted parquet state).
     */
   def minhashVerifiedPairs(s: SparkSession, d: String,
       candFilter: DataFrame => DataFrame): DataFrame = {
+    val (verified, post) = minhashVerifiedLazy(s, d, candFilter)
+    // The pair output is small; materialize it and release the
+    // postings' persisted blocks before returning (Caching doc).
+    graft.Caching.releasing(s, post)(verified)
+  }
+
+  /** Raw hashed postings (doc_id, sh, h) for a (doc_id, text) corpus —
+    * the ONLY text-processing stage of the MinHash pipeline
+    * (shingle_set + tok_hash over the document body); every stage
+    * downstream is purely relational over this table, which is what
+    * makes the index persistable and the incremental path
+    * delta-proportional ([[DedupIndex]]).
+    */
+  def rawPostings(s: SparkSession, docs: DataFrame): DataFrame = {
     TextHash.register(s)
-    // Postings (doc, shingle) computed once and persisted: the
-    // signature pipeline, the candidate verification, and the per-doc
-    // set sizes all derive from it. Tiny relative to the corpus (one
-    // row per distinct shingle occurrence).
-    val rawPost = docShingles(s, d)
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-    val hot = rawPost.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select("sh")
-    // The hot set is bounded only by totalPostings/DfCap — billions
-    // of rows at the 100 TB design point, NOT broadcast-safe. The
-    // anti-join stays hint-free so AQE broadcasts it while small
-    // and shuffles it when it isn't.
-    val kept = rawPost.join(hot, Seq("sh"), "left_anti")
+    docs.select(col("doc_id"), explode(expr("shingle_set(text)")).as("sh"))
+      .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
+  }
+
+  /** Document frequency per shingle — mergeable (sum) across batches. */
+  def shingleDf(raw: DataFrame): DataFrame =
+    raw.groupBy("sh").agg(count(lit(1)).as("df"))
+
+  /** df-capped postings with the mass-dup rescue (see [[DfCap]] doc).
+    * The hot set is bounded only by totalPostings/dfCap — billions of
+    * rows at the 100 TB design point, NOT broadcast-safe — so the
+    * anti-join stays hint-free: AQE broadcasts it while small and
+    * shuffles it when it isn't.
+    */
+  def cappedPostings(raw: DataFrame, dfTable: DataFrame, dfCap: Int): DataFrame = {
+    val hot = dfTable.filter(col("df") > dfCap).select("sh")
+    val kept = raw.join(hot, Seq("sh"), "left_anti")
     // Recall-cliff guard (see DfCap doc): docs erased entirely by
     // the cut keep their full posting set instead.
-    val rescued = rawPost.join(kept.select("doc_id").distinct(),
+    val rescued = raw.join(kept.select("doc_id").distinct(),
       Seq("doc_id"), "left_anti")
     // using-column joins reorder columns — realign before the union
-    val post = kept.select("doc_id", "sh")
-      .union(rescued.select("doc_id", "sh"))
-      .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
-      .persist()
-    // One aggregation pass yields the signature AND the set size —
-    // the verification step reads |A| from here instead of a second
-    // groupBy over the postings.
+    kept.select("doc_id", "sh", "h").union(rescued.select("doc_id", "sh", "h"))
+  }
+
+  /** MinHash signature AND set size per doc in one aggregation pass —
+    * verification reads |A| from here instead of a second groupBy over
+    * the postings.
+    */
+  def signatures(post: DataFrame): DataFrame = {
     val aggCols = count(lit(1)).as("n") +: MinHashAB.zipWithIndex.map {
       case ((a, b), i) => min((col("h") * a + b) % TextHash.P).as(s"m$i")
     }
-    val sig = post.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
-    val bands = sig.select(col("doc_id"),
+    post.groupBy("doc_id").agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** LSH band keys (doc_id, band, key) from a signature table. */
+  def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           concat_ws("_", col(s"m${2 * b}"), col(s"m${2 * b + 1}")).as("key"))
       }: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    // Candidates: one shuffle on the band key, with wide buckets
-    // salted into bounded block pairs before any list is collected
-    // ([[bucketPairs]]) — extreme band-key skew can no longer pin
-    // one task on a quadratic expansion.
-    val cand = candFilter(bucketPairs(bands, SaltCap))
-    // Exact-Jaccard verification by co-occurrence counting over the
-    // postings — candidate pairs only, no array materialization. The
-    // candidate set and per-doc sizes are tiny relative to the
-    // postings: broadcast them so verification adds no shuffle of
-    // the postings side.
-    broadcast(cand)
+
+  /** Exact-Jaccard verification of candidate pairs by co-occurrence
+    * counting over the capped postings — candidate pairs only, no array
+    * materialization. The candidate set and per-doc sizes are USUALLY
+    * tiny relative to the postings, but on a dup-heavy corpus (the
+    * 1000×-spam case the rescue exists for) verified-candidate volume
+    * is corpus-scale, so these joins stay hint-free like the hot
+    * anti-join in [[cappedPostings]]: AQE broadcasts the small side
+    * while it is small and falls back to a shuffle join when it isn't —
+    * a forced broadcast here would OOM the driver on exactly the
+    * corpora near-dup dedup exists to catch.
+    */
+  def verifyPairs(cand: DataFrame, post: DataFrame, sig: DataFrame): DataFrame =
+    cand
       .join(post.select(col("doc_id").as("i"), col("sh")), "i")
       .join(post.select(col("doc_id").as("j"), col("sh")), Seq("j", "sh"))
       .groupBy("i", "j").agg(count(lit(1)).as("common"))
-      .join(broadcast(sig.select(col("doc_id").as("i"), col("n").as("na"))), "i")
-      .join(broadcast(sig.select(col("doc_id").as("j"), col("n").as("nb"))), "j")
+      .join(sig.select(col("doc_id").as("i"), col("n").as("na")), "i")
+      .join(sig.select(col("doc_id").as("j"), col("n").as("nb")), "j")
       .withColumn("jac", round(col("common").cast("double") /
         (col("na") + col("nb") - col("common")), 6))
       .filter(col("jac") >= 0.5)
       .select("i", "j", "jac")
+
+  /** The lazy verification pipeline plus its persisted postings —
+    * exposed so DedupSpec can assert the verification joins are
+    * hint-free (zero broadcast joins once the threshold is disabled,
+    * the dup-heavy-corpus discipline). Callers must release `post`.
+    */
+  private[graft] def minhashVerifiedLazy(s: SparkSession, docs: DataFrame,
+      candFilter: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    // Postings computed once and persisted: the signature pipeline, the
+    // candidate verification, and the per-doc set sizes all derive from
+    // it. Tiny relative to the corpus (one row per distinct shingle
+    // occurrence).
+    val raw = rawPostings(s, docs)
+    val post = cappedPostings(raw, shingleDf(raw), DfCap).persist()
+    val sig = signatures(post)
+    // Candidates: one shuffle on the band key, with wide buckets
+    // salted into bounded block pairs before any list is collected
+    // ([[bucketPairs]]) — extreme band-key skew can no longer pin
+    // one task on a quadratic expansion.
+    val cand = candFilter(bucketPairs(bandKeys(sig), SaltCap))
+    (verifyPairs(cand, post, sig), post)
   }
+
+  private[graft] def minhashVerifiedLazy(s: SparkSession, d: String,
+      candFilter: DataFrame => DataFrame): (DataFrame, DataFrame) =
+    minhashVerifiedLazy(s, Tables.documents(s, d).select("doc_id", "text"),
+      candFilter)
 
   /** DuckDB CTE list ending in `verified` = [[minhashVerifiedPairs]]
     * (no WITH prefix — callers prepend WITH or WITH RECURSIVE).
@@ -392,7 +443,10 @@ WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
     val und = edges.select(col("i").as("a"), col("j").as("b"))
       .union(edges.select(col("j").as("a"), col("i").as("b")))
       .persist()
-    val inGraph = und.select(col("a").as("doc_id")).distinct()
+    // inGraph is truncated so the post-loop singleton anti-join reads a
+    // materialized copy instead of the persisted und — which lets the
+    // loop release und's blocks deterministically once it converges.
+    val inGraph = truncate(und.select(col("a").as("doc_id")).distinct())
     var labels = truncate(inGraph
       .select(col("doc_id"), col("doc_id").as("cluster")))
     var converged = false
@@ -413,6 +467,7 @@ WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
       labels = step.select("doc_id", "cluster")
       iter += 1
     }
+    und.unpersist(false)
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIters rounds " +
         "— component diameter exceeds the cap; raise maxIters")
@@ -456,16 +511,30 @@ WHERE rn > 1 ORDER BY dup_id""")),
       Some("WITH " + minhashCtesBody + """
 SELECT i, j, jac FROM verified ORDER BY i, j""")),
 
-    // Incremental near-dup — the daily-crawl shape: docs with
-    // doc_id % 5 = 0 stand in for the new batch; candidate pairs are
-    // pruned to those touching it BEFORE verification, so
-    // existing×existing pairs (already emitted by previous runs) are
-    // never re-verified. At scale this is the difference between a run
-    // proportional to the delta and one proportional to the corpus.
+    // Incremental near-dup — the daily-crawl shape, now against a
+    // DURABLE index ([[DedupIndex]]): docs with doc_id % 5 = 0 stand in
+    // for the new batch. Run 1 bootstraps the parquet state from the
+    // existing docs; run 2 shingles ONLY the new batch, merges its df
+    // counts in, re-signs delta + cap-flip-affected docs, and verifies
+    // only candidate pairs touching the recomputed set. At scale this
+    // is the difference between a run proportional to the delta and one
+    // proportional to the corpus — and unlike a rebuild-then-filter
+    // simulation, the text processing itself is delta-only. The oracle
+    // is the from-scratch formulation restricted to new-batch pairs,
+    // which the index path must (and does) reproduce exactly.
     Q("dedup_incremental_minhash",
-      (s, d) => minhashVerifiedPairs(s, d,
-          _.filter(col("i") % 5 === 0 || col("j") % 5 === 0))
-        .orderBy("i", "j"),
+      (s, d) => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_ndidx").toString
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        DedupIndex.bootstrap(s, docs.filter(col("doc_id") % 5 =!= 0),
+          s"$root/v1")
+        val res = DedupIndex.update(s, docs, s"$root/v1", s"$root/v2")
+        // pairs touching flip-affected-but-not-new docs are valid new
+        // knowledge but outside this query's contract (new-batch pairs)
+        res.pairs.filter(col("i") % 5 === 0 || col("j") % 5 === 0)
+          .orderBy("i", "j")
+      },
       Some("WITH " + minhashCtes(
         "AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)") + """
 SELECT i, j, jac FROM verified ORDER BY i, j""")),

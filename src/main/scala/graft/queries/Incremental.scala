@@ -62,14 +62,16 @@ object Incremental {
     // I3 append-only fact with dedup-on-ingest (datamart.py:59-80 +
     // db_interact.py:150-166): anti-join new batch against existing
     // facts, append, and the union reconstructs exactly the full fact set.
-    // The expensive similarity fact is materialized ONCE (persist):
-    // `existing`, `incoming`, and the final union all read the cached
-    // copy instead of re-deriving the cross join + window stack three
-    // times in one plan (the round-2 scale flaw). Bench/Verify clear the
-    // cache between queries, so the persisted block does not leak.
+    // The expensive similarity fact is materialized ONCE
+    // (Caching.materialize): `existing`, `incoming`, and the final union
+    // all read the same materialized copy instead of re-deriving the
+    // cross join + window stack three times in one plan (the round-2
+    // scale flaw) — and unlike a bare persist(), the blocks are released
+    // once the result is unreferenced, so composing this query with
+    // others never accumulates pinned cache.
     Q("i3_upsert_dedup",
       (s, d) => {
-        val full = Views.silverFact(s, d).persist()
+        val full = graft.Caching.materialize(s, Views.silverFact(s, d))
         val existing = full.filter(col("target_id") < 100)
         val incoming = full // re-delivery of everything, overlap included
         val fresh = incoming.join(existing.select("target_id", "source_id"),

@@ -96,11 +96,13 @@ object Sources {
         // persist the parsed rows before touching _corrupt: Spark
         // (correctly) refuses plans whose pruned scan schema collapses
         // to only the internal corrupt-record column, e.g. a count()
-        // over the corrupt-filtered read
+        // over the corrupt-filtered read; the block is released before
+        // returning (Caching.releasing) so it cannot leak
         val chosen =
           (if (bad) read("windows-1252") else read("UTF-8")).persist()
-        chosen.filter(col("_corrupt").isNull)
-          .select("id", "name", "val").orderBy("id")
+        graft.Caching.releasing(s, chosen)(
+          chosen.filter(col("_corrupt").isNull)
+            .select("id", "name", "val").orderBy("id"))
       },
       Some("SELECT * FROM (VALUES (1, 'café', 10), (2, 'naïve', 20)) " +
         "AS t(id, name, val) ORDER BY id")),

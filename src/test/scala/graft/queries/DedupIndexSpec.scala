@@ -1,0 +1,116 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The persistent near-dup index contract: run 2 reads the durable
+  * state, shingles ONLY the delta, and emits exactly the pairs a
+  * from-scratch run over the combined corpus emits (restricted to the
+  * recomputed set it is allowed to touch) — including when the delta
+  * pushes a shingle across the df cap and old signatures go stale.
+  */
+class DedupIndexSpec extends AnyFunSuite {
+  private lazy val s = TestSpark.spark
+  import s.implicits._
+
+  private def docsDf(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft_ndidx_spec").toString
+
+  /** From-scratch verified pairs over `docs` (released eagerly). */
+  private def fromScratch(docs: DataFrame): Set[(Long, Long, Double)] = {
+    val (verified, post) = Dedup.minhashVerifiedLazy(s, docs,
+      identity[DataFrame] _)
+    val out = verified.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    post.unpersist(true)
+    out
+  }
+
+  private def pairSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private val base = docsDf(
+    1L -> "the quick brown fox jumps over the lazy dog tonight",
+    2L -> "the quick brown fox jumps over the lazy cat tonight",
+    3L -> "spark catalyst optimizer rewrites logical query plans",
+    4L -> "completely unrelated text about cooking pasta dinners")
+
+  test("update shingles only the delta and emits the from-scratch pairs touching it") {
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, base, s"$root/v1")
+    val delta = docsDf(
+      5L -> "the quick brown fox jumps over the lazy dog today",
+      6L -> "spark catalyst optimizer rewrites logical query plans")
+    val all = base.union(delta)
+    val res = DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
+    assert(res.metrics.nDelta == 2)
+    assert(res.metrics.nAffected == 0)
+    // delta-proportional: exactly the delta was re-signed, nothing else
+    assert(res.metrics.nSigsRecomputed == res.metrics.nDelta)
+    val deltaIds = Set(5L, 6L)
+    val expected = fromScratch(all)
+      .filter { case (i, j, _) => deltaIds(i) || deltaIds(j) }
+    assert(pairSet(res.pairs) == expected)
+    assert(expected.nonEmpty, "fixture must actually produce near-dup pairs")
+  }
+
+  test("updated state equals a from-scratch bootstrap (signatures and df)") {
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, base, s"$root/v1")
+    val delta = docsDf(5L -> "the quick brown fox jumps over the lazy dog today")
+    val all = base.union(delta)
+    DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
+    DedupIndex.bootstrap(s, all, s"$root/scratch")
+    for (t <- Seq("sig", "df")) {
+      val inc = s.read.parquet(s"$root/v2/$t")
+      val scratch = s.read.parquet(s"$root/scratch/$t")
+      assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
+        s"state table $t diverged from from-scratch")
+    }
+  }
+
+  test("a delta that flips a shingle over the df cap re-signs the affected old docs") {
+    // dfCap=2: the base corpus has a shingle in exactly 2 docs (not
+    // hot); the delta adds a third occurrence, flipping it hot — the
+    // two OLD docs' kept posting sets change, so their signatures are
+    // stale and must be recomputed for incremental == from-scratch.
+    val cap = 2
+    val shared = "alpha beta gamma"
+    val b = docsDf(
+      1L -> s"$shared one extra word here",
+      2L -> s"$shared two extra word here",
+      3L -> "totally different text with nothing shared at all")
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, b, s"$root/v1", dfCap = cap)
+    val delta = docsDf(4L -> s"$shared three extra word here")
+    val all = b.union(delta)
+    val res = DedupIndex.update(s, all, s"$root/v1", s"$root/v2", dfCap = cap)
+    assert(res.metrics.nDelta == 1)
+    assert(res.metrics.nAffected == 2, "both old docs carrying the flipped shingle")
+    assert(res.metrics.nSigsRecomputed == 3)
+    // with the flip handled, the new state must equal from-scratch
+    DedupIndex.bootstrap(s, all, s"$root/scratch", dfCap = cap)
+    val inc = s.read.parquet(s"$root/v2/sig")
+    val scratch = s.read.parquet(s"$root/scratch/sig")
+    assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
+      "flip-affected signatures diverged from from-scratch")
+  }
+
+  test("registered dedup_incremental_minhash (index-backed) matches the rebuild-and-filter result") {
+    val docs = graft.Tables.documents(s, TestSpark.Sf0001)
+      .select("doc_id", "text")
+    val expected = fromScratch(docs)
+      .filter { case (i, j, _) => i % 5 == 0 || j % 5 == 0 }
+    val got = pairSet(
+      Registry.queries("dedup_incremental_minhash")(s, TestSpark.Sf0001))
+    assert(got == expected)
+  }
+}

@@ -180,6 +180,44 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash verification is hint-free: zero broadcast joins once the threshold is disabled") {
+    // The dup-heavy-corpus discipline: on a corpus where verified-
+    // candidate volume is corpus-scale, a forced broadcast(cand) /
+    // broadcast(sig) would OOM the driver. Hint-freeness is exactly
+    // "the engine's threshold decides": with autoBroadcastJoinThreshold
+    // disabled the executed plan must contain NO broadcast join of any
+    // kind — a leftover hint would override the threshold and fail this
+    // — and the pair set must match the default-config run.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val s = TestSpark.spark
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val shuffled =
+      try {
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val (verified, post) = Dedup.minhashVerifiedLazy(s, TestSpark.Sf0001, identity)
+        val rows = verified.collect()
+        def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+          case q: QueryStageExec => q +: flatten(q.plan)
+          case other => other +: other.children.flatMap(flatten)
+        }
+        val nodes = flatten(verified.queryExecution.executedPlan)
+        val bcasts = nodes.collect {
+          case b: BroadcastHashJoinExec => b
+          case b: BroadcastNestedLoopJoinExec => b
+        }
+        assert(bcasts.isEmpty,
+          s"forced broadcast survives a disabled threshold:\n${bcasts.map(_.nodeName)}")
+        post.unpersist(true)
+        rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val default = Registry.queries("dedup_minhash_lsh")(s, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shuffled == default, "join strategy changed the verified pair set")
+  }
+
   test("bucketed embedding near-dup output is a subset of the exact all-pairs baseline") {
     val s = TestSpark.spark
     def pairsOf(name: String) =

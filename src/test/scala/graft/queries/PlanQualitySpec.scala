@@ -62,34 +62,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("band"), p.take(2000))
   }
 
-  test("I3: the expensive fact is materialized once — no cross join outside one shared cache") {
+  test("I3: the expensive fact is materialized once — no cross join in the consuming plan") {
     val df = Registry.queries("i3_upsert_dedup")(spark, TestSpark.Sf001)
-    try {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      // AQE wraps the plan; collect() does not descend through the
-      // adaptive wrapper or materialized query stages — walk explicitly
-      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
-        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
-        case q: QueryStageExec => q +: flatten(q.plan)
-        case other => other +: other.children.flatMap(flatten)
-      }
-      val nodes = flatten(df.queryExecution.executedPlan)
-      // before the fix the plan carried THREE full BroadcastNestedLoopJoin
-      // + window stacks (existing / incoming / union), no reuse; now every
-      // branch must read the SAME InMemoryRelation and the cross join
-      // lives only inside that single cached plan
-      val crossJoins = nodes.collect {
-        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-      }
-      assert(crossJoins.isEmpty,
-        s"similarity cross join recomputed outside the cache:\n${nodes.head.toString.take(4000)}")
-      val caches = nodes.collect {
-        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c.relation.cacheBuilder
-      }
-      assert(caches.size >= 2, s"expected >=2 reads of the cached fact, got ${caches.size}")
-      assert(caches.distinct.size == 1, "branches read DIFFERENT cached relations")
-    } finally spark.catalog.clearCache()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // AQE wraps the plan; collect() does not descend through the
+    // adaptive wrapper or materialized query stages — walk explicitly
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => q +: flatten(q.plan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    val nodes = flatten(df.queryExecution.executedPlan)
+    // round 2 carried THREE full BroadcastNestedLoopJoin + window stacks
+    // (existing / incoming / union); the fact is now materialized ONCE
+    // (Caching.materialize) so the consuming plan must contain NO cross
+    // join at all, and every branch must scan the SAME materialized RDD
+    val crossJoins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(crossJoins.isEmpty,
+      s"similarity cross join recomputed in the consuming plan:\n${nodes.head.toString.take(4000)}")
+    val rddScans = nodes.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r.rdd.id
+    }
+    assert(rddScans.size >= 2, s"expected >=2 scans of the materialized fact, got ${rddScans.size}")
+    assert(rddScans.distinct.size == 1, "branches scan DIFFERENT materialized RDDs")
   }
 
   test("O2: global sort+limit compiles to TakeOrderedAndProject, not a full sort") {
