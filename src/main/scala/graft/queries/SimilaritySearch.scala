@@ -111,6 +111,69 @@ object SimilaritySearch {
           THEN ${1L << j} ELSE 0 END"""
     }.mkString("(", " + ", ")")
 
+  /** k-means coarse-quantizer centroids for the IVF index: deterministic
+    * init (every-100th vector) refined by ONE Lloyd iteration, all as
+    * DataFrame aggregations — assignment is a broadcast cross join +
+    * per-vector top-1 window; the new centroid is the per-dimension mean
+    * of the assigned vectors. Cells that lose every member drop out
+    * (standard k-means), keeping their init vector's id as the label.
+    *
+    * Engine-exactness (the oracle mirrors every step): the mean is a
+    * SEQUENTIAL fold over the per-dimension values SORTED ascending
+    * (cross-row float addition is otherwise partition-order-dependent),
+    * rounded to 6 dp, and the centroid is cast to float32 so both
+    * engines hold bit-identical values. A production build would use a
+    * plain `avg` over a few iterations — same plan shape, one shuffle
+    * per iteration, centroid count small enough to broadcast.
+    */
+  def kmeansCents(emb: DataFrame): DataFrame = {
+    val init = emb.filter(col("vec_id") % 100 === 10)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val asg1 = emb.crossJoin(broadcast(init))
+      .withColumn("cos_c",
+        round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
+      .withColumn("rnc", row_number().over(w))
+      .filter(col("rnc") === 1)
+      .select(col("cent_id").as("cell"), col("embedding"))
+    val expl = asg1.select(col("cell"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "val")))
+    val dimMean = expl.groupBy("cell", "pos")
+      .agg(aggregate(sort_array(collect_list(col("val"))), lit(0.0),
+        (a, x) => a + x).as("sm"), count(lit(1)).as("cnt"))
+      .withColumn("m", round(col("sm") / col("cnt"), 6))
+    dimMean.groupBy("cell")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).cast("array<float>").as("c_emb"))
+      .select(col("cell").as("cent_id"), col("c_emb"),
+        expr("norm_f(c_emb)").as("c_nrm"))
+  }
+
+  /** DuckDB twin of [[kmeansCents]]: CTE list ending in `cent`
+    * (cent_id, c_v DOUBLE[], c_nrm), assuming `e` (vec_id, v, nrm)
+    * is already defined.
+    */
+  val sqlKmeansCtes: String = s"""
+cent0 AS (SELECT vec_id AS cent_id, v AS c_v, nrm AS c_nrm FROM e WHERE vec_id % 100 = 10),
+asg1 AS (SELECT cell, v FROM (
+    SELECT e.vec_id, e.v, cent0.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                        i -> e.v[i] * cent0.c_v[i])) / (e.nrm * cent0.c_nrm), 6) DESC,
+             cent0.cent_id ASC) AS rnc
+    FROM e CROSS JOIN cent0)
+  WHERE rnc = 1),
+expl AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM asg1),
+dimmean AS (SELECT cell, pos,
+              round(list_reduce(list_sort(list(val)), (a, b) -> a + b) / count(*), 6) AS m
+            FROM expl GROUP BY cell, pos),
+cent AS (SELECT cell AS cent_id, list(m ORDER BY pos)::FLOAT[]::DOUBLE[] AS c_v,
+                sqrt(list_sum(list_transform(list(m ORDER BY pos)::FLOAT[]::DOUBLE[],
+                     x -> x*x))) AS c_nrm
+         FROM dimmean GROUP BY cell)"""
+
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-k: exact kNN baseline
     Q("simsearch_bruteforce_topk",
@@ -190,21 +253,22 @@ r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC
 SELECT q_id, c_id, bkt, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
 
     // IVF-style ANN: coarse quantization to the nearest of a small
-    // deterministic centroid set (every 100th vector — a real build runs
-    // k-means; any fixed centroid set gives the same plan shape), then
-    // candidate generation by shared cell (nprobe=1) and exact re-rank
-    // inside it. The centroid set broadcasts; the big side is scanned
-    // once for assignment and shuffles only by cell id. Recall improves
-    // by probing more cells — cost scales with cells probed, never |N|.
+    // k-means centroid set ([[kmeansCents]] — deterministic init + one
+    // Lloyd iteration), then candidate generation by shared cell
+    // (nprobe=1) and exact re-rank inside it. The centroid set
+    // broadcasts; the big side is scanned once for assignment and
+    // shuffles only by cell id. Recall improves by probing more cells —
+    // cost scales with cells probed, never |N| — and k-means cells fit
+    // the data distribution where the former every-100th-vector rule
+    // did not (measured recall@5 vs brute force on sf0.01: 0.24 → see
+    // SimilaritySearchSpec bound).
     Q("simsearch_ivf_bucketed",
       (s, d) => {
         VectorExpressions.register(s)
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
-        val cents = emb.filter(col("vec_id") % 100 === 10)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-            col("nrm").as("c_nrm"))
+        val cents = kmeansCents(emb)
         def assign(df: DataFrame): DataFrame = {
           val w = Window.partitionBy("vec_id")
             .orderBy(col("cos_c").desc, col("cent_id").asc)
@@ -233,10 +297,9 @@ SELECT q_id, c_id, bkt, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
             col("rn").cast("long").as("rn"))
           .orderBy("q_id", "rn")
       },
-      Some("""
+      Some(s"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
-cent AS (SELECT vec_id AS cent_id, v AS c_v, nrm AS c_nrm FROM e WHERE vec_id % 100 = 10),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
 asg AS (
   SELECT vec_id, v, nrm, cent_id AS cell FROM (
     SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
@@ -266,9 +329,7 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
-        val cents = emb.filter(col("vec_id") % 100 === 10)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
-            col("nrm").as("c_nrm"))
+        val cents = kmeansCents(emb)
         def assign(df: DataFrame, nprobe: Int): DataFrame = {
           val w = Window.partitionBy("vec_id")
             .orderBy(col("cos_c").desc, col("cent_id").asc)
@@ -297,10 +358,9 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
             col("rn").cast("long").as("rn"))
           .orderBy("q_id", "rn")
       },
-      Some("""
+      Some(s"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
-cent AS (SELECT vec_id AS cent_id, v AS c_v, nrm AS c_nrm FROM e WHERE vec_id % 100 = 10),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
 ranked AS (
   SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
          row_number() OVER (PARTITION BY e.vec_id

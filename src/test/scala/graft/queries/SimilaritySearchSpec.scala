@@ -17,6 +17,36 @@ class SimilaritySearchSpec extends AnyFunSuite {
       .groupBy(_._1)
       .map { case (q, rows) => q -> rows.sortBy(_._3).map(_._2).toSeq }
 
+  test("k-means IVF recall@5 vs brute force holds its measured floor on sf0.01") {
+    // measured after the one-Lloyd-iteration k-means build (round 4):
+    // nprobe=1 0.30, nprobe=2 0.42 — vs 0.24/0.34 with the former
+    // every-100th-vector centroids. The floor is set just under the
+    // measured values so a centroid/assignment edit that silently
+    // trashes recall fails here instead of in production.
+    def pairs(name: String): Set[(Long, Long)] =
+      Registry.queries(name)(spark, TestSpark.Sf001).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val gt = pairs("simsearch_bruteforce_topk")
+    val r1 = pairs("simsearch_ivf_bucketed").intersect(gt).size.toDouble / gt.size
+    val r2 = pairs("simsearch_ivf_multiprobe").intersect(gt).size.toDouble / gt.size
+    assert(r1 >= 0.28, s"nprobe=1 recall@5 dropped to $r1")
+    assert(r2 >= 0.40, s"nprobe=2 recall@5 dropped to $r2")
+    assert(r2 >= r1, "multi-probe must not lose recall vs nprobe=1")
+  }
+
+  test("LSH flagship retains >= 0.8 of the exact flagship's top-k rows on sf0.01") {
+    // the measured 82.4% top-k retention (SimilarityPipeline.lshPairs
+    // doc) asserted as a floor: a band-family edit can't silently
+    // trash the beyond-broadcast path's recall
+    def rows(name: String): Set[(Long, Long)] =
+      Registry.queries(name)(spark, TestSpark.Sf001).collect()
+        .map(r => (r.getAs[Long]("target_id"), r.getAs[Long]("source_id"))).toSet
+    val exact = rows("pipeline_topk_tieflag")
+    val lsh = rows("pipeline_topk_tieflag_lsh")
+    val retention = lsh.intersect(exact).size.toDouble / exact.size
+    assert(retention >= 0.8, s"LSH flagship top-k retention dropped to $retention")
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
