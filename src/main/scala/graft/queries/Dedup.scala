@@ -229,18 +229,20 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
     val counts = docs.select(col("doc_id"), size(col("shs")).as("n"))
     val post = docs.select(col("doc_id"), col("source"),
       explode(col("shs")).as("sh"))
-    val hot = post.groupBy("source", "sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > dfCap).select("source", "sh")
-    // hint-free: the hot set is bounded by postings/dfCap, not
-    // broadcast-safe at corpus scale — AQE picks the join strategy
-    val kept = post.join(hot, Seq("source", "sh"), "left_anti")
-    // recall-cliff guard (see DfCap doc): docs whose capped posting set
-    // is empty keep their full posting set
-    val rescued = post.join(kept.select("doc_id").distinct(),
-      Seq("doc_id"), "left_anti")
-    // using-column joins reorder columns — realign before the union
-    val fp = kept.select("doc_id", "source", "sh")
-      .union(rescued.select("doc_id", "source", "sh"))
+    // One pass carries each posting's df (hint-free join — the df table
+    // is shingle-count-sized, not broadcast-safe at corpus scale; AQE
+    // picks the strategy), and the per-doc min-df window decides the
+    // rescue: a doc whose capped posting set would be empty has
+    // min(df) > cap over ALL its shingles (the recall-cliff guard, see
+    // DfCap doc) and keeps its full set. One join + one doc-keyed
+    // shuffle replaces the former anti-join / distinct / anti-join
+    // chain.
+    val dfreq = post.groupBy("source", "sh").agg(count(lit(1)).as("df"))
+    val wmin = Window.partitionBy("doc_id")
+    val fp = post.join(dfreq, Seq("source", "sh"))
+      .withColumn("mindf", min("df").over(wmin))
+      .filter(col("df") <= dfCap || col("mindf") > dfCap)
+      .select("doc_id", "source", "sh")
     fp.select(col("doc_id").as("i"), col("source"), col("sh"))
       .join(fp.select(col("doc_id").as("j"), col("source"), col("sh")),
         Seq("source", "sh"))

@@ -41,6 +41,7 @@ object Registry {
     SimilaritySearch.qs,
     Embeddings.qs,
     Events.qs,
+    StreamingQueries.qs,
     Multimodal.qs
   )
 

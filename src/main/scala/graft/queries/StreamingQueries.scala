@@ -1,0 +1,92 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStream
+
+/** The streaming shapes promoted into the driver's oracle gate: each
+  * query runs REAL Structured Streaming machinery (file source with
+  * checkpointed file log, watermark, Trigger.AvailableNow, parquet
+  * sink) against a redelivery fixture, then aggregates the sink into a
+  * deterministic result the DuckDB oracle can hash-check. Until round 4
+  * these paths were spec-only (StreamingSpec asserts stream == batch);
+  * now the driver's correctness gate covers them too.
+  *
+  * The redelivery fixture: the same events file arrives TWICE under
+  * different names — the reference's re-ingest scenario
+  * (tanimoto.py:28-49, a file re-listed on the next cron tick). Both
+  * queries must end with every event exactly once, so the oracle is
+  * simply the batch aggregation over the events table.
+  */
+object StreamingQueries {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft_$prefix").toString
+
+  private def copyEvents(d: String, inDir: String, name: String): Unit = {
+    Files.createDirectories(Paths.get(inDir))
+    Files.copy(Paths.get(s"$d/events.parquet"), Paths.get(s"$inDir/$name"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Deterministic roll-up of an exactly-once event sink; the decimal
+    * sum makes the total order-independent and engine-exact.
+    */
+  private val sinkAggSql = """SELECT event_type, count(*) AS n,
+       min(event_id) AS min_id, max(event_id) AS max_id,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+  def qs: Seq[Q] = Seq(
+    // Streaming dedup, oracle-gated: both copies flow through
+    // dropDuplicatesWithinWatermark — whether the two files land in one
+    // micro-batch (in-batch state dedup) or two (cross-batch state /
+    // watermark late-drop), every event survives exactly once, which is
+    // what makes the result deterministic and hash-checkable. Bounded
+    // state: keys are evicted once the watermark passes them — viable
+    // on an unbounded stream, unlike a global streaming distinct.
+    Q("st1_streaming_dedup",
+      (s, d) => {
+        val root = tmp("stdedup")
+        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(d, s"$root/in", "b.parquet")
+        val deduped = EventsStream.dedupStream(
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.drainToParquet(deduped, s"$root/out", s"$root/ck")
+        s.read.parquet(s"$root/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("event_id").as("min_id"), max("event_id").as("max_id"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("event_type")
+      },
+      Some(sinkAggSql)),
+
+    // Streaming exactly-once upsert, oracle-gated: tick 1 drains the
+    // first file into the fact sink; tick 2 (same checkpoint — the
+    // durable used-files state) sees only the redelivered copy, and the
+    // foreachBatch anti-join against the sink drops every row. The
+    // sink holds each event exactly once even though the SOURCE
+    // delivered it twice — end-to-end exactly-once into plain parquet.
+    Q("st2_streaming_upsert",
+      (s, d) => {
+        val root = tmp("stupsert")
+        copyEvents(d, s"$root/in", "a.parquet")
+        def drain(): Unit = EventsStream.drainUpsert(
+          EventsStream.readEvents(s, s"$root/in"),
+          Seq("event_id"), s"$root/out", s"$root/ck")
+        drain() // tick 1: initial load
+        copyEvents(d, s"$root/in", "b.parquet")
+        drain() // tick 2: redelivery under a new name
+        s.read.parquet(s"$root/out")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            min("event_id").as("min_id"), max("event_id").as("max_id"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("event_type")
+      },
+      Some(sinkAggSql))
+  )
+}
