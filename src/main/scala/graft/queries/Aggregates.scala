@@ -214,6 +214,40 @@ GROUP BY target_id ORDER BY target_id""")),
       Some("""SELECT l_partkey AS id FROM lineitem
               UNION
               SELECT l_suppkey FROM lineitem
-              ORDER BY id"""))
+              ORDER BY id""")),
+
+    // Exact discrete percentiles per group (beyond the reference's
+    // ∅-list): the nearest-rank definition via row_number over a TOTAL
+    // order (value, then event_id for ties) — engine-exact, unlike
+    // interpolating percentile functions whose float arithmetic
+    // differs across engines. One shuffle on the group key; at scale
+    // approx_percentile is the sketch alternative when exactness isn't
+    // required.
+    Q("a13_percentiles",
+      (s, d) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val wAll = Window.partitionBy("event_type")
+        Tables.events(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("event_type")
+          .agg(
+            min(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+            min(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"),
+            max("value").as("p100"))
+          .orderBy("event_type")
+      },
+      Some("""
+WITH r AS (SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events)
+SELECT event_type,
+       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+       min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
+       max(value) AS p100
+FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -87,6 +87,34 @@ FROM events GROUP BY event_type ORDER BY event_type"""
             sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
           .orderBy("event_type")
       },
-      Some(sinkAggSql))
+      Some(sinkAggSql)),
+
+    // Stream-static enrichment join — the standard streaming-ETL shape:
+    // each micro-batch of the event stream joins the static customer
+    // dimension (re-read per batch, so dim updates are picked up; Spark
+    // plans it as a broadcast join while the dim fits), the enriched
+    // rows land append-only in parquet, and aggregation happens
+    // downstream in batch. Keeping the agg OUT of the stream keeps the
+    // streaming state zero — the join itself is stateless.
+    Q("st3_streaming_static_join",
+      (s, d) => {
+        val root = tmp("ststatic")
+        copyEvents(d, s"$root/in", "a.parquet")
+        val cust = graft.Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))
+        val joined = EventsStream.readEvents(s, s"$root/in")
+          .join(cust, col("user_id") === col("c_custkey"))
+          .select("event_id", "event_type", "value", "c_nationkey")
+        EventsStream.drainToParquet(joined, s"$root/out", s"$root/ck")
+        s.read.parquet(s"$root/out")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c.c_nationkey, count(*) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey"""))
   )
 }

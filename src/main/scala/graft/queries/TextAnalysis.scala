@@ -175,6 +175,40 @@ SELECT doc_id,
        ELSE list_min(list_transform(range(1, len(toks)-1),
               i -> ${TextHash.sqlTokenHash("(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])")}))
   END AS shingle_min_hash
+FROM t ORDER BY doc_id""")),
+
+    // Repetition detection — the distinct-trigram ratio as a
+    // compression-proxy quality signal: templated/looping text (the
+    // classic web-crawl failure mode) reuses its trigrams, so
+    // distinct/total drops. Map-only and codegen'd; the same
+    // shingle_set feeding the dedup family is reused so the signal is
+    // consistent with what near-dup dedup sees.
+    Q("text_repetition_ratio",
+      (s, d) => {
+        TextHash.register(s)
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .withColumn("n_trigrams",
+            when(size(toks) < 3, lit(1L))
+              .otherwise((size(toks) - 2).cast("long")))
+          .withColumn("n_distinct",
+            size(expr("shingle_set(text)")).cast("long"))
+          .withColumn("rep_ratio",
+            round(col("n_distinct").cast("double") / col("n_trigrams"), 6))
+          .withColumn("repetitive", col("rep_ratio") < 0.5)
+          .select("doc_id", "n_trigrams", "n_distinct", "rep_ratio", "repetitive")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id,
+    CASE WHEN len(string_split(text, ' ')) < 3 THEN 1
+         ELSE len(string_split(text, ' ')) - 2 END AS n_trigrams,
+    len(${graft.queries.Dedup.sqlShingles("text")}) AS n_distinct
+  FROM documents)
+SELECT doc_id, n_trigrams, n_distinct,
+       round(n_distinct::DOUBLE / n_trigrams, 6) AS rep_ratio,
+       round(n_distinct::DOUBLE / n_trigrams, 6) < 0.5 AS repetitive
 FROM t ORDER BY doc_id"""))
   )
 }
