@@ -21,6 +21,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally {
+        // release catalog cache AND localCheckpoint blocks between
+        // queries (Caching doc) — 100+ queries of dead checkpoint
+        // blocks otherwise tax every later query with GC pressure
+        spark.catalog.clearCache()
+        Caching.flush()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -438,10 +438,7 @@ WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
     */
   def labelPropagation(s: SparkSession, edges: DataFrame,
       allDocs: DataFrame): DataFrame = {
-    val ckDir = s.conf.getOption("spark.graft.checkpointDir")
-    ckDir.foreach(s.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (ckDir.isDefined) df.checkpoint() else df.localCheckpoint(true)
+    def truncate(df: DataFrame): DataFrame = graft.Caching.materialize(s, df)
     val und = edges.select(col("i").as("a"), col("j").as("b"))
       .union(edges.select(col("j").as("a"), col("i").as("b")))
       .persist()
@@ -466,6 +463,10 @@ WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
           least(col("cluster"),
             coalesce(col("nbr_min"), col("cluster"))).as("cluster")))
       converged = step.filter(col("cluster") =!= col("old")).isEmpty
+      // round N-1's checkpoint blocks are dead once `step` is
+      // materialized — free them now instead of letting 50 rounds pile
+      // up in executor memory
+      graft.Caching.release(labels)
       labels = step.select("doc_id", "cluster")
       iter += 1
     }
@@ -525,9 +526,7 @@ SELECT i, j, jac FROM verified ORDER BY i, j""")),
     // is the from-scratch formulation restricted to new-batch pairs,
     // which the index path must (and does) reproduce exactly.
     Q("dedup_incremental_minhash",
-      (s, d) => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_ndidx").toString
+      (s, d) => graft.Scratch.withDir(s, "ndidx") { root =>
         val docs = Tables.documents(s, d).select("doc_id", "text")
         DedupIndex.bootstrap(s, docs.filter(col("doc_id") % 5 =!= 0),
           s"$root/v1")

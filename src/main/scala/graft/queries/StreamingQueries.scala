@@ -22,9 +22,6 @@ import graft.streaming.EventsStream
   */
 object StreamingQueries {
 
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
-
   private def copyEvents(d: String, inDir: String, name: String): Unit = {
     Files.createDirectories(Paths.get(inDir))
     Files.copy(Paths.get(s"$d/events.parquet"), Paths.get(s"$inDir/$name"),
@@ -48,8 +45,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     // state: keys are evicted once the watermark passes them — viable
     // on an unbounded stream, unlike a global streaming distinct.
     Q("st1_streaming_dedup",
-      (s, d) => {
-        val root = tmp("stdedup")
+      (s, d) => graft.Scratch.withDir(s, "stdedup") { root =>
         copyEvents(d, s"$root/in", "a.parquet")
         copyEvents(d, s"$root/in", "b.parquet")
         val deduped = EventsStream.dedupStream(
@@ -71,8 +67,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     // sink holds each event exactly once even though the SOURCE
     // delivered it twice — end-to-end exactly-once into plain parquet.
     Q("st2_streaming_upsert",
-      (s, d) => {
-        val root = tmp("stupsert")
+      (s, d) => graft.Scratch.withDir(s, "stupsert") { root =>
         copyEvents(d, s"$root/in", "a.parquet")
         def drain(): Unit = EventsStream.drainUpsert(
           EventsStream.readEvents(s, s"$root/in"),
@@ -97,8 +92,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     // downstream in batch. Keeping the agg OUT of the stream keeps the
     // streaming state zero — the join itself is stateless.
     Q("st3_streaming_static_join",
-      (s, d) => {
-        val root = tmp("ststatic")
+      (s, d) => graft.Scratch.withDir(s, "ststatic") { root =>
         copyEvents(d, s"$root/in", "a.parquet")
         val cust = graft.Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"))

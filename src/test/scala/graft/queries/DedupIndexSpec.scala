@@ -92,7 +92,8 @@ class DedupIndexSpec extends AnyFunSuite {
     DedupIndex.bootstrap(s, b, s"$root/v1", dfCap = cap)
     val delta = docsDf(4L -> s"$shared three extra word here")
     val all = b.union(delta)
-    val res = DedupIndex.update(s, all, s"$root/v1", s"$root/v2", dfCap = cap)
+    // no dfCap here: update must pick the bootstrap cap up from meta/
+    val res = DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
     assert(res.metrics.nDelta == 1)
     assert(res.metrics.nAffected == 2, "both old docs carrying the flipped shingle")
     assert(res.metrics.nSigsRecomputed == 3)
@@ -102,6 +103,31 @@ class DedupIndexSpec extends AnyFunSuite {
     val scratch = s.read.parquet(s"$root/scratch/sig")
     assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
       "flip-affected signatures diverged from from-scratch")
+  }
+
+  test("meta records the build cap; scratch delta postings are cleaned up") {
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, base, s"$root/v1", dfCap = 7)
+    assert(DedupIndex.dfCapOf(s, s"$root/v1") == 7)
+    val all = base.union(docsDf(5L -> "some new appended document text"))
+    DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
+    assert(DedupIndex.dfCapOf(s, s"$root/v2") == 7, "cap must propagate")
+    assert(!Files.exists(java.nio.file.Paths.get(s"$root/v2/_scratch")),
+      "transient delta postings must not outlive update()")
+  }
+
+  test("assertAppendOnly passes on appends and throws on mutated content") {
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, base, s"$root/v1")
+    val appended = base.union(docsDf(9L -> "a brand new appended doc"))
+    DedupIndex.assertAppendOnly(s, appended, s"$root/v1") // must not throw
+    val mutated = docsDf(
+      1L -> "REWRITTEN text for an already indexed id",
+      2L -> "the quick brown fox jumps over the lazy cat tonight")
+    val e = intercept[IllegalStateException] {
+      DedupIndex.assertAppendOnly(s, mutated, s"$root/v1")
+    }
+    assert(e.getMessage.contains("append-only"))
   }
 
   test("registered dedup_incremental_minhash (index-backed) matches the rebuild-and-filter result") {
