@@ -150,6 +150,173 @@ c AS (SELECT doc_id, shard, n_tokens,
                   AS BIGINT) AS cum_tokens
       FROM h)
 SELECT doc_id, shard, n_tokens, cum_tokens FROM c
-WHERE cum_tokens <= 3000 ORDER BY shard, cum_tokens, doc_id"""))
+WHERE cum_tokens <= 3000 ORDER BY shard, cum_tokens, doc_id""")),
+
+    // Paragraph-level dedup (the CCNet/RefinedWeb within-corpus shape):
+    // documents are cut into fixed 16-token chunks by pure ARRAY
+    // expressions (transform+slice — codegen'd, no shuffle until the
+    // chunk-hash aggregation), each chunk owned by the smallest doc_id
+    // carrying it, and every other occurrence is dropped. Run over the
+    // re-ingest corpus (every 10th doc re-arrives under a new id) so
+    // redelivered documents lose all their chunks to the original. One
+    // shuffle on chunk hash; cost ∝ corpus token count, never pairwise.
+    Q("curation_paragraph_dedup",
+      (s, d) => {
+        TextHash.register(s)
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        corpus
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("nch",
+            greatest(ceil(size(col("toks")) / 16.0).cast("int"), lit(1)))
+          .withColumn("chunk", explode(expr(
+            "transform(sequence(0, nch - 1), i -> concat_ws(' ', slice(toks, i*16 + 1, 16)))")))
+          .withColumn("h", expr("tok_hash(chunk)"))
+          .withColumn("owner", min("doc_id").over(Window.partitionBy("h")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("owner") =!= col("doc_id"), 1L).otherwise(0L))
+              .as("n_dropped"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH docs AS (SELECT doc_id, text FROM documents UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs),
+n AS (SELECT doc_id, toks,
+             greatest(CAST(ceil(len(toks) / 16.0) AS BIGINT), 1) AS nch FROM t),
+ch AS (SELECT doc_id,
+              unnest(list_transform(range(0, nch),
+                i -> array_to_string(toks[(i*16 + 1):(i*16 + 16)], ' '))) AS chunk
+       FROM n),
+h AS (SELECT doc_id, ${TextHash.sqlTokenHash("chunk")} AS hh FROM ch),
+o AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY hh) AS owner FROM h)
+SELECT doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN owner <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM o GROUP BY doc_id ORDER BY doc_id""")),
+
+    // PII redaction: map-only regex scrub (emails, phone numbers) with
+    // per-doc match counts — entirely inside whole-stage codegen, no
+    // shuffle at all until the final presentation sort. The synthetic
+    // corpus contains no organic PII, so a deterministic enrichment
+    // stage plants one email per doc_id%7 doc and one phone per
+    // doc_id%11 doc first; the scrub must then find exactly those.
+    Q("curation_pii_redact",
+      (s, d) => {
+        val email = "[a-z0-9._]+@[a-z0-9.]+"
+        val phone = "555-[0-9]{4}"
+        Tables.documents(s, d)
+          .withColumn("t", concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"),
+                lit("@mail.example.com now"))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+                lit(" soon"))).otherwise(lit(""))))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(email), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+              .cast("long").as("n_phones"),
+            regexp_replace(regexp_replace(col("t"), email, "<EMAIL>"),
+              phone, "<PHONE>").as("redacted"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH e AS (SELECT doc_id,
+  text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com now'
+               ELSE '' END
+       || CASE WHEN doc_id % 11 = 0
+               THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' soon'
+               ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+       len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phones,
+       regexp_replace(regexp_replace(t, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+                      '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+FROM e ORDER BY doc_id""")),
+
+    // Data-mixture assembly: target per-source weights (the "40% web,
+    // 30% books…" recipe every training set is mixed to) turned into
+    // per-source quotas over a fixed document budget, filled in salted-
+    // hash order. The weights table is broadcast (it is always tiny);
+    // one shuffle on source; per-source windows run partition-parallel;
+    // a short source simply contributes everything it has.
+    Q("curation_domain_mix",
+      (s, d) => {
+        TextHash.register(s)
+        import s.implicits._
+        val weights = Seq(("src0", 0.4), ("src1", 0.3), ("src2", 0.2),
+          ("src3", 0.1)).toDF("source", "wt")
+        val w = Window.partitionBy("source")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("hkey", expr(hkeyExpr))
+          .join(broadcast(weights), Seq("source"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= ceil(col("wt") * 200))
+          .select("doc_id", "source", "rn")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+h AS (SELECT doc_id, source, $sqlHkey AS hkey FROM documents),
+r AS (SELECT doc_id, h.source AS source, wt,
+             row_number() OVER (PARTITION BY h.source ORDER BY hkey ASC, doc_id ASC) AS rn
+      FROM h JOIN w ON h.source = w.source)
+SELECT doc_id, source, rn FROM r WHERE rn <= ceil(wt * 200) ORDER BY doc_id""")),
+
+    // Bloom-style decontamination: the held-out (source='src3') shingle
+    // set is compressed to the SET BITS of a k=3, m=4096 Bloom filter —
+    // a table of at most m rows that broadcasts trivially, where the
+    // full held-out shingle dictionary would not at 100 TB. A training
+    // shingle is flagged iff ALL k of its bit positions are set (the
+    // standard Bloom false-positive semantics, deterministically
+    // mirrored by the oracle). The flagged set is a SUPERSET of true
+    // overlaps — the cheap first pass whose hits feed the exact
+    // verification join (curation_decontam_overlap) over a corpus
+    // fraction instead of the whole corpus.
+    Q("curation_bloom_decontam",
+      (s, d) => {
+        val m = 4096
+        val seeds = 0 until 3
+        val docs = Dedup.docShingles(s, d)
+        val held = docs.filter(col("source") === "src3")
+          .select(explode(col("shs")).as("sh")).distinct()
+        val bits = held.select(explode(array(seeds.map(k =>
+            pmod(expr(s"tok_hash(concat('bloom${k}_', sh))"), lit(m.toLong)))
+          : _*)).as("bit")).distinct()
+        val trpost = docs.filter(col("source") =!= "src3")
+          .select(col("doc_id").as("train_id"), explode(col("shs")).as("sh"))
+          .distinct()
+        val cand = trpost.select(col("train_id"), col("sh"),
+          explode(array(seeds.map(k => struct(lit(k).as("k"),
+            pmod(expr(s"tok_hash(concat('bloom${k}_', sh))"), lit(m.toLong))
+              .as("bit"))): _*)).as("kb"))
+          .select(col("train_id"), col("sh"), col("kb.k"), col("kb.bit"))
+        cand.join(broadcast(bits), Seq("bit"), "left_semi")
+          .groupBy("train_id", "sh").agg(count(lit(1)).as("n_set"))
+          .filter(col("n_set") === seeds.size)
+          .groupBy("train_id").agg(count(lit(1)).as("n_flagged"))
+          .orderBy("train_id")
+      },
+      Some(s"""
+WITH d AS (SELECT doc_id, source, ${Dedup.sqlShingles("text")} AS shs FROM documents),
+held AS (SELECT DISTINCT unnest(shs) AS sh FROM d WHERE source = 'src3'),
+seeds(k) AS (VALUES (0), (1), (2)),
+bits AS (SELECT DISTINCT ${TextHash.sqlTokenHash("'bloom' || k::VARCHAR || '_' || sh")} % 4096 AS bit
+         FROM held CROSS JOIN seeds),
+trp0 AS (SELECT doc_id AS train_id, unnest(shs) AS sh FROM d WHERE source <> 'src3'),
+trp AS (SELECT DISTINCT train_id, sh FROM trp0),
+cand AS (SELECT train_id, sh, k,
+                ${TextHash.sqlTokenHash("'bloom' || k::VARCHAR || '_' || sh")} % 4096 AS bit
+         FROM trp CROSS JOIN seeds),
+hit AS (SELECT train_id, sh FROM cand JOIN bits USING (bit)
+        GROUP BY train_id, sh HAVING count(*) = 3)
+SELECT train_id, count(*) AS n_flagged FROM hit GROUP BY train_id ORDER BY train_id"""))
   )
 }

@@ -71,6 +71,71 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph dedup: a re-ingested doc loses every chunk to its original") {
+    val out = Registry.queries("curation_paragraph_dedup")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val reingested = out.filter(_._1 >= 100000)
+    assert(reingested.nonEmpty)
+    reingested.foreach { case (id, nChunks, nDropped) =>
+      assert(nDropped == nChunks, s"re-ingested doc $id must own no chunk")
+    }
+    // chunk counts are ceil(tokens/16) per doc — spot-check the total
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expectTotal = docs.map { case (_, t) =>
+      math.max(math.ceil(t.split(" ", -1).length / 16.0).toLong, 1L)
+    }.sum + docs.filter(_._1 % 10 == 0).map { case (_, t) =>
+      math.max(math.ceil(t.split(" ", -1).length / 16.0).toLong, 1L)
+    }.sum
+    assert(out.map(_._2).sum == expectTotal)
+  }
+
+  test("pii redact finds exactly the planted identifiers and scrubs them") {
+    val out = Registry.queries("curation_pii_redact")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (id, nEmails, nPhones, red) =>
+      assert(nEmails == (if (id % 7 == 0) 1L else 0L), s"doc $id emails")
+      assert(nPhones == (if (id % 11 == 0) 1L else 0L), s"doc $id phones")
+      assert(!red.contains("@"), s"doc $id leaked an email")
+      assert(!red.contains("555-"), s"doc $id leaked a phone")
+      if (id % 7 == 0) assert(red.contains("<EMAIL>"))
+      if (id % 11 == 0) assert(red.contains("<PHONE>"))
+    }
+  }
+
+  test("domain mix fills each source quota exactly (or exhausts a short source)") {
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+    val got = Registry.queries("curation_domain_mix")(spark, TestSpark.Sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = Tables.documents(spark, TestSpark.Sf0001)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == weights.keySet.filter(k => full.getOrElse(k, 0L) > 0))
+    got.foreach { case (src, n) =>
+      val quota = math.ceil(weights(src) * 200).toLong
+      assert(n == math.min(quota, full(src)), s"source $src")
+    }
+  }
+
+  test("bloom decontam has no false negatives against the exact shingle overlap") {
+    val flagged = Registry.queries("curation_bloom_decontam")(spark, TestSpark.Sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val heldShs = docs.filter(_._2 == "src3")
+      .flatMap(d => TextHash.shingleSet(d._3)).toSet
+    val trulyOverlapping = docs.filter(_._2 != "src3").collect {
+      case (id, _, t) if (TextHash.shingleSet(t).toSet intersect heldShs).nonEmpty => id
+    }.toSet
+    assert(trulyOverlapping.nonEmpty)
+    assert(trulyOverlapping.subsetOf(flagged),
+      s"bloom missed ${trulyOverlapping diff flagged}")
+  }
+
   test("every flagged train doc truly shares >= 2 uncapped shingles with a held-out doc") {
     val flagged = Registry.queries("curation_decontam_overlap")(spark, TestSpark.Sf0001)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
