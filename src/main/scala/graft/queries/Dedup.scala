@@ -91,6 +91,24 @@ object Dedup {
         greatest(col("i"), col("j")).as("j"))
       .distinct()
 
+  /** Asymmetric candidate generation: pairs sharing a band bucket where
+    * at least one side is in `newBands` — the incremental-update shape
+    * ([[DedupIndex.update]]): instead of the full self-join over every
+    * band key followed by a filter, a delta×corpus equi-join on
+    * (band, key) whose output is inherently delta-proportional.
+    * Existing×existing pairs are never generated at all. Bucket skew on
+    * the corpus side is a plain join-key skew (AQE skew-join splits
+    * it), not the quadratic self-join blowup [[saltedBlocks]] guards.
+    */
+  def bucketPairsAgainst(newBands: DataFrame, allBands: DataFrame): DataFrame =
+    newBands.select(col("band"), col("key"), col("doc_id").as("i"))
+      .join(allBands.select(col("band"), col("key"), col("doc_id").as("j")),
+        Seq("band", "key"))
+      .filter(col("i") =!= col("j"))
+      .select(least(col("i"), col("j")).as("i"),
+        greatest(col("i"), col("j")).as("j"))
+      .distinct()
+
   /** The salted block replication feeding [[bucketPairs]] — exposed so
     * DedupSpec can assert the per-block population bound directly.
     */

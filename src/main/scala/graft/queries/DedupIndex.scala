@@ -8,25 +8,47 @@ import graft.Caching
 /** Persistent MinHash near-dup index — the reference's incremental
   * contract (tanimoto.py:28-58 keeps a durable `used_input_files` state
   * so a daily run only processes new inputs) re-expressed as parquet
-  * state tables:
+  * state tables with LSM-style batch lineage:
   *
   *  - `rawpost/` (doc_id, sh, h) — raw hashed postings, the output of
-  *    the only text-processing stage ([[Dedup.rawPostings]]);
-  *  - `df/`      (sh, df)        — shingle document frequencies, which
-  *    merge across batches by summation;
+  *    the only text-processing stage ([[Dedup.rawPostings]]). Stored as
+  *    ONE IMMUTABLE BATCH PER UPDATE: an update writes only the delta's
+  *    postings and links the parent batches through `meta/`, so state
+  *    write volume is O(delta), never O(corpus) — at 100 TB, rewriting
+  *    the posting set per daily batch would dwarf the query itself.
+  *  - `df/`      (sh, df)        — shingle document frequencies, also
+  *    one batch per update; frequencies are mergeable by summation, so
+  *    the current table is a groupBy-sum over the lineage at read time.
   *  - `sig/`     (doc_id, th, n, m0..m7) — MinHash signatures + set
-  *    sizes + a content hash (`th`) for the append-only audit;
-  *  - `meta/`    (df_cap) — the parameters the index was built with;
-  *    [[update]] reads them back, so two state versions can never mix
-  *    signatures computed under different caps.
+  *    sizes + a content hash (`th`) for the append-only audit. Written
+  *    in full each update (one compact row per doc — the small table);
+  *    mostly-unchanged rows carry over relationally.
+  *  - `meta/`    (df_cap, raw_dirs, df_dirs) — the parameters the index
+  *    was built with plus the batch lineage. [[update]] reads them
+  *    back, so two state versions can never mix signatures computed
+  *    under different caps, and a state version is self-describing.
+  *
+  * Reads over a long lineage re-aggregate `df/` per update; [[compact]]
+  * folds the lineage back into single batches (run it every K updates,
+  * the standard LSM compaction trade).
   *
   * [[update]] shingles ONLY documents not yet in the index; everything
-  * else is relational algebra over the persisted tables. Results are
-  * IDENTICAL to a from-scratch run: the merged df table equals the
-  * full-corpus df, and documents whose df-cap/rescue status changed
-  * because the delta pushed a shingle across [[Dedup.DfCap]] are
-  * detected (the `flipped` set) and re-signed along with the delta —
-  * the index never serves a stale signature.
+  * else is relational algebra over the persisted tables, restricted to
+  * delta-proportional subsets: signatures are recomputed only for
+  * delta ∪ cap-flip-affected docs, candidate pairs come from an
+  * asymmetric delta×corpus band join ([[Dedup.bucketPairsAgainst]] —
+  * existing×existing pairs are never even generated), and verification
+  * postings are restricted to docs actually appearing in a candidate
+  * pair. Results are IDENTICAL to a from-scratch run: the summed df
+  * lineage equals the full-corpus df, and documents whose df-cap/rescue
+  * status changed because the delta pushed a shingle across
+  * [[Dedup.DfCap]] are detected (the `flipped` set) and re-signed along
+  * with the delta — the index never serves a stale signature.
+  *
+  * Each update WRITES NEW FILES ONLY (a new batch dir + a new sig/meta
+  * version): safe on object stores (no read-modify-write races, atomic
+  * adoption by switching a pointer, trivial rollback), and the previous
+  * version remains readable for audits.
   *
   * THE CORPUS CONTRACT IS APPEND-ONLY — the reference's
   * used_input_files semantics (tanimoto.py:28-58): a doc_id, once
@@ -36,13 +58,6 @@ import graft.Caching
   * that (content hashes are stored per doc), so a pipeline that cannot
   * guarantee immutability upstream can fail loudly instead of serving
   * stale pairs.
-  *
-  * Each update WRITES A NEW state directory instead of mutating the old
-  * one: safe on object stores (no read-modify-write races, atomic
-  * adoption by switching a pointer, trivial rollback), and the previous
-  * version remains readable for audits. At 100 TB the state tables are
-  * a small multiple of the corpus token count, partitioned like any
-  * other warehouse table.
   */
 object DedupIndex {
 
@@ -55,9 +70,42 @@ object DedupIndex {
 
   case class UpdateResult(pairs: DataFrame, metrics: UpdateMetrics)
 
+  case class Meta(dfCap: Int, rawDirs: Seq[String], dfDirs: Seq[String])
+
   /** Content hash stored per indexed doc — the append-only audit key. */
   private def contentHash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), xxhash64(col("text")).as("th"))
+
+  private def writeMeta(s: SparkSession, stateDir: String, m: Meta): Unit = {
+    import s.implicits._
+    Seq((m.dfCap, m.rawDirs, m.dfDirs))
+      .toDF("df_cap", "raw_dirs", "df_dirs").coalesce(1)
+      .write.mode("overwrite").parquet(s"$stateDir/meta")
+  }
+
+  def metaOf(s: SparkSession, stateDir: String): Meta = {
+    val r = s.read.parquet(s"$stateDir/meta").head()
+    // array columns come back as mutable.ArraySeq in 2.13 — convert
+    Meta(r.getAs[Int]("df_cap"),
+      r.getAs[scala.collection.Seq[String]]("raw_dirs").toSeq,
+      r.getAs[scala.collection.Seq[String]]("df_dirs").toSeq)
+  }
+
+  /** The dfCap a state version was built with — every [[update]] reads
+    * it back instead of trusting a caller-supplied value.
+    */
+  def dfCapOf(s: SparkSession, stateDir: String): Int = metaOf(s, stateDir).dfCap
+
+  /** All raw postings of a state version — the batch lineage unioned
+    * (a multi-path parquet scan; no data is copied to serve it).
+    */
+  def rawAll(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(metaOf(s, stateDir).rawDirs: _*)
+
+  /** Current shingle document frequencies — lineage batches summed. */
+  def dfAll(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(metaOf(s, stateDir).dfDirs: _*)
+      .groupBy("sh").agg(sum("df").as("df"))
 
   /** Full build of the index state for `docs` (doc_id, text) under
     * `stateDir` — run once, then [[update]] per batch.
@@ -73,25 +121,27 @@ object DedupIndex {
     Dedup.signatures(Dedup.cappedPostings(raw, dfT, dfCap))
       .join(contentHash(docs), Seq("doc_id"))
       .write.mode("overwrite").parquet(s"$stateDir/sig")
-    writeMeta(s, stateDir, dfCap)
+    writeMeta(s, stateDir,
+      Meta(dfCap, Seq(s"$stateDir/rawpost"), Seq(s"$stateDir/df")))
   }
 
-  private def writeMeta(s: SparkSession, stateDir: String, dfCap: Int): Unit = {
-    import s.implicits._
-    Seq(dfCap).toDF("df_cap").coalesce(1)
-      .write.mode("overwrite").parquet(s"$stateDir/meta")
-  }
-
-  /** The dfCap a state version was built with — every [[update]] reads
-    * it back instead of trusting a caller-supplied value.
+  /** Fold a long batch lineage back into single rawpost/df batches
+    * under `outDir` (sig and cap carry over) — LSM compaction; run
+    * every K updates so read-time df aggregation stays bounded.
     */
-  def dfCapOf(s: SparkSession, stateDir: String): Int =
-    s.read.parquet(s"$stateDir/meta").head().getAs[Int]("df_cap")
+  def compact(s: SparkSession, inDir: String, outDir: String): Unit = {
+    val m = metaOf(s, inDir)
+    rawAll(s, inDir).write.mode("overwrite").parquet(s"$outDir/rawpost")
+    dfAll(s, inDir).write.mode("overwrite").parquet(s"$outDir/df")
+    s.read.parquet(s"$inDir/sig").write.mode("overwrite").parquet(s"$outDir/sig")
+    writeMeta(s, outDir,
+      Meta(m.dfCap, Seq(s"$outDir/rawpost"), Seq(s"$outDir/df")))
+  }
 
-  /** Audit the append-only contract (class doc): returns the doc_ids
-    * whose current text hash differs from the indexed one — nonempty
-    * means the corpus mutated under the index and a [[bootstrap]]
-    * rebuild is required. Column-pruned to (doc_id, text); no shingling.
+  /** Audit the append-only contract (class doc): throws if any indexed
+    * doc_id's current text hash differs from the stored one — the
+    * corpus mutated under the index and a [[bootstrap]] rebuild is
+    * required. Column-pruned to (doc_id, text); no shingling.
     */
   def assertAppendOnly(s: SparkSession, docs: DataFrame, stateDir: String): Unit = {
     val changed = contentHash(docs)
@@ -111,93 +161,94 @@ object DedupIndex {
     * the new state to `outDir`, and return the verified near-dup pairs
     * that TOUCH the recomputed set (delta ∪ flipped-affected) —
     * existing×existing pairs were emitted by previous runs and are
-    * never re-verified.
+    * never re-verified (nor generated: class doc).
     */
   def update(s: SparkSession, docs: DataFrame, inDir: String,
       outDir: String): UpdateResult = {
     // Parameters come from the state itself, never the caller: a cap
     // mismatch would silently serve signatures built under another cap.
-    val dfCap = dfCapOf(s, inDir)
-    val oldRaw = s.read.parquet(s"$inDir/rawpost")
-    val oldDf = s.read.parquet(s"$inDir/df")
-      .select(col("sh"), col("df").as("df_old"))
+    val meta = metaOf(s, inDir)
+    val dfCap = meta.dfCap
     val oldSig = s.read.parquet(s"$inDir/sig")
 
     // The durable used-set: anything already signed is never re-read.
     val indexed = oldSig.select("doc_id")
     val delta = docs.join(indexed, Seq("doc_id"), "left_anti")
 
-    // The ONLY text processing of the whole update. The delta postings
-    // land in a scratch dir (deleted before returning — they are merged
-    // into rawpost/, not part of the rawpost/df/sig/meta state layout).
-    val scratch = s"$outDir/_scratch"
+    // The ONLY text processing of the whole update — and, with sig, the
+    // only state WRITES: the new postings/df batches hold the delta
+    // alone and join the lineage through meta.
     Dedup.rawPostings(s, delta)
-      .write.mode("overwrite").parquet(s"$scratch/deltapost")
-    val deltaRaw = s.read.parquet(s"$scratch/deltapost")
-
-    oldRaw.select("doc_id", "sh", "h")
-      .union(deltaRaw.select("doc_id", "sh", "h"))
       .write.mode("overwrite").parquet(s"$outDir/rawpost")
-    val raw = s.read.parquet(s"$outDir/rawpost")
+    val deltaRaw = s.read.parquet(s"$outDir/rawpost")
+    Dedup.shingleDf(deltaRaw).write.mode("overwrite").parquet(s"$outDir/df")
+    val deltaDf = s.read.parquet(s"$outDir/df")
 
-    // df merges by summation — no rescan of old postings.
-    oldDf
-      .join(Dedup.shingleDf(deltaRaw).select(col("sh"), col("df").as("df_delta")),
-        Seq("sh"), "full")
-      .select(col("sh"),
+    val rawDirs = meta.rawDirs :+ s"$outDir/rawpost"
+    val dfDirs = meta.dfDirs :+ s"$outDir/df"
+    val raw = s.read.parquet(rawDirs: _*)
+
+    // df merges by summation — no rescan of old postings. Persisted:
+    // the cap filter and the flip detection both read it.
+    val dfOld = s.read.parquet(meta.dfDirs: _*)
+      .groupBy("sh").agg(sum("df").as("df_old"))
+    val merged = dfOld
+      .join(deltaDf.select(col("sh"), col("df").as("df_delta")), Seq("sh"), "full")
+      .select(col("sh"), coalesce(col("df_old"), lit(0L)).as("df_old"),
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
           .as("df"))
-      .write.mode("overwrite").parquet(s"$outDir/df")
-    val dfT = s.read.parquet(s"$outDir/df")
+      .persist()
+    val dfT = merged.select("sh", "df")
 
     // Shingles whose hot status the delta changed: every previously-
     // indexed doc carrying one has a stale signature (its kept/rescued
     // posting set changed) and must be re-signed — the correctness
-    // guard that makes incremental == from-scratch. Derived from the
-    // DURABLE df tables (not the lazy merge) so the scratch delta
-    // postings can be deleted before returning.
-    val flipped = dfT.join(oldDf, Seq("sh"), "left")
-      .filter((coalesce(col("df_old"), lit(0L)) > dfCap) =!= (col("df") > dfCap))
-      .select("sh")
+    // guard that makes incremental == from-scratch.
+    val flipped = merged
+      .filter((col("df_old") > dfCap) =!= (col("df") > dfCap)).select("sh")
     val affected = raw.join(flipped, Seq("sh")).select("doc_id").distinct()
       .join(indexed, Seq("doc_id"), "left_semi")
+      .persist()
     val recompute = affected.union(delta.select("doc_id")).distinct()
       .persist()
 
-    val post = Dedup.cappedPostings(raw, dfT, dfCap).persist()
-    val sigRe = Dedup.signatures(post.join(recompute, Seq("doc_id"), "left_semi"))
+    // Sign ONLY the recomputed docs, over postings restricted FIRST —
+    // the capped-postings rescue is per-doc, so restricting its input
+    // to the recompute set is exact.
+    val rawRe = raw.join(recompute, Seq("doc_id"), "left_semi")
+    val sigRe = Dedup.signatures(Dedup.cappedPostings(rawRe, dfT, dfCap))
       .join(contentHash(docs), Seq("doc_id"))
     val sigCols = oldSig.columns.map(col)
     oldSig.join(recompute, Seq("doc_id"), "left_anti").select(sigCols: _*)
       .union(sigRe.select(sigCols: _*))
       .write.mode("overwrite").parquet(s"$outDir/sig")
     val sig = s.read.parquet(s"$outDir/sig")
-    writeMeta(s, outDir, dfCap)
+    writeMeta(s, outDir, Meta(dfCap, rawDirs, dfDirs))
 
+    // nSigsRecomputed comes from the cached recompute set, not a second
+    // evaluation of the signature aggregation (every recompute doc has
+    // postings, so sigRe has exactly one row per recompute doc).
     val metrics = UpdateMetrics(
       nDelta = delta.count(),
       nAffected = affected.count(),
-      nSigsRecomputed = sigRe.count())
+      nSigsRecomputed = recompute.count())
 
-    // Candidates from the FULL band index (a new doc must pair with an
-    // old one), pruned to pairs touching the recomputed set BEFORE
-    // verification — verify cost is delta-proportional.
-    val cand = Dedup.bucketPairs(Dedup.bandKeys(sig), Dedup.SaltCap)
-    // using-column joins reorder columns — realign before the union
-    val touching = cand
-      .join(recompute.select(col("doc_id").as("i")), Seq("i"), "left_semi")
-      .select("i", "j")
-      .union(cand
-        .join(recompute.select(col("doc_id").as("j")), Seq("j"), "left_semi")
-        .select("i", "j"))
-      .distinct()
-    val pairs = Caching.releasing(s, post, recompute)(
-      Dedup.verifyPairs(touching, post, sig))
-    // pairs is materialized above, so nothing references the scratch
-    // delta postings any more — drop them; the state dir now holds
-    // exactly the documented rawpost/df/sig/meta layout.
-    val sp = new org.apache.hadoop.fs.Path(scratch)
-    sp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(sp, true)
+    // Candidates from the asymmetric band join: recomputed-side bands
+    // against the full index — delta-proportional output, and
+    // existing×existing pairs never exist to be filtered away.
+    val sigNew = sig.join(recompute, Seq("doc_id"), "left_semi")
+    val touching = Dedup.bucketPairsAgainst(
+      Dedup.bandKeys(sigNew), Dedup.bandKeys(sig)).persist()
+
+    // Verification postings restricted to docs actually in a candidate
+    // pair — the full-corpus capped-postings materialization was the
+    // last corpus-scale stage of the update path.
+    val touched = touching.select(col("i").as("doc_id"))
+      .union(touching.select(col("j").as("doc_id"))).distinct()
+    val postRel = Dedup.cappedPostings(
+      raw.join(touched, Seq("doc_id"), "left_semi"), dfT, dfCap).persist()
+    val pairs = Caching.releasing(s, postRel, touching, recompute, affected, merged)(
+      Dedup.verifyPairs(touching, postRel, sig))
     UpdateResult(pairs, metrics)
   }
 }

@@ -69,11 +69,14 @@ class DedupIndexSpec extends AnyFunSuite {
     val all = base.union(delta)
     DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
     DedupIndex.bootstrap(s, all, s"$root/scratch")
-    for (t <- Seq("sig", "df")) {
-      val inc = s.read.parquet(s"$root/v2/$t")
-      val scratch = s.read.parquet(s"$root/scratch/$t")
+    // sig is a full table per version; df/rawpost are batch lineages,
+    // compared through the lineage-aware readers
+    for ((inc, scratch) <- Seq(
+      s.read.parquet(s"$root/v2/sig") -> s.read.parquet(s"$root/scratch/sig"),
+      DedupIndex.dfAll(s, s"$root/v2") -> DedupIndex.dfAll(s, s"$root/scratch"),
+      DedupIndex.rawAll(s, s"$root/v2") -> DedupIndex.rawAll(s, s"$root/scratch"))) {
       assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
-        s"state table $t diverged from from-scratch")
+        "state diverged from from-scratch")
     }
   }
 
@@ -105,15 +108,41 @@ class DedupIndexSpec extends AnyFunSuite {
       "flip-affected signatures diverged from from-scratch")
   }
 
-  test("meta records the build cap; scratch delta postings are cleaned up") {
+  test("meta records the build cap; update writes only delta-sized batches") {
     val root = tmpRoot()
     DedupIndex.bootstrap(s, base, s"$root/v1", dfCap = 7)
     assert(DedupIndex.dfCapOf(s, s"$root/v1") == 7)
     val all = base.union(docsDf(5L -> "some new appended document text"))
     DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
     assert(DedupIndex.dfCapOf(s, s"$root/v2") == 7, "cap must propagate")
-    assert(!Files.exists(java.nio.file.Paths.get(s"$root/v2/_scratch")),
-      "transient delta postings must not outlive update()")
+    // delta-proportional state I/O: the v2 postings BATCH holds doc 5
+    // alone; the full corpus is served through the meta lineage
+    val batchIds = s.read.parquet(s"$root/v2/rawpost")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(batchIds == Set(5L), s"v2 batch must hold only the delta, got $batchIds")
+    assert(DedupIndex.rawAll(s, s"$root/v2")
+      .select("doc_id").distinct().count() == 5)
+  }
+
+  test("compact folds the lineage into one batch with identical contents") {
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, base, s"$root/v1")
+    val all = base.union(docsDf(5L -> "the quick brown fox jumps over the lazy dog today"))
+    DedupIndex.update(s, all, s"$root/v1", s"$root/v2")
+    DedupIndex.compact(s, s"$root/v2", s"$root/c")
+    val mc = DedupIndex.metaOf(s, s"$root/c")
+    assert(mc.rawDirs.size == 1 && mc.dfDirs.size == 1)
+    for ((a, b) <- Seq(
+      DedupIndex.dfAll(s, s"$root/v2") -> DedupIndex.dfAll(s, s"$root/c"),
+      DedupIndex.rawAll(s, s"$root/v2") -> DedupIndex.rawAll(s, s"$root/c"),
+      s.read.parquet(s"$root/v2/sig") -> s.read.parquet(s"$root/c/sig"))) {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "compaction changed state contents")
+    }
+    // and a further update runs off the compacted version
+    val all2 = all.union(docsDf(6L -> "yet another appended document entirely"))
+    val res = DedupIndex.update(s, all2, s"$root/c", s"$root/v3")
+    assert(res.metrics.nDelta == 1)
   }
 
   test("assertAppendOnly passes on appends and throws on mutated content") {
