@@ -152,6 +152,50 @@ c AS (SELECT doc_id, shard, n_tokens,
 SELECT doc_id, shard, n_tokens, cum_tokens FROM c
 WHERE cum_tokens <= 3000 ORDER BY shard, cum_tokens, doc_id""")),
 
+    // Concatenate-and-chop sequence packing — the training-sequence
+    // assembly step (GPT-style): within each shard the token stream is
+    // the docs in salted-hash order laid end to end, chopped into
+    // fixed 2048-token bins; each doc is annotated with the bin it
+    // starts in, its offset there, and how many bins it spans. One
+    // windowed running sum PER SHARD (never global); bin/offset are
+    // pure arithmetic on the running sum (division by 2^11 — exact in
+    // both engines), so readers can seek independently.
+    Q("curation_seq_pack",
+      (s, d) => {
+        TextHash.register(s)
+        val binTokens = 2048L
+        val w = Window.partitionBy("shard")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("hkey", expr(hkeyExpr))
+          .withColumn("shard", pmod(col("hkey"), lit(Shards.toLong)))
+          .withColumn("start", sum("n_tokens").over(w) - col("n_tokens"))
+          .withColumn("bin", floor(col("start") / binTokens).cast("long"))
+          .withColumn("off", pmod(col("start"), lit(binTokens)))
+          .withColumn("n_bins",
+            (floor((col("start") + col("n_tokens") - 1) / binTokens)
+              .cast("long") - col("bin") + 1L))
+          .select("doc_id", "shard", "n_tokens", "bin", "off", "n_bins")
+          .orderBy("shard", "bin", "off", "doc_id")
+      },
+      Some(s"""
+WITH h AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+                  $sqlHkey AS hkey, $sqlHkey % $Shards AS shard
+           FROM documents),
+c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey ASC, doc_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n_tokens AS start
+      FROM h)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(start / 2048.0) AS BIGINT) AS bin,
+       start % 2048 AS off,
+       CAST(floor((start + n_tokens - 1) / 2048.0) AS BIGINT)
+         - CAST(floor(start / 2048.0) AS BIGINT) + 1 AS n_bins
+FROM c ORDER BY shard, bin, off, doc_id""")),
+
     // Paragraph-level dedup (the CCNet/RefinedWeb within-corpus shape):
     // documents are cut into fixed 16-token chunks by pure ARRAY
     // expressions (transform+slice — codegen'd, no shuffle until the

@@ -71,6 +71,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("seq pack tiles each shard's token stream with no gap and no overlap") {
+    val out = Registry.queries("curation_seq_pack")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(out.nonEmpty)
+    out.groupBy(_._2).foreach { case (shard, docs) =>
+      // rows arrive ordered by (bin, off); reconstruct the stream
+      var expectedStart = 0L
+      docs.foreach { case (id, _, nTok, bin, off, nBins) =>
+        assert(bin == expectedStart / 2048, s"shard $shard doc $id bin")
+        assert(off == expectedStart % 2048, s"shard $shard doc $id off")
+        assert(nBins == (expectedStart + nTok - 1) / 2048 - expectedStart / 2048 + 1,
+          s"shard $shard doc $id span")
+        expectedStart += nTok
+      }
+    }
+  }
+
   test("paragraph dedup: a re-ingested doc loses every chunk to its original") {
     val out = Registry.queries("curation_paragraph_dedup")(spark, TestSpark.Sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
