@@ -99,4 +99,36 @@ class PlanQualitySpec extends AnyFunSuite {
     val p = plan("j6_anti_join_pairs")
     assert(p.contains("LeftAnti"), p.take(2000))
   }
+
+  test("bloom decontam: the bit-set membership join is a broadcast semi join") {
+    val p = plan("curation_bloom_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"bitset join must broadcast (<= m rows by construction):\n${p.take(2000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("paragraph dedup: chunking is join-free — arrays never leave the row") {
+    val p = plan("curation_paragraph_dedup")
+    assert(!p.contains("Join"), s"chunking must not join:\n${p.take(2000)}")
+    assert(p.contains("Generate explode"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
+
+  test("domain mix: the weights table joins by broadcast, quotas fill per-source windows") {
+    val p = plan("curation_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("seq pack: one per-shard window, no global single-partition sort before it") {
+    val df = Registry.queries("curation_seq_pack")(spark, TestSpark.Sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // the running sum must partition by shard — a missing PARTITION BY
+    // would serialize the whole corpus through one task
+    assert("""Window \[.*partitionBy.*\]""".r.findFirstIn(p).isDefined ||
+      p.contains("shard"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+  }
 }
