@@ -38,8 +38,7 @@ object Sources {
 
     // S3 bronze materialization: extract -> sink -> re-scan (db_interact.py:68-78)
     Q("s3_bronze_materialize",
-      (s, d) => {
-        val out = tmp("bronze")
+      (s, d) => graft.Scratch.withDir(s, "bronze") { out =>
         Tables.orders(s, d).write.mode("overwrite").parquet(s"$out/orders")
         s.read.parquet(s"$out/orders")
           .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
@@ -51,8 +50,7 @@ object Sources {
     // S4 CSV source: explicit schema, header, PERMISSIVE bad-line mode,
     // encoding option (S3_interact.py:78-96)
     Q("s4_csv_roundtrip",
-      (s, d) => {
-        val out = tmp("csv")
+      (s, d) => graft.Scratch.withDir(s, "csv") { out =>
         val region = Tables.region(s, d)
         region.write.mode("overwrite").option("header", "true").csv(s"$out/region")
         s.read.schema(region.schema)
@@ -73,9 +71,8 @@ object Sources {
     // the malformed row in the corrupt-record column, where it is
     // dropped (the reference logs-and-drops bad lines).
     Q("s4b_csv_encoding_fallback",
-      (s, d) => {
+      (s, d) => graft.Scratch.withDir(s, "csvenc") { out =>
         import org.apache.spark.sql.types._
-        val out = tmp("csvenc")
         val bytes = "id,name,val\n1,café,10\n2,naïve,20\nnot_parseable\n"
           .getBytes(java.nio.charset.Charset.forName("windows-1252"))
         java.nio.file.Files.write(
@@ -160,10 +157,38 @@ object Sources {
       (s, d) => s.read.parquet(s"$d/nat*.parquet").orderBy("n_nationkey"),
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    // S8 schema evolution across parquet batches — the warehouse
+    // reality every long-lived ingest hits: a later batch grew a
+    // column. mergeSchema=true unifies the footer schemas at read time
+    // and back-fills the missing column with NULL for old batches —
+    // no rewrite of historical data (at 100 TB, rewriting history for
+    // a new column is not an option). Spark merges footers only when
+    // asked (it is a read-option, not a default, because footer
+    // merging lists every file's footer).
+    Q("s8_schema_evolution",
+      (s, d) => graft.Scratch.withDir(s, "schevo") { out =>
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderkey") < 4000)
+          .select("o_orderkey", "o_custkey")
+          .write.parquet(s"$out/t/b1") // old batch: narrow schema
+        o.filter(col("o_orderkey") >= 4000 && col("o_orderkey") < 8000)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.parquet(s"$out/t/b2") // new batch: schema grew
+        s.read.option("mergeSchema", "true").parquet(s"$out/t/b1", s"$out/t/b2")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+SELECT o_orderkey, o_custkey, NULL::DOUBLE AS o_totalprice FROM orders
+WHERE o_orderkey < 4000
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey >= 4000 AND o_orderkey < 8000
+ORDER BY o_orderkey""")),
+
     // K1 CSV sink, append mode (compute_morgan.py:17-46)
     Q("k1_csv_append_sink",
-      (s, d) => {
-        val out = tmp("csvsink")
+      (s, d) => graft.Scratch.withDir(s, "csvsink") { out =>
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_orderpriority")
         o.filter(col("o_orderstatus") === "F")
@@ -181,8 +206,7 @@ object Sources {
     // tanimoto.py:132). At cluster scale this is the layout that lets a
     // reader prune to one group without listing others.
     Q("k2_partitioned_sink",
-      (s, d) => {
-        val out = tmp("partsink")
+      (s, d) => graft.Scratch.withDir(s, "partsink") { out =>
         Tables.lineitem(s, d)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
           .write.mode("overwrite").partitionBy("l_returnflag")
@@ -197,8 +221,7 @@ object Sources {
 
     // K3 warehouse sink, replace vs append modes (db_interact.py:87-97)
     Q("k3_sink_modes",
-      (s, d) => {
-        val out = tmp("modes")
+      (s, d) => graft.Scratch.withDir(s, "modes") { out =>
         val o = Tables.orders(s, d)
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
         o.filter(col("o_orderstatus") === "F")
