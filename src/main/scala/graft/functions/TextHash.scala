@@ -98,10 +98,33 @@ object TextHash {
     else t.sliding(3).map(_.mkString(" ")).toArray.distinct
   }
 
+  /** [[shingleSet]] in Catalyst's array representation — the static
+    * kernel the [[ShingleSet]] expression's generated code calls.
+    */
+  def shingleArrayData(s: String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val arr = shingleSet(s)
+    val out = new Array[Any](arr.length)
+    var i = 0
+    while (i < arr.length) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(arr(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Register the four kernels as native expressions (codegen — see
+    * [[TextHashUnary]]; these were Scala UDFs through round 4, paying
+    * the wrapper cost on every shingle of the corpus). Idempotent.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.udf.register("tok_hash", (s: String) => tokenHash(s))
-    spark.udf.register("shingle_min", (s: String) => shingleMin(s))
-    spark.udf.register("simhash32", (s: String) => simhash32(s))
-    spark.udf.register("shingle_set", (s: String) => shingleSet(s))
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "tok_hash", exprs => TokHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_min", exprs => ShingleMin(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash32", exprs => SimHash32(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_set", exprs => ShingleSet(exprs.head), "built-in")
   }
 }
