@@ -358,7 +358,31 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
             col("rn").cast("long").as("rn"))
           .orderBy("q_id", "rn")
       },
-      Some(s"""
+      Some(sqlIvfNprobe2)),
+
+    // Persistent IVF index ([[AnnIndex]]): quantizer + cell-partitioned
+    // posting lists built ONCE into parquet state, queried with
+    // nprobe=2 — identical semantics (and oracle) to the multiprobe
+    // query above, but the clustering never runs at query time and the
+    // cell-partitioned layout turns probing into partition pruning.
+    Q("simsearch_ivf_persisted",
+      (s, d) => graft.Scratch.withDir(s, "annidx") { root =>
+        graft.functions.VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        AnnIndex.build(s, train = emb,
+          vecs = emb.filter(col("vec_id") >= 10), stateDir = root)
+        AnnIndex.query(s, emb.filter(col("vec_id") < 10), root,
+          topK = 5, nprobe = 2)
+      },
+      Some(sqlIvfNprobe2))
+  )
+
+  /** Shared oracle for the nprobe=2 IVF shape (multiprobe and
+    * persisted-index formulations compute identical results).
+    */
+  private def sqlIvfNprobe2: String = s"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
 ranked AS (
@@ -377,6 +401,5 @@ p AS (SELECT q.q_id, c.c_id,
                    (q.nrm * c.nrm), 6) AS cos
       FROM q JOIN c ON q.cell = c.cell),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
-SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
-  )
+SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
 }

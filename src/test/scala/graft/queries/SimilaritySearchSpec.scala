@@ -47,6 +47,35 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(retention >= 0.8, s"LSH flagship top-k retention dropped to $retention")
   }
 
+  test("persisted IVF index: cell-partitioned layout, query equals multiprobe, scan prunes") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_spec").toString
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id"), col("embedding"),
+          expr("norm_f(embedding)").as("nrm"))
+      AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root)
+      // the IVF posting lists ARE partition directories
+      val cellDirs = new java.io.File(s"$root/vec").listFiles()
+        .filter(_.getName.startsWith("cell="))
+      assert(cellDirs.length > 1, "vec/ must be partitioned by cell")
+      val got = AnnIndex.query(spark, emb.filter(col("vec_id") < 10), root,
+        topK = 5, nprobe = 2)
+      val viaIndex = got.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val viaRebuild = Registry.queries("simsearch_ivf_multiprobe")(spark, TestSpark.Sf001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(viaIndex == viaRebuild, "index-served results diverged from rebuild")
+      // probing restricts the vec/ scan to the queries' cells: the
+      // partitioned scan must carry a dynamic pruning filter
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the vec/ scan:\n${p.take(3000)}")
+    } finally graft.Scratch.delete(root)
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
