@@ -58,6 +58,22 @@ object AnnIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$stateDir/vec")
   }
 
+  /** Fold `newVecs` into the index WITHOUT retraining the quantizer:
+    * assign against the persisted centroids and append into the cell
+    * partitions — only the touched cell directories gain files, and
+    * existing data is never rewritten (delta-proportional, like
+    * [[DedupIndex.update]]). Queries pick the new vectors up
+    * immediately. Retrain (a fresh [[build]]) when the corpus drifts
+    * from the quantizer — appending cannot move centroids, the
+    * standard IVF staleness trade.
+    */
+  def append(s: SparkSession, newVecs: DataFrame, stateDir: String): Unit = {
+    VectorExpressions.register(s)
+    val cents = s.read.parquet(s"$stateDir/cent")
+    assignCells(newVecs, cents, nprobe = 1)
+      .write.mode("append").partitionBy("cell").parquet(s"$stateDir/vec")
+  }
+
   /** Top-`topK` cosine neighbours for `queries` against the index at
     * `stateDir`, probing each query's `nprobe` nearest cells. The
     * broadcast query-cell set lets dynamic partition pruning restrict

@@ -76,6 +76,29 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+  test("append folds new vectors in without retraining and matches a full build") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val r1 = java.nio.file.Files.createTempDirectory("graft_annidx_app1").toString
+    val r2 = java.nio.file.Files.createTempDirectory("graft_annidx_app2").toString
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id"), col("embedding"),
+          expr("norm_f(embedding)").as("nrm"))
+      val cands = emb.filter(col("vec_id") >= 10)
+      // incremental: build on the even half (quantizer trained on FULL
+      // corpus both times so the cell geometry is identical), append odds
+      AnnIndex.build(spark, emb, cands.filter(col("vec_id") % 2 === 0), r1)
+      AnnIndex.append(spark, cands.filter(col("vec_id") % 2 === 1), r1)
+      AnnIndex.build(spark, emb, cands, r2)
+      val qs = emb.filter(col("vec_id") < 10)
+      def run(root: String) =
+        AnnIndex.query(spark, qs, root, topK = 5, nprobe = 2).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(run(r1) == run(r2), "append-built index diverged from full build")
+    } finally { graft.Scratch.delete(r1); graft.Scratch.delete(r2) }
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
