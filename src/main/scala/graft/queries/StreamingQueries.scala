@@ -109,6 +109,45 @@ FROM events GROUP BY event_type ORDER BY event_type"""
       Some("""SELECT c.c_nationkey, count(*) AS n,
        CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
-GROUP BY c.c_nationkey ORDER BY c.c_nationkey"""))
+GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")),
+
+    // CHAINED stateful operators in one streaming query — dedup state
+    // feeding windowed-aggregation state (the Spark 3.4+ multi-stateful
+    // pipeline): redelivered events are dropped by
+    // dropDuplicatesWithinWatermark BEFORE they can double-count in the
+    // tumbling windows, all inside a single checkpointed query. Append
+    // mode only emits windows the watermark has closed, so a sentinel
+    // event 4 hours past the real data flushes every real window —
+    // the standard end-of-stream watermark-advance technique; the
+    // sentinel's own (never-finalized) window is excluded by type.
+    Q("st4_streaming_dedup_windowed",
+      (s, d) => graft.Scratch.withDir(s, "stchain") { root =>
+        import s.implicits._
+        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(d, s"$root/in", "b.parquet")
+        val maxNs = graft.Tables.events(s, d)
+          .agg(max(unix_micros(col("ts")) * 1000L)).head().getLong(0)
+        Seq((-1L, maxNs + 4L * 3600L * 1000000000L, 0L, "zz_sentinel", 0.0, ""))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(s"$root/sent")
+        val part = new java.io.File(s"$root/sent").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, Paths.get(s"$root/in/z_sentinel.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        // dedupStream defines the stream's (single) watermark; the agg
+        // stage must not redefine it
+        val windowed = EventsStream.tumblingAggOn(
+          EventsStream.dedupStream(EventsStream.readEvents(s, s"$root/in")))
+        EventsStream.drainToParquet(windowed, s"$root/out", s"$root/ck")
+        s.read.parquet(s"$root/out")
+          .filter(col("event_type") =!= "zz_sentinel")
+          .orderBy("win_start", "event_type")
+      },
+      Some("""
+SELECT strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 600000000),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
   )
 }

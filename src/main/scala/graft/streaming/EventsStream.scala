@@ -51,8 +51,14 @@ object EventsStream {
     * 30-minute watermark — the streaming twin of batch query e1.
     */
   def tumblingAgg(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "30 minutes")
+    tumblingAggOn(events.withWatermark("ts", "30 minutes"))
+
+  /** The aggregation alone, for streams that ALREADY carry a watermark
+    * (a watermark may be defined only once per stream): the downstream
+    * stage of a chained-stateful pipeline, e.g. dedup → windowed agg
+    * (st4). */
+  def tumblingAggOn(watermarked: DataFrame): DataFrame =
+    watermarked
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
