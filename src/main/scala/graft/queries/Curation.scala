@@ -196,6 +196,100 @@ SELECT doc_id, shard, n_tokens,
          - CAST(floor(start / 2048.0) AS BIGINT) + 1 AS n_bins
 FROM c ORDER BY shard, bin, off, doc_id""")),
 
+    // The whole assembly line as ONE declarative plan — quality floor →
+    // exact-dedup survivors → decontamination against the held-out
+    // source → mixture quotas → sequence packing. Each stage is proven
+    // individually above; composing them in one DataFrame expression is
+    // the point: Catalyst sees the entire lineage (pushes the quality
+    // filter into the scan, prunes columns across all five stages) and
+    // the pipeline needs no intermediate materialization at all. At
+    // 100 TB each stage keeps its own scale shape (inverted-index
+    // decontam, per-source windows, per-shard packing) — composition
+    // adds no new shuffle beyond the stages' own.
+    Q("curation_e2e_pipeline",
+      (s, d) => {
+        TextHash.register(s)
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+        // 1: quality floor (token count)
+        val q = docs
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .filter(col("n_tokens") >= 10)
+        // 2: exact-dedup survivor per text
+        val surv = q.withColumn("rn", row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")))
+          .filter(col("rn") === 1).drop("rn")
+        // 3: decontamination — drop train docs sharing >= 2 uncapped
+        // shingles with any held-out (src3) doc
+        val sh = Dedup.docShingles(s, d)
+        val tpost = sh.filter(col("source") === "src3")
+          .select(col("doc_id").as("test_id"), explode(col("shs")).as("sh"))
+        val hot = tpost.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > Dedup.DfCap).select("sh")
+        val tp = tpost.join(hot, Seq("sh"), "left_anti")
+        val trpost = sh.join(surv.select("doc_id"), Seq("doc_id"), "left_semi")
+          .filter(col("source") =!= "src3")
+          .select(col("doc_id").as("train_id"), explode(col("shs")).as("sh"))
+        val flagged = trpost.join(tp, Seq("sh"))
+          .groupBy("train_id", "test_id").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .select("train_id").distinct()
+        val kept = surv.filter(col("source") =!= "src3")
+          .join(flagged.select(col("train_id").as("doc_id")),
+            Seq("doc_id"), "left_anti")
+        // 4: mixture quotas over the clean pool
+        val weights = Seq(("src0", 0.4), ("src1", 0.3), ("src2", 0.2))
+          .toDF("source", "wt")
+        val wmix = Window.partitionBy("source")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+        val sel = kept.withColumn("hkey", expr(hkeyExpr))
+          .join(broadcast(weights), Seq("source"))
+          .withColumn("rnq", row_number().over(wmix))
+          .filter(col("rnq") <= ceil(col("wt") * 200))
+        // 5: sequence packing of the selection
+        val wpack = Window.partitionBy("shard")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        sel.withColumn("shard", pmod(col("hkey"), lit(Shards.toLong)))
+          .withColumn("start", sum("n_tokens").over(wpack) - col("n_tokens"))
+          .withColumn("bin", floor(col("start") / 2048L).cast("long"))
+          .withColumn("off", pmod(col("start"), lit(2048L)))
+          .select("doc_id", "source", "shard", "n_tokens", "bin", "off")
+          .orderBy("shard", "bin", "off", "doc_id")
+      },
+      Some(s"""
+WITH q AS (SELECT doc_id, text, source,
+                  len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents WHERE len(string_split(text, ' ')) >= 10),
+s1 AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q),
+surv AS (SELECT doc_id, text, source, n_tokens FROM s1 WHERE rn = 1),
+d AS (SELECT doc_id, source, ${Dedup.sqlShingles("text")} AS shs FROM documents),
+tpost AS (SELECT doc_id AS test_id, unnest(shs) AS sh FROM d WHERE source = 'src3'),
+dfreq AS (SELECT sh, count(*) AS df FROM tpost GROUP BY sh),
+tp AS (SELECT test_id, tpost.sh AS sh FROM tpost JOIN dfreq ON tpost.sh = dfreq.sh
+       WHERE dfreq.df <= ${Dedup.DfCap}),
+trpost AS (SELECT d.doc_id AS train_id, unnest(d.shs) AS sh FROM d
+           JOIN surv ON d.doc_id = surv.doc_id WHERE d.source <> 'src3'),
+flagged AS (SELECT DISTINCT train_id FROM (
+    SELECT train_id, test_id FROM trpost JOIN tp ON trpost.sh = tp.sh
+    GROUP BY train_id, test_id HAVING count(*) >= 2)),
+kept AS (SELECT surv.* FROM surv
+         WHERE surv.source <> 'src3'
+           AND NOT EXISTS (SELECT 1 FROM flagged WHERE flagged.train_id = surv.doc_id)),
+w(source, wt) AS (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2)),
+h AS (SELECT kept.*, $sqlHkey AS hkey FROM kept),
+r AS (SELECT h.*, wt, row_number() OVER (PARTITION BY h.source ORDER BY hkey ASC, doc_id ASC) AS rnq
+      FROM h JOIN w ON h.source = w.source),
+sel AS (SELECT doc_id, source, n_tokens, hkey, hkey % $Shards AS shard
+        FROM r WHERE rnq <= ceil(wt * 200)),
+c AS (SELECT doc_id, source, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hkey ASC, doc_id ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_tokens AS start
+      FROM sel)
+SELECT doc_id, source, shard, n_tokens,
+       CAST(floor(start / 2048.0) AS BIGINT) AS bin, start % 2048 AS off
+FROM c ORDER BY shard, bin, off, doc_id""")),
+
     // Paragraph-level dedup (the CCNet/RefinedWeb within-corpus shape):
     // documents are cut into fixed 16-token chunks by pure ARRAY
     // expressions (transform+slice — codegen'd, no shuffle until the

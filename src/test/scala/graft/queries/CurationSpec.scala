@@ -71,6 +71,25 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("e2e pipeline output is clean: no held-out source, no duplicate text, quotas hold") {
+    val out = Registry.queries("curation_e2e_pipeline")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.nonEmpty)
+    assert(!out.exists(_._2 == "src3"), "held-out docs leaked into the training set")
+    val ids = out.map(_._1)
+    assert(ids.distinct.length == ids.length)
+    // selected docs carry distinct texts (survivor stage upheld)
+    val texts = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val outTexts = ids.map(texts)
+    assert(outTexts.distinct.length == outTexts.length, "duplicate text selected")
+    val weights = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2)
+    out.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length <= math.ceil(weights(src) * 200).toLong, s"quota busted for $src")
+    }
+  }
+
   test("seq pack tiles each shard's token stream with no gap and no overlap") {
     val out = Registry.queries("curation_seq_pack")(spark, TestSpark.Sf0001)
       .collect()
