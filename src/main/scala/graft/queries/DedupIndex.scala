@@ -138,6 +138,87 @@ object DedupIndex {
       Meta(m.dfCap, Seq(s"$outDir/rawpost"), Seq(s"$outDir/df")))
   }
 
+  /** What a [[purge]] did: docs removed, previously-indexed docs whose
+    * signatures went stale because a removal flipped a shingle back
+    * under the df cap, and signatures recomputed (= nAffected; purge
+    * adds nothing).
+    */
+  case class PurgeMetrics(nPurged: Long, nAffected: Long, nSigsRecomputed: Long)
+
+  /** Takedown propagation (right-to-be-forgotten): remove `tombstones`
+    * (doc_id) from the index, writing a fully-compacted state to
+    * `outDir`. The one operation the append-only contract excludes from
+    * [[update]] gets its own explicit verb, because deletions are a
+    * compliance event, not an ingest event:
+    *
+    *  - postings and signatures of tombstoned docs are dropped;
+    *  - df decrements MERGEABLY (the dead docs' own shingle counts are
+    *    subtracted — no rescan of surviving postings);
+    *  - shingles whose hot status flips BACK under the cap re-sign the
+    *    surviving docs that carry them (the mirror image of [[update]]'s
+    *    upward flip) — purged == bootstrap(remaining), always;
+    *  - the rewrite doubles as compaction: the new state has a
+    *    single-batch lineage.
+    *
+    * Unlike update, purge rewrites the posting set — O(corpus) I/O.
+    * That is inherent (the bytes must physically leave storage for a
+    * takedown) and is why purges batch daily/weekly while updates run
+    * per-ingest.
+    */
+  def purge(s: SparkSession, tombstones: DataFrame, inDir: String,
+      outDir: String): PurgeMetrics = {
+    val meta = metaOf(s, inDir)
+    val dfCap = meta.dfCap
+    val oldSig = s.read.parquet(s"$inDir/sig")
+    val raw = s.read.parquet(meta.rawDirs: _*)
+    val dead = tombstones.select("doc_id").distinct().persist()
+
+    raw.join(dead, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outDir/rawpost")
+    val keptRaw = s.read.parquet(s"$outDir/rawpost")
+
+    // df decrement from the dead docs' own postings — mergeable, like
+    // update's increment; shingles that reach zero leave the table
+    val dfDead = Dedup.shingleDf(raw.join(dead, Seq("doc_id"), "left_semi"))
+      .select(col("sh"), col("df").as("df_dead"))
+    val dfOld = s.read.parquet(meta.dfDirs: _*)
+      .groupBy("sh").agg(sum("df").as("df_old"))
+    val merged = dfOld
+      .join(dfDead, Seq("sh"), "left")
+      .select(col("sh"), col("df_old"),
+        (col("df_old") - coalesce(col("df_dead"), lit(0L))).as("df"))
+      .persist()
+    merged.filter(col("df") > 0).select("sh", "df")
+      .write.mode("overwrite").parquet(s"$outDir/df")
+    val dfT = s.read.parquet(s"$outDir/df")
+
+    // downward cap flips: surviving docs carrying a shingle that just
+    // became cold have stale (df-capped) signatures
+    val flipped = merged
+      .filter((col("df_old") > dfCap) =!= (col("df") > dfCap)).select("sh")
+    val affected = keptRaw.join(flipped, Seq("sh")).select("doc_id").distinct()
+      .persist()
+
+    val rawRe = keptRaw.join(affected, Seq("doc_id"), "left_semi")
+    // content is unchanged by a purge — re-signed docs keep their th
+    val sigRe = Dedup.signatures(Dedup.cappedPostings(rawRe, dfT, dfCap))
+      .join(oldSig.select(col("doc_id"), col("th")), Seq("doc_id"))
+    val sigCols = oldSig.columns.map(col)
+    oldSig.join(dead, Seq("doc_id"), "left_anti")
+      .join(affected, Seq("doc_id"), "left_anti").select(sigCols: _*)
+      .union(sigRe.select(sigCols: _*))
+      .write.mode("overwrite").parquet(s"$outDir/sig")
+    writeMeta(s, outDir,
+      Meta(dfCap, Seq(s"$outDir/rawpost"), Seq(s"$outDir/df")))
+
+    val m = PurgeMetrics(
+      nPurged = dead.count(),
+      nAffected = affected.count(),
+      nSigsRecomputed = affected.count())
+    dead.unpersist(false); merged.unpersist(false); affected.unpersist(false)
+    m
+  }
+
   /** Audit the append-only contract (class doc): throws if any indexed
     * doc_id's current text hash differs from the stored one — the
     * corpus mutated under the index and a [[bootstrap]] rebuild is

@@ -159,6 +159,40 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("purge removes tombstoned docs and equals a bootstrap of the remaining corpus") {
+    // cap=2 with a shingle in exactly 3 docs (hot); purging one carrier
+    // flips it back under the cap, so the two SURVIVING carriers must be
+    // re-signed for purged == from-scratch to hold
+    val cap = 2
+    val shared = "alpha beta gamma"
+    val all = docsDf(
+      1L -> s"$shared one extra word here",
+      2L -> s"$shared two extra word here",
+      3L -> s"$shared three extra word here",
+      4L -> "totally different text with nothing shared at all")
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, all, s"$root/v1", dfCap = cap)
+    val m = DedupIndex.purge(s, docsDf(3L -> "ignored").select("doc_id"),
+      s"$root/v1", s"$root/v2")
+    assert(m.nPurged == 1)
+    assert(m.nAffected == 2, "both surviving carriers of the cooled shingle")
+    val remaining = all.filter(org.apache.spark.sql.functions.col("doc_id") =!= 3L)
+    DedupIndex.bootstrap(s, remaining, s"$root/scratch", dfCap = cap)
+    for ((a, b) <- Seq(
+      s.read.parquet(s"$root/v2/sig") -> s.read.parquet(s"$root/scratch/sig"),
+      DedupIndex.dfAll(s, s"$root/v2") -> DedupIndex.dfAll(s, s"$root/scratch"),
+      DedupIndex.rawAll(s, s"$root/v2") -> DedupIndex.rawAll(s, s"$root/scratch"))) {
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "purged state diverged from bootstrap of the remaining corpus")
+    }
+    // purge compacts: single-batch lineage, and updates keep working
+    assert(DedupIndex.metaOf(s, s"$root/v2").rawDirs.size == 1)
+    val res = DedupIndex.update(s,
+      remaining.union(docsDf(9L -> "a fresh doc after the purge")),
+      s"$root/v2", s"$root/v3")
+    assert(res.metrics.nDelta == 1)
+  }
+
   test("registered dedup_incremental_minhash (index-backed) matches the rebuild-and-filter result") {
     val docs = graft.Tables.documents(s, TestSpark.Sf0001)
       .select("doc_id", "text")
