@@ -263,6 +263,41 @@ FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
 ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
                 FROM events WHERE event_type = 'signup') s
   ON p.user_id = s.user_id AND p.ts >= s.ts
-ORDER BY p.event_id"""))
+ORDER BY p.event_id""")),
+
+    // Banded range join — the classic interval-join acceleration: a
+    // naive `value BETWEEN lo AND hi` join has no equi-key, so Spark
+    // plans a BroadcastNestedLoopJoin (per-row interval scan; at scale,
+    // |facts|×|tiers| comparisons). Bucketizing both sides by a fixed
+    // band width turns it into an equi-join on bucket id: tiers
+    // replicate to every band they overlap (a handful of rows), facts
+    // compute one bucket each, and the residual lo<=v<hi filter runs
+    // only within matching bands. PlanQualitySpec asserts the BNLJ is
+    // gone. Same technique scales to time-interval and IP-range joins.
+    Q("j13_banded_range_join",
+      (s, d) => {
+        import s.implicits._
+        val band = 50L
+        val tiers = Seq((1L, 0L, 50L), (2L, 50L, 120L), (3L, 120L, 200L),
+          (4L, 200L, 350L), (5L, 350L, 500L)).toDF("tier_id", "lo", "hi")
+        val tb = tiers.withColumn("bkt",
+          explode(sequence(floor(col("lo") / band).cast("long"),
+            floor((col("hi") - 1) / band).cast("long"))))
+        Tables.events(s, d)
+          .withColumn("bkt", floor(col("value") / band).cast("long"))
+          .join(broadcast(tb), Seq("bkt"))
+          .filter(col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("tier_id")
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+          .orderBy("tier_id")
+      },
+      Some("""
+WITH t(tier_id, lo, hi) AS (VALUES (1, 0, 50), (2, 50, 120), (3, 120, 200),
+                                   (4, 200, 350), (5, 350, 500))
+SELECT t.tier_id::BIGINT AS tier_id, count(*) AS n,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events e JOIN t ON e.value >= t.lo AND e.value < t.hi
+GROUP BY t.tier_id ORDER BY tier_id"""))
   )
 }

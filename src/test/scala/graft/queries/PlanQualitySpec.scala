@@ -100,6 +100,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("J13: the banded range join is an equi-join — no nested-loop interval scan") {
+    val p = plan("j13_banded_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("bloom decontam: the bit-set membership join is a broadcast semi join") {
     val p = plan("curation_bloom_decontam")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
