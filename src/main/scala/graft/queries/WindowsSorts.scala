@@ -150,6 +150,29 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
 ORDER BY event_id""")),
 
+    // Rank-family windows (beyond the ∅-list): percent_rank + ntile
+    // over a per-group total order made deterministic by the unique-key
+    // tiebreak — with a unique ordering, rank == row_number, so both
+    // functions agree across engines bit-for-bit.
+    Q("w5_ntile_percent_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .filter(col("o_orderkey") % 20 === 0)
+          .select("o_orderkey", "o_orderpriority", "pr", "quartile")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pr,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+QUALIFY o_orderkey % 20 = 0 ORDER BY o_orderkey""")),
+
     // O1 global sort descending by score (datamart.py:31)
     Q("o1_global_sort",
       (s, d) => Tables.orders(s, d)
