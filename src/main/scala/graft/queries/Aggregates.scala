@@ -53,6 +53,89 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+    // SQL text entry, join-heavy shape (TPC-H Q3 — shipping priority):
+    // 3-way join + filtered date window + grouped revenue + top-10.
+    // Revenue is exact decimal arithmetic summed before the final
+    // DOUBLE cast, and the ORDER BY carries the unique l_orderkey
+    // tiebreak so LIMIT 10 is deterministic across engines.
+    Q("sql_shipping_priority",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("sql_customer")
+        Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        s.sql("""
+          SELECT l_orderkey,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+                 o_orderdate, o_orderpriority
+          FROM sql_customer
+          JOIN sql_orders ON c_custkey = o_custkey
+          JOIN sql_lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+            AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+      },
+      Some("""
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    // SQL text entry, 6-way snowflake join (TPC-H Q5 — local supplier
+    // volume): customer/orders/lineitem/supplier co-located by nation,
+    // rolled up a region dimension. The dims broadcast; the
+    // c_nationkey = s_nationkey co-location predicate rides the
+    // supplier join.
+    Q("sql_local_supplier_volume",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("sql_customer")
+        Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        Tables.supplier(s, d).createOrReplaceTempView("sql_supplier")
+        Tables.nation(s, d).createOrReplaceTempView("sql_nation")
+        Tables.region(s, d).createOrReplaceTempView("sql_region")
+        s.sql("""
+          SELECT n_name,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          FROM sql_customer
+          JOIN sql_orders ON c_custkey = o_custkey
+          JOIN sql_lineitem ON l_orderkey = o_orderkey
+          JOIN sql_supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN sql_nation ON s_nationkey = n_nationkey
+          JOIN sql_region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY n_name
+          ORDER BY revenue DESC, n_name""")
+      },
+      Some("""
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""")),
+
     // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
     // so the sum is exact and the avg deterministic across engines
     Q("a2_avg_groupby",
