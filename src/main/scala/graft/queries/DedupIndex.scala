@@ -306,13 +306,17 @@ object DedupIndex {
     val sig = s.read.parquet(s"$outDir/sig")
     writeMeta(s, outDir, Meta(dfCap, rawDirs, dfDirs))
 
-    // nSigsRecomputed comes from the cached recompute set, not a second
-    // evaluation of the signature aggregation (every recompute doc has
-    // postings, so sigRe has exactly one row per recompute doc).
+    // All three metrics come from the two cached id sets: affected ⊆
+    // indexed and delta ∩ indexed = ∅, so |delta| = |recompute| −
+    // |affected|; and every recompute doc has postings, so sigRe has
+    // exactly one row per recompute doc. No extra jobs — the naive
+    // formulation silently re-evaluated the signature aggregation.
+    val nAffected = affected.count()
+    val nRecomputed = recompute.count()
     val metrics = UpdateMetrics(
-      nDelta = delta.count(),
-      nAffected = affected.count(),
-      nSigsRecomputed = recompute.count())
+      nDelta = nRecomputed - nAffected,
+      nAffected = nAffected,
+      nSigsRecomputed = nRecomputed)
 
     // Candidates from the asymmetric band join: recomputed-side bands
     // against the full index — delta-proportional output, and
