@@ -80,6 +80,59 @@ object Incremental {
           .orderBy("target_id", "source_id")
       },
       Some(Views.factCte + """
-SELECT target_id, source_id, sim FROM fact ORDER BY target_id, source_id"""))
+SELECT target_id, source_id, sim FROM fact ORDER BY target_id, source_id""")),
+
+    // Slowly-changing dimension, type 2 — the canonical warehouse
+    // versioning merge the reference's datamart sidesteps by replacing
+    // tables wholesale (db_interact.py:87-97): an incoming batch of
+    // changed rows CLOSES the current version (valid_to stamped,
+    // is_current dropped) and INSERTS the new one, while untouched rows
+    // ride along unchanged. Three hash joins on the business key (one
+    // semi, one anti, one inner) + a union — every piece broadcastable
+    // or shuffle-on-key; history grows append-only, so at 100 TB this
+    // is a partition-append on valid_from, never a rewrite of history.
+    // Batch ids stand in for timestamps (deterministic fixture).
+    Q("i5_scd2_dimension",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val current = dim
+          .withColumn("version", lit(1L))
+          .withColumn("valid_from", lit(1L))
+        // incoming batch: every 7th customer's balance changed
+        val changes = dim.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
+        val changeKeys = changes.select("c_custkey")
+        val closed = current.join(changeKeys, Seq("c_custkey"), "left_semi")
+          .withColumn("valid_to", lit(2L))
+          .withColumn("is_current", lit(false))
+        val untouched = current.join(changeKeys, Seq("c_custkey"), "left_anti")
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        val opened = changes
+          .withColumn("version", lit(2L))
+          .withColumn("valid_from", lit(2L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
+        val cols = Seq("c_custkey", "version", "c_name", "c_acctbal",
+          "valid_from", "valid_to", "is_current")
+        untouched.select(cols.map(col): _*)
+          .union(closed.select(cols.map(col): _*))
+          .union(opened.select(cols.map(col): _*))
+          .orderBy("c_custkey", "version")
+      },
+      Some("""
+WITH chg AS (SELECT c_custkey, c_name, round(c_acctbal + 100.0, 2) AS c_acctbal
+             FROM customer WHERE c_custkey % 7 = 0)
+SELECT c_custkey, 1::BIGINT AS version, c_name, c_acctbal,
+       1::BIGINT AS valid_from, NULL::BIGINT AS valid_to, true AS is_current
+FROM customer WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey, 1::BIGINT, c_name, c_acctbal, 1::BIGINT, 2::BIGINT, false
+FROM customer WHERE c_custkey % 7 = 0
+UNION ALL
+SELECT c_custkey, 2::BIGINT, c_name, c_acctbal, 2::BIGINT, NULL::BIGINT, true
+FROM chg
+ORDER BY c_custkey, version"""))
   )
 }
