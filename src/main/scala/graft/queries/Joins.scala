@@ -298,6 +298,46 @@ WITH t(tier_id, lo, hi) AS (VALUES (1, 0, 50), (2, 50, 120), (3, 120, 200),
 SELECT t.tier_id::BIGINT AS tier_id, count(*) AS n,
        CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM events e JOIN t ON e.value >= t.lo AND e.value < t.hi
-GROUP BY t.tier_id ORDER BY tier_id"""))
+GROUP BY t.tier_id ORDER BY tier_id""")),
+
+    // Typed cogroup — KeyValueGroupedDataset.cogroup for per-key
+    // reconciliation logic that wants BOTH sides' rows in hand (the
+    // §2.10 typed surface beyond UDF/Aggregator). Each order key gets
+    // its order row and all its line items together; totals accumulate
+    // in BigDecimal so the per-group fold is order-independent and the
+    // oracle's DECIMAL sum matches exactly. Relationally this is a
+    // left join + group-by (the oracle states it that way); cogroup is
+    // the escape hatch for when the per-key merge is genuinely
+    // imperative — demonstrated on logic simple enough to verify.
+    Q("j14_cogroup_reconcile",
+      (s, d) => {
+        import s.implicits._
+        val orders = Tables.orders(s, d)
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+        val items = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 50 === 0)
+          .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+        orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) {
+          (key, os, is) =>
+            val order = os.toSeq.headOption
+            if (order.isEmpty) Iterator.empty // item-only keys out of scope
+            else {
+              var n = 0L
+              var total = BigDecimal(0)
+              is.foreach { it => n += 1; total += BigDecimal(it._2) }
+              Iterator((key, n, total.toDouble, order.get._2))
+            }
+        }.toDF("o_orderkey", "n_items", "items_total", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+SELECT o.o_orderkey, count(l.l_orderkey) AS n_items,
+       CAST(coalesce(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS items_total,
+       o.o_totalprice
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 50 = 0
+GROUP BY o.o_orderkey, o.o_totalprice
+ORDER BY o.o_orderkey"""))
   )
 }
