@@ -134,6 +134,37 @@ FROM p ORDER BY a_id, b_id""")),
       Some("""SELECT doc_id, printf('similarity_%s_%d.parquet', source, doc_id) AS path
               FROM documents ORDER BY doc_id""")),
 
+    // Higher-order array functions over the embedding column — filter/
+    // transform/aggregate/array_position where they BELONG: a map-only
+    // projection whose lambdas never leave the row. (Contrast the
+    // shingle pitfall in SCALE.md, where an optimizer rule cloned a
+    // HOF lambda into an inferred filter and went quadratic — HOFs are
+    // the right tool here and the wrong one there; knowing which is
+    // which is the point.) Sequential left-fold accumulation matches
+    // DuckDB's list_* semantics; round(...,6) pins the comparison.
+    Q("f11_array_hofs",
+      (s, d) => Tables.embeddings(s, d)
+        .filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id"),
+          size(filter(col("embedding"), x => x > 0f))
+            .cast("long").as("n_pos"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => acc + abs(x.cast("double"))), 6).as("l1"),
+          round(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))), 6).as("max_abs"),
+          array_position(transform(col("embedding"), x => x < 0f), true)
+            .as("first_neg"))
+        .orderBy("vec_id"),
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id % 40 = 0)
+SELECT vec_id,
+       len(list_filter(v, x -> x > 0))::BIGINT AS n_pos,
+       round(list_sum(list_transform(v, x -> abs(x))), 6) AS l1,
+       round(list_max(list_transform(v, x -> abs(x))), 6) AS max_abs,
+       coalesce(list_position(list_transform(v, x -> x < 0), true), 0)::BIGINT AS first_neg
+FROM e ORDER BY vec_id""")),
+
     // F10 timestamp-defaulted state rows (tanimoto.py:51-54) —
     // current_timestamp() is inherently nondeterministic, so this entry
     // has no oracle (driver records rows>0)
