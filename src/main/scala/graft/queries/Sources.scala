@@ -278,6 +278,63 @@ ORDER BY o_orderkey""")),
                      CAST(sum(n_chars) AS BIGINT) AS total_chars
               FROM documents GROUP BY lang ORDER BY lang""")),
 
+    // K7 quarantine sink — the dead-letter half of the s4b ingest: good
+    // rows land in the main sink, malformed raw lines land in a
+    // QUARANTINE sink (for replay/debugging) instead of being silently
+    // dropped; the batch report counts both. At scale the quarantine is
+    // just another partitioned append — bad data never blocks the
+    // pipeline and never disappears.
+    Q("k7_quarantine_sink",
+      (s, d) => graft.Scratch.withDir(s, "quarantine") { out =>
+        import org.apache.spark.sql.types._
+        import s.implicits._
+        val bytes = "id,name,val\n1,alpha,10\n2,beta,20\nnot,parseable,x\n"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/data.csv"), bytes)
+        val schema = StructType(Seq(
+          StructField("id", IntegerType), StructField("name", StringType),
+          StructField("val", IntegerType), StructField("_corrupt", StringType)))
+        val parsed = s.read.schema(schema)
+          .option("header", "true").option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(s"$out/data.csv").persist()
+        parsed.filter(col("_corrupt").isNull)
+          .select("id", "name", "val")
+          .write.mode("overwrite").parquet(s"$out/good")
+        parsed.filter(col("_corrupt").isNotNull)
+          .select(col("_corrupt").as("raw_line"))
+          .write.mode("overwrite").parquet(s"$out/quarantine")
+        parsed.unpersist(false)
+        val good = s.read.parquet(s"$out/good")
+        val quar = s.read.parquet(s"$out/quarantine")
+        good.select(lit("good").as("sink"), col("id").cast("long").as("rec"))
+          .union(quar.select(lit("quarantine").as("sink"),
+            length(col("raw_line")).cast("long").as("rec")))
+          .groupBy("sink").agg(count(lit(1)).as("n"), sum("rec").as("checksum"))
+          .orderBy("sink")
+      },
+      Some("""
+SELECT * FROM (VALUES ('good', 2, 3), ('quarantine', 1, 15))
+AS t(sink, n, checksum) ORDER BY sink""")),
+
+    // M2 column-existence probe — the schema-introspection twin of M1
+    // (the reference probes information_schema before ALTERs,
+    // db_interact.py:99-113); Spark answers from the DataFrame schema,
+    // no catalog round-trip.
+    Q("m2_column_probe",
+      (s, d) => {
+        import s.implicits._
+        val cols = Tables.customer(s, d).columns.toSet
+        Seq("c_custkey", "c_mktsegment", "c_no_such_col")
+          .map(c => (c, cols.contains(c)))
+          .toDF("col", "present").orderBy("col")
+      },
+      Some("""
+SELECT * FROM (VALUES ('c_custkey', true), ('c_mktsegment', true),
+                      ('c_no_such_col', false))
+AS t(col, present) ORDER BY col""")),
+
     // M1 table-existence probe (db_interact.py:99-113)
     Q("m1_table_exists",
       (s, d) => {
