@@ -285,6 +285,27 @@ QUALIFY o_orderkey % 20 = 0 ORDER BY o_orderkey""")),
               INTERSECT
               SELECT l_partkey FROM lineitem
               WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-              ORDER BY id"""))
+              ORDER BY id""")),
+
+    // unionByName with missing-column back-fill — the set-op companion
+    // of s8 schema evolution: batches whose schemas drifted (reordered
+    // columns, a column absent in the older extract) still union
+    // safely BY NAME, with NULL back-fill — positional unionAll here
+    // would silently mis-assign columns, the classic drift bug.
+    Q("u6_union_by_name",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+        val newBatch = c.filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_name", "c_acctbal")
+        val oldBatch = c.filter(col("c_custkey") % 2 === 1)
+          .select(col("c_acctbal"), col("c_custkey")) // reordered, no name
+        newBatch.unionByName(oldBatch, allowMissingColumns = true)
+          .orderBy("c_custkey")
+      },
+      Some("""
+SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
+UNION ALL
+SELECT c_custkey, NULL AS c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
+ORDER BY c_custkey"""))
   )
 }
