@@ -53,6 +53,28 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus""")),
 
+    // Explicit GROUPING SETS — the general form ROLLUP (a10) and CUBE
+    // (a12) are sugar over: exactly the requested aggregation levels,
+    // nothing else (here: per-flag, per-status, and grand total — the
+    // flag×status cross level is deliberately absent). One pass over
+    // the fact with Expand, no self-union of scans.
+    Q("a14_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem_gs")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+          FROM sql_lineitem_gs
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY l_returnflag, l_linestatus, n""")
+      },
+      Some("""
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""")),
+
     // SQL text entry, join-heavy shape (TPC-H Q3 — shipping priority):
     // 3-way join + filtered date window + grouped revenue + top-10.
     // Revenue is exact decimal arithmetic summed before the final

@@ -114,5 +114,40 @@ FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""")),
         .orderBy("event_id"),
       Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events ORDER BY event_id"""))
+,
+    // Late-data audit — the batch health metric behind watermark
+    // tuning: per user (arrival order = event_id), an event is "late"
+    // if its event time trails the user's running max by more than the
+    // 30-minute watermark delay — exactly the events
+    // dropDuplicatesWithinWatermark/windowed aggs would drop. Measured
+    // per user so the window is partition-parallel (a GLOBAL running
+    // max would serialize the corpus through one task); the output
+    // tells you what a given delay costs in dropped data BEFORE you
+    // deploy it.
+    Q("e5_late_event_audit",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .withColumn("hwm", max(unix_micros(col("ts"))).over(w))
+          .withColumn("late",
+            col("hwm").isNotNull &&
+              unix_micros(col("ts")) < col("hwm") - lit(30L * 60 * 1000000))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+          .orderBy("user_id")
+      },
+      Some("""
+WITH a AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+           FROM events),
+m AS (SELECT user_id, us,
+             max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      FROM a)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN hwm IS NOT NULL AND us < hwm - 1800000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM m GROUP BY user_id ORDER BY user_id"""))
   )
 }
