@@ -376,7 +376,74 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
         AnnIndex.query(s, emb.filter(col("vec_id") < 10), root,
           topK = 5, nprobe = 2)
       },
-      Some(sqlIvfNprobe2))
+      Some(sqlIvfNprobe2)),
+
+    // Filtered ANN — vector search under a metadata predicate (the
+    // serving-stack staple: "nearest neighbours WITH label = 1"). The
+    // filter applies to the CANDIDATE side before the cell join, so
+    // selectivity cuts candidate volume instead of being paid after
+    // re-rank — post-filtering top-k would return fewer than k rows
+    // when the predicate thins a neighbourhood; pre-filtering
+    // re-ranks among qualifying vectors only, exactly what the
+    // brute-force-under-predicate oracle states.
+    Q("simsearch_filtered_ann",
+      (s, d) => {
+        graft.functions.VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        val cents = kmeansCents(emb.drop("label"))
+        def assign(df: DataFrame, nprobe: Int): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)
+          df.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
+            .withColumn("rnc", row_number().over(w))
+            .filter(col("rnc") <= nprobe)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("cent_id").as("cell"))
+        }
+        val q = assign(emb.filter(col("vec_id") < 10).drop("label"), nprobe = 2)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_norm"), col("cell"))
+        // metadata predicate BEFORE candidate generation
+        val c = assign(emb.filter(col("vec_id") >= 10 && col("label") === 1)
+            .drop("label"), nprobe = 1)
+          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb2"),
+            col("nrm").as("c_norm"), col("cell"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        c.join(q, Seq("cell"))
+          .withColumn("cos",
+            round(expr("dot_f(q_emb, c_emb2)") / (col("q_norm") * col("c_norm")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), col("cos"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, label, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
+ranked AS (
+  SELECT e.vec_id, e.label, e.v, e.nrm, cent.cent_id,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                      i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
+           cent.cent_id ASC) AS rnc
+  FROM e CROSS JOIN cent),
+q AS (SELECT vec_id AS q_id, v, nrm, cent_id AS cell FROM ranked
+      WHERE vec_id < 10 AND rnc <= 2),
+c AS (SELECT vec_id AS c_id, v, nrm, cent_id AS cell FROM ranked
+      WHERE vec_id >= 10 AND label = 1 AND rnc = 1),
+p AS (SELECT q.q_id, c.c_id,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+      FROM q JOIN c ON q.cell = c.cell),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe and
