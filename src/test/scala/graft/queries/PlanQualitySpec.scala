@@ -100,6 +100,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("e2e pipeline: column pruning survives five composed stages") {
+    // documents has 5 columns; the pipeline touches doc_id/text/source.
+    // Composing five stages in one plan must not widen any scan —
+    // lang/n_chars may not appear in any ReadSchema.
+    val p = plan("curation_e2e_pipeline")
+    assert(p.contains("ReadSchema"), p.take(500))
+    assert(!p.contains("lang") && !p.contains("n_chars"),
+      s"unreferenced columns leaked into a scan:\n${p.take(2000)}")
+  }
+
   test("J13: the banded range join is an equi-join — no nested-loop interval scan") {
     val p = plan("j13_banded_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
