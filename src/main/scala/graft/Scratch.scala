@@ -16,6 +16,17 @@ object Scratch {
   def dir(prefix: String): String =
     Files.createTempDirectory(s"graft_$prefix").toString
 
+  /** One scratch root for process-lifetime state that cannot be deleted
+    * mid-run (e.g. the Derby system home, which holds derby.log for as
+    * long as the embedded engine is loaded). Deleted by a JVM shutdown
+    * hook instead of eagerly.
+    */
+  def jvmDir(prefix: String): String = {
+    val p = dir(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => delete(p)))
+    p
+  }
+
   /** Recursive delete; missing paths are a no-op. */
   def delete(root: String): Unit = {
     val p = Paths.get(root)

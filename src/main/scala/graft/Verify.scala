@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Pin the clock so f10_state_timestamp (TIMESTAMP DEFAULT
+      // current_timestamp semantics) is deterministic and its oracle can
+      // embed the same literal. Production runs leave this unset.
+      .config("spark.graft.now", graft.queries.PinnedClock.Now)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

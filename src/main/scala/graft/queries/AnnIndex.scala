@@ -29,11 +29,14 @@ import graft.functions.VectorExpressions
   */
 object AnnIndex {
 
-  /** Top-`nprobe` cell assignment of (vec_id, embedding, nrm) rows
+  /** Top-`nprobe` cell assignment of (vec_id, embedding, nrm, ...) rows
     * against a broadcast centroid set — shared by build (nprobe=1) and
-    * query (the recall dial).
+    * query (the recall dial). Metadata columns beyond the vector triple
+    * (e.g. a `label`) ride along untouched, so a build can persist them
+    * into the cell partitions for filtered search.
     */
   def assignCells(df: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val keep = df.columns.map(col).toSeq
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos_c").desc, col("cent_id").asc)
     df.crossJoin(broadcast(cents))
@@ -41,17 +44,21 @@ object AnnIndex {
         round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
       .withColumn("rnc", row_number().over(w))
       .filter(col("rnc") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cent_id").as("cell"))
+      .select(keep :+ col("cent_id").as("cell"): _*)
   }
 
   /** Train the quantizer on `train`, assign `vecs` to cells, persist
-    * both under `stateDir`.
+    * both under `stateDir`. The quantizer is pluggable: the default is
+    * the oracle-exact single-Lloyd [[SimilaritySearch.kmeansCents]];
+    * production builds pass [[SimilaritySearch.kmeansCentsAvg]] (plain
+    * `avg`, multi-iteration — no per-(cell,dim) collect_list, so the
+    * training reduction is safe at any corpus size).
     */
   def build(s: SparkSession, train: DataFrame, vecs: DataFrame,
-      stateDir: String): Unit = {
+      stateDir: String,
+      quantizer: DataFrame => DataFrame = SimilaritySearch.kmeansCents): Unit = {
     VectorExpressions.register(s)
-    SimilaritySearch.kmeansCents(train)
+    quantizer(train)
       .write.mode("overwrite").parquet(s"$stateDir/cent")
     val cents = s.read.parquet(s"$stateDir/cent")
     assignCells(vecs, cents, nprobe = 1)
@@ -78,15 +85,24 @@ object AnnIndex {
     * `stateDir`, probing each query's `nprobe` nearest cells. The
     * broadcast query-cell set lets dynamic partition pruning restrict
     * the `vec/` scan to probed cell directories.
+    *
+    * `candidateFilter` is the filtered-ANN hook: a predicate over the
+    * metadata columns persisted into `vec/` (e.g. `col("label") === 1`),
+    * applied directly on the state scan — parquet pushes it down, so
+    * selectivity cuts candidate volume BEFORE the cell join and the
+    * re-rank runs among qualifying vectors only (pre-filter, never
+    * post-filter top-k).
     */
   def query(s: SparkSession, queries: DataFrame, stateDir: String,
-      topK: Int, nprobe: Int): DataFrame = {
+      topK: Int, nprobe: Int,
+      candidateFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     VectorExpressions.register(s)
     val cents = s.read.parquet(s"$stateDir/cent")
     val q = assignCells(queries, cents, nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("cell"))
-    val vecs = s.read.parquet(s"$stateDir/vec")
+    val scan = s.read.parquet(s"$stateDir/vec")
+    val vecs = candidateFilter.fold(scan)(scan.filter)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb2"),
         col("nrm").as("c_norm"), col("cell"))
     val w = Window.partitionBy("q_id")

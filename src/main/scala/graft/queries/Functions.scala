@@ -11,6 +11,15 @@ import graft.functions.{TextHash, VectorExpressions}
   * the only JVM UDF is the engine-portable rolling hash (F7), which is
   * deliberately reproducible in DuckDB SQL (see TextHash).
   */
+/** The canonical pinned instant for deterministic-clock runs: Verify sets
+  * `spark.graft.now` to this value, so f10's oracle SQL can embed the
+  * identical literal and the hash compare closes. Interpreted in the
+  * session time zone (UTC for verification runs).
+  */
+object PinnedClock {
+  val Now = "2026-01-01 00:00:00"
+}
+
 object Functions {
 
   def qs: Seq[Q] = Seq(
@@ -165,15 +174,28 @@ SELECT vec_id,
        coalesce(list_position(list_transform(v, x -> x < 0), true), 0)::BIGINT AS first_neg
 FROM e ORDER BY vec_id""")),
 
-    // F10 timestamp-defaulted state rows (tanimoto.py:51-54) —
-    // current_timestamp() is inherently nondeterministic, so this entry
-    // has no oracle (driver records rows>0)
+    // F10 timestamp-defaulted state rows (tanimoto.py:51-54).
+    // current_timestamp() is inherently nondeterministic, so the clock is
+    // pinnable: when spark.graft.now is set (ISO "yyyy-MM-dd HH:mm:ss",
+    // interpreted in the session time zone) every state row carries that
+    // instant — same semantics as the reference's TIMESTAMP DEFAULT
+    // current_timestamp, but deterministic, which lets the oracle pin the
+    // identical literal. Unset → live clock, the production behavior.
     Q("f10_state_timestamp",
-      (s, d) => Tables.events(s, d)
-        .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("file"))
-        .distinct()
-        .withColumn("used_at", current_timestamp())
-        .orderBy("file"),
-      None)
+      (s, d) => {
+        val usedAt = s.conf.getOption("spark.graft.now")
+          .map(ts => to_timestamp(lit(ts)))
+          .getOrElse(current_timestamp())
+        Tables.events(s, d)
+          .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("file"))
+          .distinct()
+          // string at the compare boundary, like every timestamp column in
+          // Events: the oracle emits the identical text
+          .withColumn("used_at", date_format(usedAt, "yyyy-MM-dd HH:mm:ss"))
+          .orderBy("file")
+      },
+      Some(s"""SELECT DISTINCT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS file,
+                      strftime(TIMESTAMP '${PinnedClock.Now}', '%Y-%m-%d %H:%M:%S') AS used_at
+               FROM events ORDER BY file"""))
   )
 }

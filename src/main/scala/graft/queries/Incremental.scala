@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -42,9 +40,8 @@ object Incremental {
     // I2 idempotent output: dynamic-partition overwrite run twice yields
     // the same sink state as run once (tanimoto.py:132-135 analog)
     Q("i2_idempotent_sink",
-      (s, d) => {
+      (s, d) => graft.Scratch.withDir(s, "idem") { out =>
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        val out = Files.createTempDirectory("graft_idem").toString
         val ev = Tables.events(s, d).select("event_id", "event_type", "value")
         ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$out/ev")
         // re-run of the same batch — dynamic overwrite keeps it exactly-once
@@ -87,10 +84,9 @@ SELECT target_id, source_id, sim FROM fact ORDER BY target_id, source_id""")),
     // tables wholesale (db_interact.py:87-97): an incoming batch of
     // changed rows CLOSES the current version (valid_to stamped,
     // is_current dropped) and INSERTS the new one, while untouched rows
-    // ride along unchanged. Three hash joins on the business key (one
-    // semi, one anti, one inner) + a union — every piece broadcastable
-    // or shuffle-on-key; history grows append-only, so at 100 TB this
-    // is a partition-append on valid_from, never a rewrite of history.
+    // ride along unchanged. The merge step is [[scd2Apply]] — see its
+    // doc for the idempotence contract (only ACTUAL attribute changes
+    // open versions, so re-delivering a batch is a no-op; Scd2Spec).
     // Batch ids stand in for timestamps (deterministic fixture).
     Q("i5_scd2_dimension",
       (s, d) => {
@@ -99,26 +95,12 @@ SELECT target_id, source_id, sim FROM fact ORDER BY target_id, source_id""")),
         val current = dim
           .withColumn("version", lit(1L))
           .withColumn("valid_from", lit(1L))
+          .withColumn("valid_to", lit(null).cast("long"))
+          .withColumn("is_current", lit(true))
         // incoming batch: every 7th customer's balance changed
         val changes = dim.filter(col("c_custkey") % 7 === 0)
           .withColumn("c_acctbal", round(col("c_acctbal") + 100.0, 2))
-        val changeKeys = changes.select("c_custkey")
-        val closed = current.join(changeKeys, Seq("c_custkey"), "left_semi")
-          .withColumn("valid_to", lit(2L))
-          .withColumn("is_current", lit(false))
-        val untouched = current.join(changeKeys, Seq("c_custkey"), "left_anti")
-          .withColumn("valid_to", lit(null).cast("long"))
-          .withColumn("is_current", lit(true))
-        val opened = changes
-          .withColumn("version", lit(2L))
-          .withColumn("valid_from", lit(2L))
-          .withColumn("valid_to", lit(null).cast("long"))
-          .withColumn("is_current", lit(true))
-        val cols = Seq("c_custkey", "version", "c_name", "c_acctbal",
-          "valid_from", "valid_to", "is_current")
-        untouched.select(cols.map(col): _*)
-          .union(closed.select(cols.map(col): _*))
-          .union(opened.select(cols.map(col): _*))
+        scd2Apply(current, changes, batch = 2L)
           .orderBy("c_custkey", "version")
       },
       Some("""
@@ -135,4 +117,51 @@ SELECT c_custkey, 2::BIGINT, c_name, c_acctbal, 2::BIGINT, NULL::BIGINT, true
 FROM chg
 ORDER BY c_custkey, version"""))
   )
+
+  /** One SCD2 merge step: fold `incoming` (c_custkey + tracked
+    * attributes c_name, c_acctbal) into the versioned dimension `dim`
+    * at batch id `batch`, returning the new dimension state.
+    *
+    * Only rows whose tracked attributes ACTUALLY differ (null-safely)
+    * from the key's current version close-and-open — which is exactly
+    * what makes re-delivery idempotent: applying the same batch twice
+    * changes nothing the second time, the dimension counterpart of I3's
+    * exactly-once fact discipline (asserted in Scd2Spec). Keys unknown
+    * to the dimension are ignored (an SCD2 merge versions existing
+    * members; inserts are a separate path).
+    *
+    * Plan shape: three hash joins on the business key (inner for change
+    * detection, semi to close, anti to carry) + a union — every piece
+    * broadcastable or shuffle-on-key; history rides through untouched,
+    * so at 100 TB this is a partition-append on valid_from, never a
+    * rewrite of history.
+    */
+  private[graft] def scd2Apply(dim: org.apache.spark.sql.DataFrame,
+      incoming: org.apache.spark.sql.DataFrame, batch: Long): org.apache.spark.sql.DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val changed = incoming.alias("i")
+      .join(cur.alias("c"), col("i.c_custkey") === col("c.c_custkey"))
+      .filter(!(col("i.c_acctbal") <=> col("c.c_acctbal")) ||
+        !(col("i.c_name") <=> col("c.c_name")))
+      .select(col("i.c_custkey").as("c_custkey"),
+        col("i.c_name").as("c_name"), col("i.c_acctbal").as("c_acctbal"),
+        col("c.version").as("old_version"))
+    val keys = changed.select("c_custkey")
+    val closed = cur.join(keys, Seq("c_custkey"), "left_semi")
+      .withColumn("valid_to", lit(batch))
+      .withColumn("is_current", lit(false))
+    val untouched = cur.join(keys, Seq("c_custkey"), "left_anti")
+    val opened = changed
+      .withColumn("version", col("old_version") + lit(1L))
+      .withColumn("valid_from", lit(batch))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val cols = Seq("c_custkey", "version", "c_name", "c_acctbal",
+      "valid_from", "valid_to", "is_current")
+    hist.select(cols.map(col): _*)
+      .union(untouched.select(cols.map(col): _*))
+      .union(closed.select(cols.map(col): _*))
+      .union(opened.select(cols.map(col): _*))
+  }
 }

@@ -203,31 +203,12 @@ ORDER BY target_id, source_id""")),
     // technique for fact-fact joins repeated across runs: pay the
     // bucketed write once, skip the join shuffle every time after.
     Q("j11_bucketed_colocated_join",
-      (s, d) => {
-        // Catalog-managed cleanup only: DROP the catalog entries, then
-        // recreate as EXTERNAL bucketed tables at a fresh per-invocation
-        // temp path — no filesystem code, and stale warehouse dirs from a
-        // previous session can never collide with the new location.
-        val out = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-        Seq("graft_orders_bucketed", "graft_lineitem_bucketed")
-          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-        Tables.orders(s, d).select("o_orderkey", "o_totalprice")
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"$out/orders")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .saveAsTable("graft_orders_bucketed")
-        Tables.lineitem(s, d)
-          .select("l_orderkey", "l_linenumber", "l_quantity")
-          .write.mode("overwrite").format("parquet")
-          .option("path", s"$out/lineitem")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .saveAsTable("graft_lineitem_bucketed")
-        s.table("graft_lineitem_bucketed")
-          .join(s.table("graft_orders_bucketed"),
-            col("l_orderkey") === col("o_orderkey"))
-          .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
-          .orderBy("l_orderkey", "l_linenumber")
-      },
+      // Scratch.withDir materializes the joined result, then deletes the
+      // bucket files — the catalog entries stay behind (dropped and
+      // recreated by the next invocation or by the spec, which rebuilds
+      // under its own scratch root before inspecting the plan).
+      (s, d) => graft.Scratch.withDir(s, "bucketed")(out =>
+        bucketedColocatedJoin(s, d, out)),
       Some("""SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               ORDER BY l_orderkey, l_linenumber""")),
@@ -340,4 +321,33 @@ WHERE o.o_orderkey % 50 = 0
 GROUP BY o.o_orderkey, o.o_totalprice
 ORDER BY o.o_orderkey"""))
   )
+
+  /** J11's body: catalog-managed cleanup (DROP the entries), then
+    * recreate both sides as EXTERNAL bucketed tables under `out` and
+    * return the co-located join — sort-merge with NO shuffle exchange on
+    * either side (BucketedJoinSpec asserts it with broadcast disabled).
+    * Shared with the spec so it can keep the bucket files alive under
+    * its own scratch root while it inspects the plan.
+    */
+  private[graft] def bucketedColocatedJoin(
+      s: org.apache.spark.sql.SparkSession, d: String, out: String): org.apache.spark.sql.DataFrame = {
+    Seq("graft_orders_bucketed", "graft_lineitem_bucketed")
+      .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+    Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$out/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bucketed")
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$out/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bucketed")
+    s.table("graft_lineitem_bucketed")
+      .join(s.table("graft_orders_bucketed"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "o_totalprice")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 }

@@ -151,6 +151,52 @@ object SimilaritySearch {
         expr("norm_f(c_emb)").as("c_nrm"))
   }
 
+  /** Production quantizer: the same IVF training loop with plain
+    * per-dimension `avg` and multiple Lloyd iterations. NOT oracle-exact
+    * (cross-row float addition is partition-order-dependent in the last
+    * ulp), so it backs non-oracled builds and is held to a recall floor
+    * (SimilaritySearchSpec) instead of a hash: [[kmeansCents]]'s
+    * sort_array(collect_list(...)) fold exists only for bit-exact oracle
+    * parity and materializes a cell's whole population per (cell, dim) —
+    * a memory risk at a 100 TB training set — while `avg` is a
+    * partial-aggregating shuffle of (cell, pos) pairs, safe at any
+    * scale. (The final per-cell collect_list here gathers one value per
+    * DIMENSION, bounded by the embedding width, never by corpus size.)
+    * Each iteration costs one broadcast-assign pass + one avg shuffle;
+    * intermediate centroid sets are materialized and released so the
+    * loop never nests crossJoin lineage.
+    */
+  def kmeansCentsAvg(emb: DataFrame, iters: Int = 3): DataFrame = {
+    val s = emb.sparkSession
+    VectorExpressions.register(s)
+    var cents = graft.Caching.materialize(s,
+      emb.filter(col("vec_id") % 100 === 10)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm")))
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("cos_c").desc, col("cent_id").asc)
+      val asg = emb.crossJoin(broadcast(cents))
+        .withColumn("cos_c",
+          expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")))
+        .withColumn("rnc", row_number().over(w))
+        .filter(col("rnc") === 1)
+        .select(col("cent_id").as("cell"), col("embedding"))
+      val expl = asg.select(col("cell"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "val")))
+      val next = expl.groupBy("cell", "pos").agg(avg("val").as("m"))
+        .groupBy("cell")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).cast("array<float>").as("c_emb"))
+        .select(col("cell").as("cent_id"), col("c_emb"),
+          expr("norm_f(c_emb)").as("c_nrm"))
+      val prev = cents
+      cents = graft.Caching.materialize(s, next)
+      graft.Caching.release(prev)
+    }
+    cents
+  }
+
   /** DuckDB twin of [[kmeansCents]]: CTE list ending in `cent`
     * (cent_id, c_v DOUBLE[], c_nrm), assuming `e` (vec_id, v, nrm)
     * is already defined.
@@ -379,49 +425,28 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
       Some(sqlIvfNprobe2)),
 
     // Filtered ANN — vector search under a metadata predicate (the
-    // serving-stack staple: "nearest neighbours WITH label = 1"). The
-    // filter applies to the CANDIDATE side before the cell join, so
-    // selectivity cuts candidate volume instead of being paid after
-    // re-rank — post-filtering top-k would return fewer than k rows
-    // when the predicate thins a neighbourhood; pre-filtering
-    // re-ranks among qualifying vectors only, exactly what the
-    // brute-force-under-predicate oracle states.
+    // serving-stack staple: "nearest neighbours WITH label = 1"),
+    // served from the PERSISTED index: [[AnnIndex.build]] carries the
+    // label column into the cell-partitioned posting lists, and the
+    // query applies the predicate directly on the state scan, where
+    // parquet pushes it down — so selectivity cuts candidate volume
+    // BEFORE the cell join (pre-filter; post-filtering top-k would
+    // return fewer than k rows when the predicate thins a
+    // neighbourhood), and cell probing stays partition pruning.
+    // AnnIndexSpec asserts both pushdowns in the executed plan. The
+    // oracle is unchanged from the inline formulation: per-vector cell
+    // assignment is independent of the predicate, so filtering at the
+    // scan equals filtering before assignment.
     Q("simsearch_filtered_ann",
-      (s, d) => {
+      (s, d) => graft.Scratch.withDir(s, "annidxf") { root =>
         graft.functions.VectorExpressions.register(s)
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("label"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
-        val cents = kmeansCents(emb.drop("label"))
-        def assign(df: DataFrame, nprobe: Int): DataFrame = {
-          val w = Window.partitionBy("vec_id")
-            .orderBy(col("cos_c").desc, col("cent_id").asc)
-          df.crossJoin(broadcast(cents))
-            .withColumn("cos_c",
-              round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
-            .withColumn("rnc", row_number().over(w))
-            .filter(col("rnc") <= nprobe)
-            .select(col("vec_id"), col("embedding"), col("nrm"),
-              col("cent_id").as("cell"))
-        }
-        val q = assign(emb.filter(col("vec_id") < 10).drop("label"), nprobe = 2)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-            col("nrm").as("q_norm"), col("cell"))
-        // metadata predicate BEFORE candidate generation
-        val c = assign(emb.filter(col("vec_id") >= 10 && col("label") === 1)
-            .drop("label"), nprobe = 1)
-          .select(col("vec_id").as("c_id"), col("embedding").as("c_emb2"),
-            col("nrm").as("c_norm"), col("cell"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("cos").desc, col("c_id").asc)
-        c.join(q, Seq("cell"))
-          .withColumn("cos",
-            round(expr("dot_f(q_emb, c_emb2)") / (col("q_norm") * col("c_norm")), 6))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 5)
-          .select(col("q_id"), col("c_id"), col("cos"),
-            col("rn").cast("long").as("rn"))
-          .orderBy("q_id", "rn")
+        AnnIndex.build(s, train = emb.drop("label"),
+          vecs = emb.filter(col("vec_id") >= 10), stateDir = root)
+        AnnIndex.query(s, emb.filter(col("vec_id") < 10).drop("label"), root,
+          topK = 5, nprobe = 2, candidateFilter = Some(col("label") === 1))
       },
       Some(s"""
 WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -14,9 +12,6 @@ import graft.Tables
   * of the testdata and the oracle runs against the original tables.
   */
 object Sources {
-
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(s"graft_$prefix").toString
 
   def qs: Seq[Q] = Seq(
     // S1 warehouse table scan, full row materialization (db_interact.py:115-130)
@@ -122,9 +117,11 @@ object Sources {
     // rows from parquet via the oracle.
     Q("s7_jdbc_partitioned_source",
       (s, d) => {
-        // keep Derby's derby.log inside a temp dir, not the working dir
+        // keep Derby's derby.log inside a scratch dir, not the working
+        // dir; the dir must outlive the query (the embedded engine keeps
+        // the log open), so it is deleted at JVM exit, not eagerly
         if (System.getProperty("derby.system.home") == null)
-          System.setProperty("derby.system.home", tmp("derby"))
+          System.setProperty("derby.system.home", graft.Scratch.jvmDir("derby"))
         val url = "jdbc:derby:memory:graft_" +
           java.util.UUID.randomUUID().toString.take(8) + ";create=true"
         val driver = "org.apache.derby.jdbc.EmbeddedDriver"

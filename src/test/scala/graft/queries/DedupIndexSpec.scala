@@ -193,6 +193,60 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(res.metrics.nDelta == 1)
   }
 
+  test("full lifecycle update→update→purge→update equals from-scratch over the survivors") {
+    // The composed contract over a MULTI-BATCH lineage, with a cap flip
+    // in each direction along the way: two updates (the second over the
+    // first's two-batch lineage), a purge that both removes docs and
+    // cools a hot shingle, then a further update on the purged state —
+    // the final state must be indistinguishable from bootstrapping the
+    // surviving corpus + later deltas from scratch.
+    val cap = 2
+    val shared = "alpha beta gamma"
+    val root = tmpRoot()
+    val b0 = docsDf(
+      1L -> s"$shared one extra word here",
+      2L -> s"$shared two extra word here",
+      3L -> "totally different text with nothing shared at all")
+    DedupIndex.bootstrap(s, b0, s"$root/v1", dfCap = cap)
+    // update A: doc 4 flips the shared shingle hot (df 2→3 > cap) —
+    // old carriers 1 and 2 are re-signed
+    val a1 = b0.union(docsDf(
+      4L -> s"$shared three extra word here",
+      5L -> "spark catalyst optimizer rewrites logical query plans"))
+    val resA = DedupIndex.update(s, a1, s"$root/v1", s"$root/v2")
+    assert(resA.metrics.nDelta == 2 && resA.metrics.nAffected == 2)
+    // update B: runs over the two-batch lineage of v2
+    val a2 = a1.union(docsDf(
+      6L -> "spark catalyst optimizer rewrites logical query planners",
+      7L -> "another entirely unrelated document about gardening tools"))
+    val resB = DedupIndex.update(s, a2, s"$root/v2", s"$root/v3")
+    assert(resB.metrics.nDelta == 2)
+    assert(DedupIndex.metaOf(s, s"$root/v3").rawDirs.size == 3,
+      "three-batch lineage before the purge")
+    // purge: doc 4 leaving cools the shared shingle (df 3→2 ≤ cap) —
+    // survivors 1 and 2 re-sign; doc 5 leaving also drops its pairs
+    val m = DedupIndex.purge(s, docsDf(4L -> "x", 5L -> "x").select("doc_id"),
+      s"$root/v3", s"$root/v4")
+    assert(m.nPurged == 2)
+    assert(m.nAffected == 2, "both surviving carriers of the cooled shingle")
+    // update C: ingest continues on the purged state
+    val survivors = a2.filter(!col("doc_id").isin(4L, 5L))
+    val a3 = survivors.union(docsDf(
+      8L -> "the quick brown fox jumps over the lazy dog tonight"))
+    val resC = DedupIndex.update(s, a3, s"$root/v4", s"$root/v5")
+    assert(resC.metrics.nDelta == 1)
+    // the composed final state ≡ one bootstrap of the final corpus
+    DedupIndex.bootstrap(s, a3, s"$root/scratch", dfCap = cap)
+    for ((inc, scratch) <- Seq(
+      s.read.parquet(s"$root/v5/sig") -> s.read.parquet(s"$root/scratch/sig"),
+      DedupIndex.dfAll(s, s"$root/v5") -> DedupIndex.dfAll(s, s"$root/scratch"),
+      DedupIndex.rawAll(s, s"$root/v5") -> DedupIndex.rawAll(s, s"$root/scratch"))) {
+      assert(inc.exceptAll(scratch).isEmpty && scratch.exceptAll(inc).isEmpty,
+        "lifecycle state diverged from from-scratch over the survivors")
+    }
+    graft.Scratch.delete(root)
+  }
+
   test("registered dedup_incremental_minhash (index-backed) matches the rebuild-and-filter result") {
     val docs = graft.Tables.documents(s, TestSpark.Sf0001)
       .select("doc_id", "text")

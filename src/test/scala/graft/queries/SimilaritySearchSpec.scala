@@ -99,6 +99,61 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally { graft.Scratch.delete(r1); graft.Scratch.delete(r2) }
   }
 
+  test("filtered ANN on the persisted index: label predicate AND cell probe both push into the vec/ scan") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_filt").toString
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          expr("norm_f(embedding)").as("nrm"))
+      AnnIndex.build(spark, emb.drop("label"),
+        emb.filter(col("vec_id") >= 10), root)
+      val got = AnnIndex.query(spark, emb.filter(col("vec_id") < 10).drop("label"),
+        root, topK = 5, nprobe = 2, candidateFilter = Some(col("label") === 1))
+      // every served neighbour satisfies the predicate (pre-filter, so
+      // each query still fills k slots from QUALIFYING vectors)
+      val labels = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id").as("c_id"), col("label"))
+      assert(got.join(labels, Seq("c_id")).filter(col("label") =!= 1).count() == 0)
+      // and the plan does the work in the right place: the label
+      // predicate is pushed into the parquet scan of the state, and
+      // probing still prunes the cell partitions dynamically
+      val p = got.queryExecution.executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"no dynamic partition pruning on the filtered vec/ scan:\n${p.take(3000)}")
+      assert(p.contains("PushedFilters: [IsNotNull(label), EqualTo(label,1)]")
+        || p.contains("EqualTo(label,1)"),
+        s"label predicate not pushed into the vec/ scan:\n${p.take(3000)}")
+    } finally graft.Scratch.delete(root)
+  }
+
+  test("production avg-quantizer (multi-iteration Lloyd) holds the oracle quantizer's recall floors") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx_avgq").toString
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id"), col("embedding"),
+          expr("norm_f(embedding)").as("nrm"))
+      AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root,
+        quantizer = e => SimilaritySearch.kmeansCentsAvg(e, iters = 3))
+      def pairs(nprobe: Int): Set[(Long, Long)] =
+        AnnIndex.query(spark, emb.filter(col("vec_id") < 10), root,
+          topK = 5, nprobe = nprobe).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val gt = Registry.queries("simsearch_bruteforce_topk")(spark, TestSpark.Sf001)
+        .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+      val r1 = pairs(1).intersect(gt).size.toDouble / gt.size
+      val r2 = pairs(2).intersect(gt).size.toDouble / gt.size
+      // same floors as the oracle-exact single-Lloyd quantizer: more
+      // Lloyd iterations must not cost recall
+      assert(r1 >= 0.28, s"avg-quantizer nprobe=1 recall@5 dropped to $r1")
+      assert(r2 >= 0.40, s"avg-quantizer nprobe=2 recall@5 dropped to $r2")
+      assert(r2 >= r1)
+    } finally graft.Scratch.delete(root)
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
