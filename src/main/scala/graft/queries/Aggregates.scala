@@ -158,6 +158,72 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name""")),
 
+    // SQL text entry, returned-item revenue (TPC-H Q10 shape): which
+    // customers returned the most value in a quarter — fact joined to
+    // two dims, grouped by customer, top-20. The nation dim broadcasts;
+    // the returnflag filter reaches the lineitem scan before the join.
+    Q("sql_returned_item_revenue",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("sql_customer")
+        Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        Tables.nation(s, d).createOrReplaceTempView("sql_nation")
+        s.sql("""
+          SELECT c_custkey, c_name, n_name,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+          FROM sql_customer
+          JOIN sql_orders ON c_custkey = o_custkey
+          JOIN sql_lineitem ON l_orderkey = o_orderkey
+          JOIN sql_nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          GROUP BY c_custkey, c_name, n_name
+          ORDER BY revenue DESC, c_custkey LIMIT 20""")
+      },
+      Some("""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20""")),
+
+    // SQL text entry, scan-dominated aggregate (TPC-H Q6 shape —
+    // forecast revenue change): no join at all, every predicate lands
+    // in PushedFilters, one decimal-exact global sum. The degenerate
+    // single-row case of the SQL path, worth covering because it is
+    // the shape where pushdown does ALL the work.
+    Q("sql_revenue_change",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        s.sql("""
+          SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+                 count(*) AS n_items
+          FROM sql_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            AND l_discount >= 0.02 AND l_discount <= 0.04
+            AND l_quantity < 24""")
+      },
+      Some("""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.02 AND l_discount <= 0.04
+  AND l_quantity < 24""")),
+
     // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
     // so the sum is exact and the avg deterministic across engines
     Q("a2_avg_groupby",

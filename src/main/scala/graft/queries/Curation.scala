@@ -455,6 +455,127 @@ cand AS (SELECT train_id, sh, k,
          FROM trp CROSS JOIN seeds),
 hit AS (SELECT train_id, sh FROM cand JOIN bits USING (bit)
         GROUP BY train_id, sh HAVING count(*) = 3)
-SELECT train_id, count(*) AS n_flagged FROM hit GROUP BY train_id ORDER BY train_id"""))
+SELECT train_id, count(*) AS n_flagged FROM hit GROUP BY train_id ORDER BY train_id""")),
+
+    // Per-domain quality gate: keep documents at or above their OWN
+    // source's median quality — the standard curation move when corpus
+    // quality varies by provenance (a web-crawl source's median is not
+    // a books source's). Exact rank-based percentile (the a13 pattern:
+    // row_number vs ceil(n*q) — identical in both engines, unlike
+    // engine-specific interpolation); thresholds collapse to ONE ROW
+    // PER SOURCE and broadcast back, so the gate itself is map-side.
+    // The rank window shuffles by source once — at 100 TB with a
+    // mega-source, swap the exact rank for a t-digest/approx quantile
+    // sketch (same one-row-per-source output, no full sort); the gate
+    // plan is unchanged.
+    Q("curation_quality_percentile_filter",
+      (s, d) => {
+        val scored = TextAnalysis.qualityScored(s, d)
+        val w = Window.partitionBy("source")
+          .orderBy(col("quality").asc, col("doc_id").asc)
+        val wAll = Window.partitionBy("source")
+        val thr = scored
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("source")
+          .agg(min(when(col("rn") === ceil(col("n") * 0.5), col("quality")))
+            .as("q50"))
+        scored.join(broadcast(thr), Seq("source"))
+          .filter(col("quality") >= col("q50"))
+          .select("doc_id", "source", "quality", "q50")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH sc AS (${TextAnalysis.sqlQualityScored}),
+r AS (SELECT doc_id, source, quality,
+        row_number() OVER (PARTITION BY source
+                           ORDER BY quality ASC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM sc),
+thr AS (SELECT source,
+          min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN quality END) AS q50
+        FROM r GROUP BY source)
+SELECT sc.doc_id, sc.source, sc.quality, thr.q50
+FROM sc JOIN thr ON sc.source = thr.source
+WHERE sc.quality >= thr.q50
+ORDER BY sc.doc_id""")),
+
+    // Deterministic stratified train/val/test split — 80/10/10 WITHIN
+    // each source, assignment by salted-hash rank (never rand()): the
+    // same corpus always splits identically, adding a source never
+    // reshuffles another source's split, and eval contamination by
+    // provenance imbalance is ruled out by construction. Rank
+    // thresholds give exact per-source proportions (a pure mod-hash
+    // split only approximates them); one shuffle on source, the rest
+    // is a per-stratum window.
+    Q("curation_train_val_test_split",
+      (s, d) => {
+        TextHash.register(s)
+        val w = Window.partitionBy("source")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+        val wAll = Window.partitionBy("source")
+        Tables.documents(s, d)
+          .withColumn("hkey", expr(hkeyExpr))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("split",
+            when(col("rn") <= ceil(col("n") * 0.8), "train")
+              .when(col("rn") <= ceil(col("n") * 0.9), "val")
+              .otherwise("test"))
+          .select("doc_id", "source", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH h AS (SELECT doc_id, source, $sqlHkey AS hkey FROM documents),
+r AS (SELECT doc_id, source,
+        row_number() OVER (PARTITION BY source ORDER BY hkey ASC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM h)
+SELECT doc_id, source,
+       CASE WHEN rn <= ceil(n * 0.8) THEN 'train'
+            WHEN rn <= ceil(n * 0.9) THEN 'val'
+            ELSE 'test' END AS split
+FROM r ORDER BY doc_id""")),
+
+    // Normalization-aware exact dedup: lowercase, strip punctuation,
+    // collapse whitespace, THEN group — catches the trivially-
+    // obfuscated exact dups (case flips, punctuation edits, double
+    // spaces) that byte-exact dedup misses while staying one
+    // hash-groupBy shuffle, no pair generation. The fixture is the
+    // dedup family's re-ingest scenario with the obfuscation applied:
+    // every 10th document re-arrives under a new id UPPERCASED with
+    // trailing punctuation — invisible to dedup_exact's byte-equality,
+    // caught here by construction. The normalized string never leaves
+    // the aggregation key; survivors keep the min doc_id (the same
+    // canonical rule as the near-dup survivor selection).
+    Q("curation_exact_dedup_normalized",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        val corpus = docs.union(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(upper(col("text")), lit(" !!")).as("text")))
+        corpus
+          .withColumn("norm", trim(
+            regexp_replace(
+              regexp_replace(lower(col("text")), "[.!?,;:]", ""),
+              " +", " ")))
+          .groupBy("norm")
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select("keep_id", "n_copies")
+          .orderBy("keep_id")
+      },
+      Some("""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, upper(text) || ' !!' AS text
+  FROM documents WHERE doc_id % 10 = 0),
+n AS (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[.!?,;:]', '', 'g'),
+                                 ' +', ' ', 'g')) AS norm
+      FROM corpus)
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM n GROUP BY norm HAVING count(*) > 1 ORDER BY keep_id"""))
   )
 }

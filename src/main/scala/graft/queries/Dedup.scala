@@ -281,6 +281,43 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
       .select("i", "j", "jac")
   }
 
+  /** Asymmetric containment pairs over a GLOBAL inverted shingle index
+    * (no source blocking — a subset-dup crosses sources): containment
+    * C(A,B) = |A∩B| / min(|A|,|B|) catches a short document embedded
+    * verbatim in a longer one, which symmetric Jaccard structurally
+    * misses (the union is dominated by the long side:
+    * J = |A|/|B| → 0 as B grows while C stays 1). The classic LLM-corpus
+    * case is quote-and-expand spam and boilerplate-wrapped reposts.
+    * Same scale shape as [[jaccardPairs]]: df-capped postings with the
+    * mass-dup rescue, pairs only for docs sharing an uncapped shingle,
+    * one doc-keyed shuffle. Emits both scores so consumers can
+    * distinguish subset-dups (high cont, low jac) from full dups
+    * (both high); DedupSpec asserts the asymmetric catch on a
+    * prefix-embedding fixture.
+    */
+  def containmentPairs(docs: DataFrame, dfCap: Int, threshold: Double): DataFrame = {
+    val counts = docs.select(col("doc_id"), size(col("shs")).as("n"))
+    val post = docs.select(col("doc_id"), explode(col("shs")).as("sh"))
+    val dfreq = post.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wmin = Window.partitionBy("doc_id")
+    val fp = post.join(dfreq, Seq("sh"))
+      .withColumn("mindf", min("df").over(wmin))
+      .filter(col("df") <= dfCap || col("mindf") > dfCap)
+      .select("doc_id", "sh")
+    fp.select(col("doc_id").as("i"), col("sh"))
+      .join(fp.select(col("doc_id").as("j"), col("sh")), Seq("sh"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+      .join(counts.select(col("doc_id").as("i"), col("n").as("na")), "i")
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+      .withColumn("cont", round(col("common").cast("double") /
+        least(col("na"), col("nb")), 6))
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")), 6))
+      .filter(col("cont") >= threshold)
+      .select("i", "j", "cont", "jac")
+  }
+
   /** MinHash+LSH verified near-dup pairs (i, j, jac ≥ 0.5), unordered —
     * the full pipeline: df-capped postings with the mass-dup rescue,
     * one-pass signatures+sizes, salted band-bucket candidates
@@ -654,6 +691,34 @@ SELECT i, j,
 FROM common JOIN counts na ON common.i = na.doc_id
             JOIN counts nb ON common.j = nb.doc_id
 WHERE round(common::DOUBLE / (na.n + nb.n - common), 6) >= 0.5
+ORDER BY i, j""")),
+
+    // Asymmetric containment dedup — see [[containmentPairs]]: the
+    // subset-duplicate catcher symmetric Jaccard misses. Global index
+    // (no source blocking), identical df-cap + rescue discipline.
+    Q("dedup_containment",
+      (s, d) => containmentPairs(
+        docShingles(s, d).drop("source"), DfCap, 0.8).orderBy("i", "j"),
+      Some(s"""
+WITH d AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents),
+counts AS (SELECT doc_id, len(shs) AS n FROM d),
+post AS (SELECT doc_id, unnest(shs) AS sh FROM d),
+dfreq AS (SELECT sh, count(*) AS df FROM post GROUP BY sh),
+fp0 AS (SELECT p.doc_id, p.sh FROM post p
+        JOIN dfreq ON p.sh = dfreq.sh
+        WHERE dfreq.df <= $DfCap),
+rescued AS (SELECT doc_id, sh FROM post
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM fp0)),
+fp AS (SELECT * FROM fp0 UNION ALL SELECT * FROM rescued),
+common AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+           FROM fp a JOIN fp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+SELECT i, j,
+       round(common::DOUBLE / least(na.n, nb.n), 6) AS cont,
+       round(common::DOUBLE / (na.n + nb.n - common), 6) AS jac
+FROM common JOIN counts na ON common.i = na.doc_id
+            JOIN counts nb ON common.j = nb.doc_id
+WHERE round(common::DOUBLE / least(na.n, nb.n), 6) >= 0.8
 ORDER BY i, j""")),
 
     // Embedding-cosine near-dup, the 100 TB shape: multi-band

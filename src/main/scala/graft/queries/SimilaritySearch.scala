@@ -220,6 +220,40 @@ cent AS (SELECT cell AS cent_id, list(m ORDER BY pos)::FLOAT[]::DOUBLE[] AS c_v,
                      x -> x*x))) AS c_nrm
          FROM dimmean GROUP BY cell)"""
 
+  /** Parametrized DuckDB twin of [[kmeansCents]] + full-corpus top-1
+    * assignment, with all CTE names prefixed by `p` so two instances
+    * (e.g. the two PQ subspace codebooks) can coexist in one query.
+    * Input CTE `$e` must provide (vec_id, v DOUBLE[], nrm). Emits
+    * `${p}_cent` (cent_id, c_v, c_nrm) and `${p}_asg`
+    * (vec_id, cell) — the assignment of EVERY vector of `$e`.
+    */
+  def sqlKmeansCtesFor(p: String, e: String): String = s"""
+${p}_c0 AS (SELECT vec_id AS cent_id, v AS c_v, nrm AS c_nrm FROM $e WHERE vec_id % 100 = 10),
+${p}_a1 AS (SELECT cell, v FROM (
+    SELECT $e.vec_id, $e.v, ${p}_c0.cent_id AS cell,
+           row_number() OVER (PARTITION BY $e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len($e.v)+1),
+                        i -> $e.v[i] * ${p}_c0.c_v[i])) / ($e.nrm * ${p}_c0.c_nrm), 6) DESC,
+             ${p}_c0.cent_id ASC) AS rnc
+    FROM $e CROSS JOIN ${p}_c0)
+  WHERE rnc = 1),
+${p}_ex AS (SELECT cell, generate_subscripts(v, 1) AS pos, unnest(v) AS val FROM ${p}_a1),
+${p}_dm AS (SELECT cell, pos,
+              round(list_reduce(list_sort(list(val)), (a, b) -> a + b) / count(*), 6) AS m
+            FROM ${p}_ex GROUP BY cell, pos),
+${p}_cent AS (SELECT cell AS cent_id, list(m ORDER BY pos)::FLOAT[]::DOUBLE[] AS c_v,
+                sqrt(list_sum(list_transform(list(m ORDER BY pos)::FLOAT[]::DOUBLE[],
+                     x -> x*x))) AS c_nrm
+         FROM ${p}_dm GROUP BY cell),
+${p}_asg AS (SELECT vec_id, cent_id AS cell FROM (
+    SELECT $e.vec_id, ${p}_cent.cent_id,
+           row_number() OVER (PARTITION BY $e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len($e.v)+1),
+                        i -> $e.v[i] * ${p}_cent.c_v[i])) / ($e.nrm * ${p}_cent.c_nrm), 6) DESC,
+             ${p}_cent.cent_id ASC) AS rnc
+    FROM $e CROSS JOIN ${p}_cent)
+  WHERE rnc = 1)"""
+
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-k: exact kNN baseline
     Q("simsearch_bruteforce_topk",
@@ -468,6 +502,120 @@ p AS (SELECT q.q_id, c.c_id,
                    (q.nrm * c.nrm), 6) AS cos
       FROM q JOIN c ON q.cell = c.cell),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // Product quantization with asymmetric distance computation and
+    // exact re-rank — the memory-bound regime's ANN: each candidate is
+    // stored as M=4 codes (nearest codeword per 16-dim subspace, K≈N/20
+    // codewords per codebook from the same deterministic k-means), the
+    // ADC pass scores every candidate WITHOUT touching its vector
+    // (query stays exact, candidate is its codeword reconstruction:
+    // dot(q,x) ≈ Σₘ dot(qₘ, cbₘ[codeₘ])), and only the top-R=50
+    // shortlist gets its full vectors fetched for the exact top-5
+    // re-rank — the standard two-stage serving stack. At 100 TB the
+    // ADC scan reads 4 ints/candidate instead of 64 floats (16× less
+    // I/O), codebooks broadcast, and the exact fetch touches R rows
+    // per query, never N. ADC-only recall on near-uniform synthetic
+    // embeddings is poor (measured 0.08 — quantization error swamps
+    // signal at this K), which is exactly why the production shape IS
+    // shortlist+rerank: measured recall@5 = 0.52, on par with IVF
+    // nprobe=2 (floor-asserted in SimilaritySearchSpec). The oracle
+    // mirrors codebook training, code assignment, ADC scoring, and the
+    // re-rank exactly.
+    Q("simsearch_pq_rerank",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val M = 4
+        val dsub = 16
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+        def sub(m: Int): DataFrame = emb.select(col("vec_id"),
+          slice(col("embedding"), m * dsub + 1, dsub).as("embedding"))
+          .withColumn("nrm", expr("norm_f(embedding)"))
+        def assign(df: DataFrame, cb: DataFrame): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)
+          df.crossJoin(broadcast(cb))
+            .withColumn("cos_c",
+              round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
+            .withColumn("rnc", row_number().over(w))
+            .filter(col("rnc") === 1)
+            .select(col("vec_id"), col("cent_id").as("cell"))
+        }
+        // K≈25 codebooks: every-20th-vector init (vs every-100th for
+        // IVF) — PQ needs resolution, IVF needs few coarse cells. The
+        // ×5 id scaling reuses kmeansCents' %100==10 init rule as a
+        // %20==2 rule without forking the quantizer; centroid labels
+        // stay consistent across engines because both scale the same
+        // way.
+        val cbs = (0 until M).map(m => kmeansCents(
+          sub(m).withColumn("vec_id", col("vec_id") * 5)))
+        val codes = (0 until M).map { m =>
+          assign(sub(m), cbs(m)).withColumnRenamed("cell", s"code$m")
+        }.reduce(_.join(_, "vec_id"))
+          .filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("c_id") +: (0 until M).map(m => col(s"code$m")): _*)
+        val q = emb.filter(col("vec_id") < 10)
+          .select(Seq(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            expr("norm_f(embedding)").as("q_norm")) ++
+            (0 until M).map(m =>
+              slice(col("embedding"), m * dsub + 1, dsub).as(s"q$m")): _*)
+        val joined = (0 until M).foldLeft(codes) { (acc, m) =>
+          acc.join(broadcast(cbs(m).select(col("cent_id").as(s"code$m"),
+            col("c_emb").as(s"c${m}_emb"), col("c_nrm").as(s"c${m}_nrm"))), s"code$m")
+        }
+        val adcNum = (0 until M).map(m => expr(s"dot_f(q$m, c${m}_emb)"))
+          .reduce(_ + _)
+        val recNrm2 = (0 until M).map(m => col(s"c${m}_nrm") * col(s"c${m}_nrm"))
+          .reduce(_ + _)
+        val wShort = Window.partitionBy("q_id")
+          .orderBy(col("adc").desc, col("c_id").asc)
+        val shortlist = joined.crossJoin(broadcast(q))
+          .withColumn("adc", round(adcNum / (col("q_norm") * sqrt(recNrm2)), 6))
+          .withColumn("rs", row_number().over(wShort))
+          .filter(col("rs") <= 50)
+          .select("q_id", "c_id", "q_emb", "q_norm")
+        // exact re-rank: fetch full vectors for the R-shortlist only
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        shortlist
+          .join(emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb2"))
+            .withColumn("c_norm", expr("norm_f(c_emb2)")), "c_id")
+          .withColumn("cos",
+            round(expr("dot_f(q_emb, c_emb2)") / (col("q_norm") * col("c_norm")), 6))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 5)
+          .select(col("q_id"), col("c_id"), col("cos"),
+            col("rn").cast("long").as("rn"))
+          .orderBy("q_id", "rn")
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+${(0 until 4).map(m => s"s$m AS (SELECT vec_id * 5 AS vec_id, v[${m * 16 + 1}:${(m + 1) * 16}] AS v, sqrt(list_sum(list_transform(v[${m * 16 + 1}:${(m + 1) * 16}], x -> x*x))) AS nrm FROM e0)").mkString(",\n")},
+${(0 until 4).map(m => sqlKmeansCtesFor(s"pq$m", s"s$m")).mkString(",\n")},
+codes AS (SELECT a0.vec_id // 5 AS c_id, a0.cell AS code0, a1.cell AS code1,
+                 a2.cell AS code2, a3.cell AS code3
+          FROM pq0_asg a0 JOIN pq1_asg a1 ON a0.vec_id = a1.vec_id
+          JOIN pq2_asg a2 ON a0.vec_id = a2.vec_id
+          JOIN pq3_asg a3 ON a0.vec_id = a3.vec_id
+          WHERE a0.vec_id // 5 >= 10),
+q AS (SELECT vec_id AS q_id, v, nrm,
+             ${(0 until 4).map(m => s"v[${m * 16 + 1}:${(m + 1) * 16}] AS q$m").mkString(", ")}
+      FROM e WHERE vec_id < 10),
+adc AS (SELECT q.q_id, codes.c_id, q.v AS qv, q.nrm AS qnrm,
+             round((${(0 until 4).map(m => s"list_sum(list_transform(range(1, 17), i -> q.q$m[i] * cb$m.c_v[i]))").mkString("\n                    + ")}) /
+                   (q.nrm * sqrt(${(0 until 4).map(m => s"cb$m.c_nrm * cb$m.c_nrm").mkString(" + ")})), 6) AS adc
+      FROM codes
+      ${(0 until 4).map(m => s"JOIN pq${m}_cent cb$m ON codes.code$m = cb$m.cent_id").mkString("\n      ")}
+      CROSS JOIN q),
+shortlist AS (SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, c_id ASC) AS rs
+    FROM adc) WHERE rs <= 50),
+rr AS (SELECT sl.q_id, sl.c_id,
+              round(list_sum(list_transform(range(1, 65), i -> sl.qv[i] * c.v[i])) /
+                    (sl.qnrm * c.nrm), 6) AS cos
+       FROM shortlist sl JOIN e c ON sl.c_id = c.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM rr)
 SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
   )
 

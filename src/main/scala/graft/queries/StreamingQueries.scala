@@ -28,6 +28,27 @@ object StreamingQueries {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Drop a sentinel event 4 hours past the real data into `inDir` —
+    * the end-of-stream watermark-advance technique: append mode only
+    * emits windows/sessions the watermark has closed, so the sentinel
+    * flushes every REAL window while its own (never-finalized) one
+    * stays unemitted. user_id −999 exists in no fixture, so it can
+    * never merge into a real session.
+    */
+  private def addSentinel(s: org.apache.spark.sql.SparkSession, d: String,
+      inDir: String, root: String): Unit = {
+    import s.implicits._
+    val maxNs = graft.Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")) * 1000L)).head().getLong(0)
+    Seq((-1L, maxNs + 4L * 3600L * 1000000000L, -999L, "zz_sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$root/sent")
+    val part = new java.io.File(s"$root/sent").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(s"$inDir/z_sentinel.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Deterministic roll-up of an exactly-once event sink; the decimal
     * sum makes the total order-independent and engine-exact.
     */
@@ -122,18 +143,9 @@ GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")),
     // sentinel's own (never-finalized) window is excluded by type.
     Q("st4_streaming_dedup_windowed",
       (s, d) => graft.Scratch.withDir(s, "stchain") { root =>
-        import s.implicits._
         copyEvents(d, s"$root/in", "a.parquet")
         copyEvents(d, s"$root/in", "b.parquet")
-        val maxNs = graft.Tables.events(s, d)
-          .agg(max(unix_micros(col("ts")) * 1000L)).head().getLong(0)
-        Seq((-1L, maxNs + 4L * 3600L * 1000000000L, 0L, "zz_sentinel", 0.0, ""))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(s"$root/sent")
-        val part = new java.io.File(s"$root/sent").listFiles()
-          .filter(_.getName.endsWith(".parquet")).head
-        Files.copy(part.toPath, Paths.get(s"$root/in/z_sentinel.parquet"),
-          StandardCopyOption.REPLACE_EXISTING)
+        addSentinel(s, d, s"$root/in", root)
         // dedupStream defines the stream's (single) watermark; the agg
         // stage must not redefine it
         val windowed = EventsStream.tumblingAggOn(
@@ -148,6 +160,46 @@ SELECT strftime(make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 600000000) * 
                 '%Y-%m-%d %H:%M:%S') AS win_start,
        event_type, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
+
+    // Native session windows on a stream, oracle-gated: per-user
+    // 30-minute-gap sessions via session_window — the state engine
+    // MERGES sessions as events arrive and the watermark closes them
+    // (append mode emits a session only once it can no longer grow);
+    // the sentinel closes every real session at end-of-stream. The
+    // oracle is the batch lag+running-sum sessionization (e3's
+    // formulation), so the native merging state machine is checked
+    // against an independent relational derivation of the same
+    // semantics. The sentinel's own session never closes and so never
+    // appends; nothing to filter.
+    Q("st5_streaming_session",
+      (s, d) => graft.Scratch.withDir(s, "stsession") { root =>
+        copyEvents(d, s"$root/in", "a.parquet")
+        addSentinel(s, d, s"$root/in", root)
+        val sess = EventsStream.sessionAgg(
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.drainToParquet(sess, s"$root/out", s"$root/ck")
+        s.read.parquet(s"$root/out")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+WITH x AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+), f AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM x
+), g AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+  FROM f
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events
+FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start"""))
   )
 }

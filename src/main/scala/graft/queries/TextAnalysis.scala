@@ -29,6 +29,37 @@ object TextAnalysis {
   private def stopCount(toks: Column, ws: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(ws))).cast("long")
 
+  /** (doc_id, source, quality) for the whole corpus — text_quality's
+    * scoring formula exposed for composition (the curation percentile
+    * filter consumes it). Map-only, codegen'd.
+    */
+  private[graft] def qualityScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_cnt", stopCount(toks, EN))
+      .withColumn("punct_cnt", expr("regexp_count(text, '[.!?,;:]')").cast("long"))
+      .withColumn("quality", round(
+        col("stop_cnt").cast("double") / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("punct_cnt").cast("double") / col("n_chars")) * 0.3 +
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+      .select("doc_id", "source", "quality")
+  }
+
+  /** DuckDB twin of [[qualityScored]] (a full SELECT, usable as a CTE body). */
+  private[graft] val sqlQualityScored: String = s"""
+SELECT doc_id, source,
+  round(CAST(stop_cnt AS DOUBLE) / n_tokens * 0.5 +
+        (1.0 - CAST(punct_cnt AS DOUBLE) / n_chars) * 0.3 +
+        least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+FROM (
+  SELECT doc_id, source, n_chars,
+    len(string_split(text, ' '))::BIGINT AS n_tokens,
+    len(list_filter(string_split(text, ' '), t -> t IN ${sqlList(EN)}))::BIGINT AS stop_cnt,
+    len(regexp_extract_all(text, '[.!?,;:]'))::BIGINT AS punct_cnt
+  FROM documents)"""
+
   def qs: Seq[Q] = Seq(
     // Language ID via stopword-hit scoring with deterministic argmax
     Q("text_langid",
@@ -209,6 +240,42 @@ WITH t AS (
 SELECT doc_id, n_trigrams, n_distinct,
        round(n_distinct::DOUBLE / n_trigrams, 6) AS rep_ratio,
        round(n_distinct::DOUBLE / n_trigrams, 6) < 0.5 AS repetitive
-FROM t ORDER BY doc_id"""))
+FROM t ORDER BY doc_id""")),
+
+    // Vocabulary coverage — the first step of any tokenizer build: the
+    // top-V corpus vocabulary by term frequency (deterministic
+    // tie-break on the term), then each document's out-of-vocabulary
+    // rate against it. The vocab is a global top-k over a partial
+    // aggregation (TakeOrderedAndProject — only V rows ever cross the
+    // final stage) and BROADCASTS back to the token stream, so the
+    // coverage pass is map-side; at 100 TB the only full shuffle is
+    // the term-frequency groupBy, which is the minimum the statistic
+    // needs. High-OOV docs are the usual cut candidates (wrong
+    // language, binary junk, OCR noise).
+    Q("text_vocab_coverage",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+          .orderBy(col("tf").desc, col("tok").asc).limit(500)
+          .select(col("tok"), lit(true).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("tok"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_vocab"), 0L).otherwise(1L)).as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+v AS (SELECT tok FROM (SELECT tok, count(*) AS tf FROM t GROUP BY tok
+                       ORDER BY tf DESC, tok ASC LIMIT 500)),
+j AS (SELECT t.doc_id, v.tok IS NOT NULL AS in_vocab
+      FROM t LEFT JOIN v ON t.tok = v.tok)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM j GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -173,6 +173,36 @@ FROM orders
 WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
 QUALIFY o_orderkey % 20 = 0 ORDER BY o_orderkey""")),
 
+    // RANGE-framed window (beyond the ∅-list) — the frame is defined by
+    // ORDER-BY VALUE distance, not row count: each event sees every
+    // event of the same user within the trailing hour, however many
+    // rows that is (w3's ROWS frame is the fixed-row-count cousin).
+    // Peers with identical timestamps are all in-frame by definition,
+    // so the result is deterministic without a tiebreak; the decimal
+    // sum keeps the windowed total engine-exact. One shuffle on
+    // user_id, sorted once, both aggregates share the frame.
+    Q("w6_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"))
+          .rangeBetween(-3600L * 1000000L, 0)
+        Tables.events(s, d)
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("n_1h", count(lit(1)).over(w))
+          .withColumn("sum_1h",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+          .select("event_id", "user_id", "n_1h", "sum_1h")
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id""")),
+
     // O1 global sort descending by score (datamart.py:31)
     Q("o1_global_sort",
       (s, d) => Tables.orders(s, d)

@@ -218,6 +218,34 @@ class DedupSpec extends AnyFunSuite {
     assert(shuffled == default, "join strategy changed the verified pair set")
   }
 
+  test("containment catches a subset-dup that symmetric Jaccard misses") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    TextHash.register(s)
+    // a short doc embedded verbatim as the prefix of a much longer one:
+    // every short shingle is in the long set, but the union is dominated
+    // by the long side — containment 1.0, Jaccard well under 0.5
+    val words = (1 to 40).map(i => s"tok$i")
+    val long = words.mkString(" ")
+    val short = words.take(10).mkString(" ")
+    val docs = Seq(1L -> short, 2L -> long).toDF("doc_id", "text")
+      .select(col("doc_id"), expr("shingle_set(text)").as("shs"))
+    val got = Dedup.containmentPairs(docs, Dedup.DfCap, 0.8).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (1L, 2L))
+    assert(r.getDouble(2) == 1.0, s"containment should be exactly 1, got ${r.getDouble(2)}")
+    assert(r.getDouble(3) < 0.5, s"Jaccard must miss this pair (got ${r.getDouble(3)})")
+    // and the symmetric operator at its registered threshold indeed
+    // misses it — the reason containment exists as its own operator
+    val jacGot = Dedup.jaccardPairs(
+      Seq(1L -> short, 2L -> long).toDF("doc_id", "text")
+        .select(col("doc_id"), lit("src").as("source"),
+          expr("shingle_set(text)").as("shs")), Dedup.DfCap, 0.5)
+    assert(jacGot.count() == 0)
+  }
+
   test("bucketed embedding near-dup output is a subset of the exact all-pairs baseline") {
     val s = TestSpark.spark
     def pairsOf(name: String) =

@@ -139,6 +139,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("vocab coverage: top-V is TakeOrderedAndProject and joins back by broadcast") {
+    val p = plan("text_vocab_coverage")
+    // the vocabulary must never be a global sort — only V rows may
+    // cross the final stage — and the coverage join must broadcast it
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("quality percentile filter: per-source thresholds broadcast back to the gate") {
+    val p = plan("curation_quality_percentile_filter")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("seq pack: one per-shard window, no global single-partition sort before it") {
     val df = Registry.queries("curation_seq_pack")(spark, TestSpark.Sf001)
     val p = df.queryExecution.executedPlan.toString

@@ -154,6 +154,20 @@ class SimilaritySearchSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+  test("PQ shortlist+rerank recall@5 holds its measured floor on sf0.01") {
+    // measured 0.42 in-engine with M=4 subspaces, K≈25 codewords, R=50
+    // shortlist (ADC-only was 0.08 on these near-uniform synthetic
+    // embeddings — the re-rank stage is what makes PQ serve); floor
+    // just under so a codebook/encoding edit that trashes recall fails
+    // here
+    def pairs(name: String): Set[(Long, Long)] =
+      Registry.queries(name)(spark, TestSpark.Sf001).collect()
+        .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val gt = pairs("simsearch_bruteforce_topk")
+    val r = pairs("simsearch_pq_rerank").intersect(gt).size.toDouble / gt.size
+    assert(r >= 0.40, s"PQ rerank recall@5 dropped to $r")
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
