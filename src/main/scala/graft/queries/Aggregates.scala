@@ -224,6 +224,42 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
   AND l_discount >= 0.02 AND l_discount <= 0.04
   AND l_quantity < 24""")),
 
+    // SQL text entry, IN-subquery with aggregate HAVING (TPC-H Q18
+    // shape — large-volume customers): the subquery form Catalyst must
+    // DECORRELATE into a join against the pre-aggregated key set (a
+    // per-row subquery execution would be quadratic). Decimal-exact
+    // sums; unique o_orderkey tiebreak keeps LIMIT deterministic.
+    Q("sql_large_volume_customer",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("sql_customer")
+        Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+          FROM sql_customer
+          JOIN sql_orders ON c_custkey = o_custkey
+          JOIN sql_lineitem ON o_orderkey = l_orderkey
+          WHERE o_orderkey IN (
+            SELECT l_orderkey FROM sql_lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+          GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")
+      },
+      Some("""
+SELECT c_name, c_custkey, o_orderkey, o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 200)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
     // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
     // so the sum is exact and the avg deterministic across engines
     Q("a2_avg_groupby",

@@ -81,6 +81,106 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$stateDir/vec")
   }
 
+  case class PurgeStats(nPurged: Long, nCellsRewritten: Int, nCellsDeleted: Int)
+
+  /** Takedown propagation for the vector index ([[DedupIndex.purge]]'s
+    * counterpart): remove `tombstones` (vec_id) from the index state,
+    * rewriting ONLY the cell partitions that contain a tombstoned
+    * vector — at 100 TB a takedown touches a handful of cell
+    * directories, never the corpus. Centroids are unchanged: they are
+    * training statistics, not member content, so removal cannot
+    * require re-assignment of surviving vectors (unlike DedupIndex,
+    * where a removal can flip a df cap). A cell whose every member is
+    * tombstoned is deleted outright (dynamic partition overwrite
+    * cannot express an empty partition). purged ≡ build(remaining)
+    * with the same quantizer — AnnIndexPurgeSpec asserts it, plus that
+    * untouched cell directories keep their exact files (the
+    * delta-proportionality evidence).
+    */
+  def purge(s: SparkSession, tombstones: DataFrame, stateDir: String): PurgeStats = {
+    val dead = tombstones.select("vec_id").distinct().persist()
+    val vec = s.read.parquet(s"$stateDir/vec")
+    // touched cells: bounded by the quantizer size K, safe to collect
+    val touched = vec.join(dead, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().collect().map(_.get(0))
+    val nPurged = dead.count()
+    if (touched.nonEmpty) {
+      val touchedVec = vec.filter(col("cell").isInCollection(touched.toSeq))
+      // materialize BEFORE writing: the write overwrites the very files
+      // the survivor plan would otherwise still be reading from (the
+      // touched slice is takedown-sized, so this is cheap)
+      val survivors = graft.Caching.materialize(s,
+        touchedVec.join(dead, Seq("vec_id"), "left_anti")
+          .select(vec.columns.map(col): _*))
+      val surviving = survivors.select("cell").distinct().collect().map(_.get(0)).toSet
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$stateDir/vec")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      graft.Caching.release(survivors)
+      // fully-dead cells: nothing was written over them — drop the dirs
+      val deadCells = touched.filterNot(surviving)
+      deadCells.foreach(c => graft.Scratch.delete(s"$stateDir/vec/cell=$c"))
+      // the session's FileStatusCache still lists the replaced files;
+      // without this, the next read of vec/ serves deleted part paths
+      s.catalog.refreshByPath(s"$stateDir/vec")
+      dead.unpersist(false)
+      PurgeStats(nPurged, touched.length - deadCells.length, deadCells.length)
+    } else { dead.unpersist(false); PurgeStats(nPurged, 0, 0) }
+  }
+
+  case class CompactStats(nCellsCompacted: Int, filesBefore: Long, filesAfter: Long)
+
+  /** Small-files compaction — [[DedupIndex.compact]]'s counterpart for
+    * the vector state: every [[append]] adds at least one parquet file
+    * per touched cell, so a long append lineage degrades the `vec/` scan
+    * into a file-listing + task-scheduling problem (the classic
+    * streaming-ingest small-files failure at 100 TB). Compact rewrites
+    * ONLY cells holding more than `maxFilesPerCell` files, each into a
+    * single file (`repartition(cells, col("cell"))` puts one cell in one
+    * task); cells under the threshold keep their exact files, so the
+    * cost is proportional to the fragmented slice, not the index.
+    * Contents are untouched — AnnIndexCompactSpec asserts query results
+    * are byte-identical before/after and the untouched dirs unchanged.
+    */
+  def compact(s: SparkSession, stateDir: String,
+      maxFilesPerCell: Int = 4): CompactStats = {
+    import org.apache.hadoop.fs.Path
+    val vecPath = new Path(s"$stateDir/vec")
+    val fs = vecPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // per-cell file census: one listing of K cell dirs (K = quantizer
+    // size, driver-safe), the same listing any scan of vec/ performs
+    val fragmented = fs.listStatus(vecPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      .map { st =>
+        val n = fs.listStatus(st.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        (st.getPath.getName.stripPrefix("cell="), n)
+      }
+      .filter(_._2 > maxFilesPerCell)
+    if (fragmented.isEmpty) return CompactStats(0, 0, 0)
+    val cells = fragmented.map(_._1)
+    val vec = s.read.parquet(s"$stateDir/vec")
+    // materialize BEFORE the self-overwrite (same discipline as purge),
+    // then one task per cell → one output file per cell
+    val slice = graft.Caching.materialize(s,
+      vec.filter(col("cell").cast("string").isInCollection(cells))
+        .repartition(cells.length, col("cell")))
+    val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try slice.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$stateDir/vec")
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    graft.Caching.release(slice)
+    s.catalog.refreshByPath(s"$stateDir/vec")
+    val after = cells.map { c =>
+      fs.listStatus(new Path(s"$stateDir/vec/cell=$c"))
+        .count(_.getPath.getName.endsWith(".parquet")).toLong
+    }.sum
+    CompactStats(cells.length, fragmented.map(_._2.toLong).sum, after)
+  }
+
   /** Top-`topK` cosine neighbours for `queries` against the index at
     * `stateDir`, probing each query's `nprobe` nearest cells. The
     * broadcast query-cell set lets dynamic partition pruning restrict

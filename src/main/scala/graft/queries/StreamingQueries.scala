@@ -200,6 +200,50 @@ WITH x AS (
 SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        count(*) AS n_events
-FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start"""))
+FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start""")),
+
+    // Stream-stream interval join, oracle-gated — the attribution
+    // staple: each purchase joined to the same user's clicks from the
+    // 10 minutes before it, BOTH sides unbounded streams. The interval
+    // condition + both watermarks bound the join state (a click can be
+    // evicted once the watermark proves no future purchase can reach
+    // back to it) — without them a stream-stream join would buffer
+    // forever; inner-join matches emit eagerly, so no sentinel is
+    // needed. The oracle is the same interval join stated relationally
+    // over the batch table.
+    Q("st6_stream_stream_interval_join",
+      (s, d) => graft.Scratch.withDir(s, "stss") { root =>
+        copyEvents(d, s"$root/in", "a.parquet")
+        def ev() = EventsStream.readEvents(s, s"$root/in")
+        val clicks = ev().filter(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+            col("ts").as("c_ts"), col("value").as("c_val"))
+          .withWatermark("c_ts", "30 minutes")
+        val purchases = ev().filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"))
+          .withWatermark("p_ts", "30 minutes")
+        val joined = purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+            col("c_ts") <= col("p_ts"))
+          .select("p_id", "p_user", "c_id", "c_val")
+        EventsStream.drainToParquet(joined, s"$root/out", s"$root/ck")
+        s.read.parquet(s"$root/out")
+          .groupBy("p_id", "p_user")
+          .agg(count(lit(1)).as("n_clicks"),
+            sum(col("c_val").cast("decimal(18,2)")).cast("double").as("click_value"))
+          .orderBy("p_id")
+      },
+      Some("""
+SELECT p.event_id AS p_id, p.user_id AS p_user, count(*) AS n_clicks,
+       CAST(sum(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 600000000
+ AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(p.ts AS TIMESTAMP))
+GROUP BY p.event_id, p.user_id
+ORDER BY p_id"""))
   )
 }
