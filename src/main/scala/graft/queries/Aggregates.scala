@@ -260,6 +260,98 @@ WHERE o_orderkey IN (
 GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
 ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
 
+    // SQL text entry, correlated EXISTS (TPC-H Q4 shape — order
+    // priority checking): Catalyst must rewrite the correlated EXISTS
+    // into a left-semi join on l_orderkey; the naive per-order probe
+    // would rescan lineitem |orders| times. (The testdata has no
+    // l_commitdate/l_receiptdate, so the Q4 predicate becomes
+    // returnflag='R'.)
+    Q("sql_order_priority_exists",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM sql_orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+            AND EXISTS (SELECT 1 FROM sql_lineitem
+                        WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // SQL text entry, NOT IN + COUNT(DISTINCT) (TPC-H Q16 shape —
+    // parts/supplier relationship): the uncorrelated NOT IN becomes a
+    // null-aware anti join against the (tiny, broadcast) excluded
+    // supplier set; the distinct count shuffles once on the group keys.
+    // (No partsupp table in the testdata — lineitem is the
+    // part-supplier link.)
+    Q("sql_parts_supplier_cnt",
+      (s, d) => {
+        Tables.part(s, d).createOrReplaceTempView("sql_part")
+        Tables.supplier(s, d).createOrReplaceTempView("sql_supplier")
+        Tables.lineitem(s, d).createOrReplaceTempView("sql_lineitem")
+        s.sql("""
+          SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+          FROM sql_part JOIN sql_lineitem ON p_partkey = l_partkey
+          WHERE p_brand <> 'Brand#1'
+            AND l_suppkey NOT IN (SELECT s_suppkey FROM sql_supplier
+                                  WHERE s_acctbal < 0.0)
+          GROUP BY p_brand, p_size
+          ORDER BY supplier_cnt DESC, p_brand, p_size""")
+      },
+      Some("""
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
+    // SQL text entry, scalar subquery + NOT EXISTS (TPC-H Q22 shape —
+    // global sales opportunity): the scalar average is one tiny
+    // broadcast value, the NOT EXISTS an anti join on o_custkey. The
+    // threshold is computed as exact-decimal sum / count in ONE double
+    // division on both engines (a native double avg would fold in a
+    // different order per engine and flip boundary rows under the
+    // hash gate). Every testdata customer has SOME order, so the
+    // reference predicate becomes "no recent order".
+    Q("sql_global_sales_opportunity",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("sql_customer")
+        Tables.orders(s, d).createOrReplaceTempView("sql_orders")
+        s.sql("""
+          SELECT c_nationkey, count(*) AS numcust,
+                 CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          FROM sql_customer
+          WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                                    / count(*)
+                             FROM sql_customer WHERE c_acctbal > 0.0)
+            AND NOT EXISTS (SELECT 1 FROM sql_orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          GROUP BY c_nationkey ORDER BY c_nationkey""")
+      },
+      Some("""
+SELECT c_nationkey, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / count(*)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
     // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
     // so the sum is exact and the avg deterministic across engines
     Q("a2_avg_groupby",

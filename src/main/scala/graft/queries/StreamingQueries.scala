@@ -244,6 +244,46 @@ FROM events p JOIN events c
  AND epoch_us(CAST(c.ts AS TIMESTAMP)) >= epoch_us(CAST(p.ts AS TIMESTAMP)) - 600000000
  AND epoch_us(CAST(c.ts AS TIMESTAMP)) <= epoch_us(CAST(p.ts AS TIMESTAMP))
 GROUP BY p.event_id, p.user_id
-ORDER BY p_id"""))
+ORDER BY p_id""")),
+
+    // Arbitrary stateful processing, oracle-gated: the same 30-minute
+    // sessions as st5 but through flatMapGroupsWithState — a hand-rolled
+    // state machine (open-session fold, exact cents accumulation) whose
+    // CLOSE rule is the engine's EventTimeTimeout, so emission and state
+    // eviction happen exactly when the watermark proves the session can
+    // no longer grow. The sentinel advances the watermark past every
+    // real session; its own open session never times out and never
+    // emits. Checked against the same independent lag-derivation oracle
+    // as st5, extended with the per-session value total the built-in
+    // session_window agg couldn't have computed in cents.
+    Q("st7_custom_state_session",
+      (s, d) => graft.Scratch.withDir(s, "stcustom") { root =>
+        copyEvents(d, s"$root/in", "a.parquet")
+        addSentinel(s, d, s"$root/in", root)
+        val sess = EventsStream.sessionizeCustom(s,
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.drainToParquet(sess, s"$root/out", s"$root/ck")
+        s.read.parquet(s"$root/out").orderBy("user_id", "session_start")
+      },
+      Some("""
+WITH x AS (
+  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+         lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS prev_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+), f AS (
+  SELECT *, CASE WHEN prev_us IS NULL
+                   OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+  FROM x
+), g AS (
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+  FROM f
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start"""))
   )
 }

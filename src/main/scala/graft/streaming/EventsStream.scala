@@ -22,7 +22,7 @@ import org.apache.spark.sql.types._
   * stream == batch on the same data, which transfers that oracle
   * coverage to the streaming path.
   */
-object EventsStream {
+object EventsStream extends Serializable {
 
   /** events.parquet schema as stored (ts = TIMESTAMP(NANOS), which Spark
     * reads as long under the legacy conf — see graft.Tables.events).
@@ -38,12 +38,16 @@ object EventsStream {
   /** Streaming scan of a directory of event parquet files — the file
     * source tracks processed files in the checkpoint (I1).
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
+    val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
-      .parquet(dir)
+    // rate limit = micro-batch boundary control: specs use it to force
+    // state (and its timeouts) across batches instead of one big batch
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -99,6 +103,80 @@ object EventsStream {
           (user, n, t)
       }
       .toDF("user_id", "n", "total")
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState — the
+    * arbitrary-state twin of [[sessionAgg]], for session logic the
+    * built-in session_window cannot express (here: a per-session value
+    * total computed with exact decimal arithmetic, accumulated as
+    * cents). The state machine is user code but the CLOSE semantics are
+    * the engine's: `GroupStateTimeout.EventTimeTimeout` fires once the
+    * watermark passes last-event + gap, so a session emits exactly when
+    * session_window's append mode would emit it — and state is evicted
+    * at the same moment, keeping per-key state bounded on an unbounded
+    * stream. Sessions fully closed INSIDE a batch (a later event in the
+    * same batch opens the next session) emit immediately without ever
+    * parking in state.
+    *
+    * State per user: the single open session (startUs, lastUs, n,
+    * totalCents). Micros-precision longs carry the event time so the
+    * emitted session_start string keeps the storage precision (a
+    * java.sql.Timestamp getTime round-trip would truncate to millis).
+    */
+  def sessionizeCustom(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val gapUs = 1800L * 1000000L
+    // DateTimeFormatter is not Serializable; the holder ships instead
+    // and each executor builds its own formatter on first use
+    object fmt extends Serializable {
+      @transient private lazy val f = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .withZone(java.time.ZoneOffset.UTC)
+      def format(i: java.time.Instant): String = f.format(i)
+    }
+    val typed = events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), (Long, String, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state) =>
+          def emit(s: (Long, Long, Long, Long)) =
+            (user, fmt.format(java.time.Instant.ofEpochSecond(
+              s._1 / 1000000L, (s._1 % 1000000L) * 1000L)), s._3, s._4 / 100.0)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(emit).iterator
+            state.remove()
+            out
+          } else {
+            // rows within a batch are unordered; sessionization is a
+            // time fold, so sort the (bounded) per-user batch slice
+            val sorted = rows.map(r => (r._3, math.round(r._4 * 100)))
+              .toIndexedSeq.sortBy(_._1)
+            var open = state.getOption
+            val closed = List.newBuilder[(Long, Long, Long, Long)]
+            sorted.foreach { case (us, cents) =>
+              open match {
+                case Some((st, last, n, tot)) if us - last < gapUs =>
+                  open = Some((math.min(st, us), math.max(last, us),
+                    n + 1, tot + cents))
+                case Some(sess) =>
+                  closed += sess
+                  open = Some((us, us, 1L, cents))
+                case None =>
+                  open = Some((us, us, 1L, cents))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o._2 / 1000L + 30L * 60L * 1000L)
+            }
+            closed.result().map(emit).iterator
+          }
+      }
+      .toDF("user_id", "session_start", "n_events", "total_value")
   }
 
   /** Streaming duplicate suppression — the streaming twin of the batch

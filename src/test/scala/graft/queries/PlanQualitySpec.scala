@@ -163,4 +163,31 @@ class PlanQualitySpec extends AnyFunSuite {
       p.contains("shard"), p.take(2000))
     assert(p.contains("Window"), p.take(2000))
   }
+
+  test("Q4 shape: correlated EXISTS decorrelates to a semi join, no per-row probe") {
+    val p = plan("sql_order_priority_exists")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("Q16 shape: NOT IN becomes a (null-aware) anti join on the tiny excluded set") {
+    val p = plan("sql_parts_supplier_cnt")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("Q18 shape: IN-subquery with HAVING decorrelates to a join against the pre-agg") {
+    val p = plan("sql_large_volume_customer")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("Q22 shape: scalar subquery is a one-value broadcast, NOT EXISTS an anti join") {
+    val p = plan("sql_global_sales_opportunity")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }

@@ -69,6 +69,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessions survive micro-batch boundaries (multi-batch == single-batch)") {
+    val in = tmpDir("fmgs_in"); val out = tmpDir("fmgs_out")
+    val ckpt = tmpDir("fmgs_ckpt")
+    // time-ordered arrival in three files + a sentinel, processed ONE
+    // file per micro-batch: open sessions must park in state between
+    // batches, merge with later arrivals, and emit via EventTimeTimeout
+    // — the cross-batch path a single-batch drain never exercises
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
+    val Array(q1, q2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val slices = Seq(
+      raw.filter(col("ts") <= q1.toLong),
+      raw.filter(col("ts") > q1.toLong && col("ts") <= q2.toLong),
+      raw.filter(col("ts") > q2.toLong))
+    val maxNs = raw.agg(max("ts")).head().getLong(0)
+    import spark.implicits._
+    val sentinel = Seq((-1L, maxNs + 4L * 3600L * 1000000000L, -999L,
+      "zz_sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    (slices :+ sentinel).zipWithIndex.foreach { case (df, i) =>
+      val stage = tmpDir(s"fmgs_stage$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      val dst = in.resolve(f"part$i%02d.parquet")
+      Files.copy(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      // deterministic per-batch arrival order for the file source
+      dst.toFile.setLastModified(1000000L + i * 60000L)
+    }
+    val sess = EventsStream.sessionizeCustom(spark,
+      EventsStream.readEvents(spark, in.toString, maxFilesPerTrigger = Some(1)))
+    EventsStream.drainToParquet(sess, out.toString, ckpt.toString)
+    val multi = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val single = Registry.queries("st7_custom_state_session")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(multi == single)
+  }
+
   test("I3: foreachBatch upsert dedups redelivered rows (exactly-once fact)") {
     val in = tmpDir("ups_in"); val sink = tmpDir("ups_sink")
     stageEvents(in)
