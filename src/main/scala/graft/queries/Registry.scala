@@ -31,6 +31,8 @@ object Registry {
     Filters.qs,
     Joins.qs,
     Aggregates.qs,
+    SqlShapes.qs,
+    Sketches.qs,
     WindowsSorts.qs,
     Functions.qs,
     Views.qs,

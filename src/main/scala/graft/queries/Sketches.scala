@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Sketch aggregates (beyond the reference's ∅-list, SURVEY.md §2.4
+  * extension): distinct-count and frequency estimation as ONE-PASS,
+  * mergeable summaries — the shapes that replace exact DISTINCT /
+  * per-key counts when 100 TB makes exactness a shuffle you can't
+  * afford.
+  *
+  * Both sketches are DETERMINISTIC: every hash is a 60-bit integer
+  * from an md5 prefix (portable across engines — DuckDB computes the
+  * identical value), so unlike approx_count_distinct / approx
+  * percentile the estimates themselves go through the driver's
+  * hash-compare oracle gate. Spark's own HLL++ (approx_count_distinct)
+  * is the production default; KMV here demonstrates the sketch
+  * contract (bounded state, mergeable, error ~1/sqrt(k)) in
+  * oracle-checkable form.
+  *
+  * Scale notes: both are classic map-side-combinable aggregates — the
+  * shuffle carries at most (groups × k) hash values for KMV and
+  * (d × w) counters for CMS, independent of input row count. That
+  * boundedness is the entire point at 100 TB.
+  */
+object Sketches {
+
+  /** 60-bit portable hash: md5 hex prefix → BIGINT. Identical in
+    * DuckDB as CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT).
+    */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB spelling of [[h60]]. */
+  private def h60Sql(expr: String): String =
+    s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private val K = 64 // KMV sketch size: ~12.5% standard error
+
+  def qs: Seq[Q] = Seq(
+
+    // KMV (k-minimum-values) distinct-count sketch, per group: keep
+    // the k smallest distinct hash values; if the k-th smallest
+    // normalized hash is u, the distinct count estimates to
+    // (k-1) / u. Exact count alongside shows the error honestly.
+    // Groups with fewer than k distinct values fall back to the exact
+    // hash count (the sketch IS exact below saturation).
+    Q("a15_kmv_distinct_sketch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+        val hashed = li
+          .select(col("l_returnflag").as("grp"), h60(col("l_partkey")).as("h"))
+          .distinct()
+        val w = Window.partitionBy("grp").orderBy("h")
+        val ranked = hashed
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= K)
+        val est = ranked.groupBy("grp").agg(
+          count(lit(1)).as("n_kept"),
+          max(when(col("rn") === K, col("h"))).as("hk"))
+          .select(col("grp"), col("n_kept"),
+            round(when(col("n_kept") < K, col("n_kept").cast("double"))
+              .otherwise(lit((K - 1).toDouble) * pow(lit(2.0), 60)
+                / col("hk").cast("double")), 3).as("est_distinct"))
+        val exact = li.groupBy(col("l_returnflag").as("grp"))
+          .agg(countDistinct("l_partkey").as("exact_distinct"))
+        est.join(exact, "grp").orderBy("grp")
+      },
+      Some(s"""
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag AS grp, ${h60Sql("l_partkey")} AS h
+  FROM lineitem),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed),
+est AS (
+  SELECT grp, count(*) AS n_kept,
+         round(CASE WHEN count(*) < $K THEN CAST(count(*) AS DOUBLE)
+                    ELSE ${K - 1}.0 * pow(2.0, 60)
+                         / CAST(max(CASE WHEN rn = $K THEN h END) AS DOUBLE)
+               END, 3) AS est_distinct
+  FROM ranked WHERE rn <= $K GROUP BY grp),
+exact AS (
+  SELECT l_returnflag AS grp, count(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag)
+SELECT est.grp AS grp, n_kept, est_distinct, exact_distinct
+FROM est JOIN exact ON est.grp = exact.grp ORDER BY grp""")),
+
+    // Count-min sketch: d=4 hash rows × w=256 counters, built in one
+    // aggregate pass (explode the 4 row ids, hash (row:key), count per
+    // cell). The frequency estimate for a key is the MIN over its 4
+    // cells — always >= the true count, never under. Probing the
+    // distinct supplier keys against the sketch alongside their exact
+    // counts makes the overestimate visible and oracle-checked.
+    Q("a16_countmin_sketch",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(col("l_suppkey").as("key"))
+        val d_ = 4
+        val wBuckets = 256
+        val cells = li
+          .select(col("key"),
+            explode(sequence(lit(0), lit(d_ - 1))).as("j"))
+          .withColumn("bucket",
+            pmod(h60(concat_ws(":", col("j"), col("key"))), lit(wBuckets)))
+        val sketch = cells.groupBy("j", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+        val probes = li.distinct()
+          .select(col("key"),
+            explode(sequence(lit(0), lit(d_ - 1))).as("j"))
+          .withColumn("bucket",
+            pmod(h60(concat_ws(":", col("j"), col("key"))), lit(wBuckets)))
+        val estim = probes
+          .join(sketch, Seq("j", "bucket"))
+          .groupBy("key").agg(min("cnt").as("cms_est"))
+        val exact = li.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+        estim.join(exact, "key")
+          .select(col("key"), col("cms_est"), col("exact_cnt"),
+            (col("cms_est") - col("exact_cnt")).as("overcount"))
+          .orderBy("key")
+      },
+      Some(s"""
+WITH items AS (SELECT l_suppkey AS key FROM lineitem),
+cells AS (
+  SELECT key, j,
+         ${h60Sql("j || ':' || key")} % 256 AS bucket
+  FROM items, UNNEST(range(0, 4)) AS t(j)),
+sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+probes AS (
+  SELECT DISTINCT key, j,
+         ${h60Sql("j || ':' || key")} % 256 AS bucket
+  FROM items, UNNEST(range(0, 4)) AS t(j)),
+estim AS (
+  SELECT key, min(cnt) AS cms_est
+  FROM probes JOIN sketch USING (j, bucket) GROUP BY key),
+exact AS (SELECT key, count(*) AS exact_cnt FROM items GROUP BY key)
+SELECT key, cms_est, exact_cnt, cms_est - exact_cnt AS overcount
+FROM estim JOIN exact USING (key) ORDER BY key"""))
+  )
+}
