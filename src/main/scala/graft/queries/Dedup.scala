@@ -813,6 +813,73 @@ SELECT a.vec_id AS i, b.vec_id AS j,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * b.v[k])) /
             (a.nrm * b.nrm), 6) >= 0.4
-ORDER BY i, j"""))
+ORDER BY i, j""")),
+
+    // Exact SUBSTRING-span dedup (the suffix-array family: find every
+    // maximal run of >= K consecutive tokens that also appears verbatim
+    // in another document — the operator behind "remove duplicated
+    // passages, not duplicated documents"). Distributed formulation:
+    // explode token K-grams with positions, keep grams whose md5-prefix
+    // key occurs in >= 2 distinct docs (the inverted-index shuffle
+    // carries 16-byte keys, not gram text), then stitch overlapping or
+    // adjacent gram hits back into maximal spans per doc with one
+    // lag/cumsum window — never materializing a cross-doc pair. At
+    // 100 TB each stage is an equi-shuffle on a bounded key; span
+    // stitching is per-doc-local. Output: per-doc span count and
+    // duplicated-token mass (what a cleaner would cut).
+    Q("dedup_substring_spans",
+      (s, d) => {
+        val K = 8
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val grams = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .filter(col("n") >= K)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), col("n") - K)).as("i"),
+            col("toks"))
+          .withColumn("gkey",
+            substring(md5(concat_ws(" ",
+              slice(col("toks"), col("i") + 1, lit(K)))), 1, 16))
+          .select("doc_id", "i", "gkey")
+        val dupKeys = grams.groupBy("gkey")
+          .agg(countDistinct("doc_id").as("nd"))
+          .filter(col("nd") >= 2)
+          .select("gkey")
+        val spans = grams.join(dupKeys, "gkey")
+          .select("doc_id", "i")
+          .withColumn("brk",
+            when(col("i") - lag("i", 1).over(w) <= K, 0).otherwise(1))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "sid")
+          .agg(min("i").as("st"), (max("i") + K - 1).as("en"))
+        spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(col("en") - col("st") + 1).cast("long").as("dup_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                  len(string_split(text, ' ')) AS n FROM documents),
+g AS (SELECT doc_id, i,
+             substr(md5(array_to_string(list_slice(toks, i + 1, i + 8), ' ')),
+                    1, 16) AS gkey
+      FROM w, UNNEST(range(0, n - 8 + 1)) AS t(i) WHERE n >= 8),
+dk AS (SELECT gkey FROM g GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2),
+h AS (SELECT doc_id, i FROM g JOIN dk USING (gkey)),
+m AS (SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+                  THEN 0 ELSE 1 END AS brk
+      FROM h),
+sp AS (SELECT doc_id, i,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS UNBOUNDED PRECEDING) AS sid
+       FROM m),
+spans AS (SELECT doc_id, sid, min(i) AS st, max(i) + 8 - 1 AS en
+          FROM sp GROUP BY doc_id, sid)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(en - st + 1) AS BIGINT) AS dup_tokens
+FROM spans GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

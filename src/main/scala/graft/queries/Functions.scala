@@ -174,6 +174,29 @@ SELECT vec_id,
        coalesce(list_position(list_transform(v, x -> x < 0), true), 0)::BIGINT AS first_neg
 FROM e ORDER BY vec_id""")),
 
+    // Positional explode (beyond the ∅-list): posexplode keeps the
+    // array index alongside the element — the schema every
+    // tokenize-then-realign pipeline needs (the index is what lets a
+    // downstream stage reassemble or window over token positions).
+    // Lateral explode multiplies rows ~60× here; at 100 TB the
+    // pre-explode projection (only doc_id + the array) is what keeps
+    // the shuffle mass bounded — asserted by the pruned ReadSchema.
+    Q("f13_posexplode_tokens",
+      (s, d) => Tables.documents(s, d)
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .filter(length(col("tok")) >= 6)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+        .orderBy("doc_id", "pos"),
+      Some("""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+           WHERE doc_id % 50 = 0)
+SELECT doc_id, i AS pos, toks[i + 1] AS tok
+FROM w, UNNEST(range(0, len(toks))) AS t(i)
+WHERE len(toks[i + 1]) >= 6
+ORDER BY doc_id, pos""")),
+
     // F10 timestamp-defaulted state rows (tanimoto.py:51-54).
     // current_timestamp() is inherently nondeterministic, so the clock is
     // pinnable: when spark.graft.now is set (ISO "yyyy-MM-dd HH:mm:ss",

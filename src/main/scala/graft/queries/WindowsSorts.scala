@@ -203,6 +203,35 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
 ORDER BY event_id""")),
 
+    // Forward fill / LOCF (beyond the ∅-list — the sensor-gap-fill
+    // shape): carry the last non-null observation forward within each
+    // user's timeline via last(…, ignoreNulls) over an unbounded-
+    // preceding ROWS frame. The null pattern is derived
+    // deterministically (readings above the threshold stand in for
+    // missing samples). One shuffle on user_id; the fill itself is a
+    // single sorted pass — no self-join, no as-of lookup.
+    Q("w7_forward_fill",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("reading", when(col("value") <= 80.0, col("value")))
+          .withColumn("filled", last("reading", ignoreNulls = true).over(w))
+          .filter(col("event_id") % 20 === 0)
+          .select("event_id", "user_id", "reading", "filled")
+          .orderBy("event_id")
+      },
+      Some("""
+SELECT event_id, user_id, reading,
+       last_value(reading IGNORE NULLS) OVER w AS filled
+FROM (SELECT event_id, user_id, ts,
+             CASE WHEN value <= 80.0 THEN value END AS reading
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+QUALIFY event_id % 20 = 0 ORDER BY event_id""")),
+
     // O1 global sort descending by score (datamart.py:31)
     Q("o1_global_sort",
       (s, d) => Tables.orders(s, d)
@@ -241,6 +270,46 @@ ORDER BY event_id""")),
         .offset(20).limit(10),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
               ORDER BY c_custkey LIMIT 10 OFFSET 20""")),
+
+    // Scalable GLOBAL row numbering (beyond the ∅-list): a bare
+    // row_number() over an unpartitioned window collapses the whole
+    // dataset into ONE task — the canonical local-mode-works,
+    // cluster-dies shape. The scalable plan: range-repartition on the
+    // sort key (so partitions are globally ordered), number rows
+    // WITHIN each partition (distributed), then add per-partition
+    // offsets computed from the tiny partition-count table (a
+    // running sum over #partitions rows, broadcast back). Same
+    // result as the single-task window, verified by the oracle's
+    // plain row_number().
+    Q("o5_scalable_row_number",
+      (s, d) => {
+        val byKey = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice")
+          .repartitionByRange(8, col("o_totalprice").desc, col("o_orderkey").asc)
+          .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey").asc)
+          .withColumn("pid", spark_partition_id())
+        val wLocal = Window.partitionBy("pid")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        val local = byKey.withColumn("local_rn", row_number().over(wLocal))
+        // per-partition row counts: #partitions rows, a driver-safe
+        // scalar table; the running sum gives each partition's offset
+        val wOff = Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .withColumn("offset", sum("cnt").over(wOff) - col("cnt"))
+          .select("pid", "offset")
+        local.join(broadcast(offsets), "pid")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            (col("local_rn") + col("offset")).cast("long").as("global_rn"))
+          .filter(col("global_rn") <= 500)
+          .orderBy("global_rn")
+      },
+      Some("""
+SELECT o_orderkey, o_totalprice,
+       row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+         AS global_rn
+FROM orders
+QUALIFY global_rn <= 500 ORDER BY global_rn""")),
 
     // U1 UNION ALL of two disjoint slices (mpp.py:136)
     Q("u1_union_all",

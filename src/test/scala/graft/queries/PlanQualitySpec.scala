@@ -190,4 +190,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("Q21 shape: EXISTS + NOT EXISTS both decorrelate — three lineitem scans, zero nested loops") {
+    val p = plan("sql_waiting_supplier")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("Q17 shape: correlated scalar AVG decorrelates to a pre-aggregated per-part join") {
+    val p = plan("sql_small_qty_revenue")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    // the decorrelated threshold is an aggregate joined back, not a
+    // per-row subquery execution
+    assert(p.contains("HashAggregate"), p.take(2000))
+  }
+
+  test("Q19 shape: disjunctive arms keep the equi-join; no fallback to a nested loop") {
+    val p = plan("sql_disjunctive_pred")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("o5: global row numbering range-partitions; the data window stays partitioned") {
+    val p = plan("o5_scalable_row_number")
+    assert(p.toLowerCase.contains("rangepartitioning"), p.take(2000))
+    // the per-row window must carry a partition spec (pid) — a bare
+    // global window here would be the single-task shape o5 exists to avoid
+    val rnLine = p.linesIterator.find(l =>
+      l.contains("row_number()") && l.contains("local_rn")).getOrElse("")
+    assert(rnLine.contains("pid#"), s"row_number window not partitioned: $rnLine")
+  }
+
+  test("f13: pre-explode projection prunes the documents scan to two columns") {
+    val p = plan("f13_posexplode_tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.take(2000))
+  }
+
+  test("substring spans: candidate keys come from an equi-join, never a cross join") {
+    val p = plan("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** Invariants the sketch operators must hold beyond oracle equality:
+  * the oracle proves both engines compute the same numbers; these prove
+  * the numbers mean what a sketch promises.
+  */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("count-min never undercounts, and is exact for most keys at this width") {
+    val rows = Registry.queries("a16_countmin_sketch")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    // the one-sided error guarantee IS the sketch's contract
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS undercounted key ${r.getAs[Long]("key")}")
+    }
+    // d=4 x w=256 cells against ~100 keys: collisions must be rare —
+    // if most keys overcount, the hash rows are correlated (broken)
+    val exactHits = rows.count(_.getAs[Long]("overcount") == 0L)
+    assert(exactHits * 10 >= rows.length * 9,
+      s"only $exactHits/${rows.length} keys exact — hash rows look correlated")
+  }
+
+  test("KMV estimate lands within sketch error of the exact distinct count") {
+    val rows = Registry.queries("a15_kmv_distinct_sketch")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val relErr = math.abs(est - exact) / exact
+      // k=64 → 1/sqrt(k) = 12.5% standard error; 40% is >3 sigma
+      assert(relErr < 0.4,
+        s"grp=${r.getAs[String]("grp")} est=$est exact=$exact relErr=$relErr")
+      // below saturation the sketch must be EXACT (it holds every hash)
+      if (r.getAs[Long]("n_kept") < 64)
+        assert(est == exact, s"unsaturated sketch must be exact, got $est vs $exact")
+    }
+  }
+
+  test("substring spans: per-doc mass is consistent with the span count and doc length") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    val spans = Registry.queries("dedup_substring_spans")(spark, TestSpark.Sf0001)
+    val joined = spans.join(docs, "doc_id").collect()
+    assert(joined.nonEmpty, "no duplicated spans found at sf0.001")
+    joined.foreach { r =>
+      val nSpans = r.getAs[Long]("n_spans")
+      val mass = r.getAs[Long]("dup_tokens")
+      val nToks = r.getAs[Int]("n_toks").toLong
+      assert(nSpans >= 1L)
+      // every maximal span covers at least one full 8-gram, and merged
+      // spans are disjoint, so the mass is bounded on both sides
+      assert(mass >= nSpans * 8, s"doc ${r.getAs[Long]("doc_id")}: mass $mass < ${nSpans}x8")
+      assert(mass <= nToks, s"doc ${r.getAs[Long]("doc_id")}: mass $mass > doc length $nToks")
+    }
+  }
+}
