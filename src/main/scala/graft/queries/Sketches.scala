@@ -97,7 +97,11 @@ FROM est JOIN exact ON est.grp = exact.grp ORDER BY grp""")),
     // counts makes the overestimate visible and oracle-checked.
     Q("a16_countmin_sketch",
       (s, d) => {
+        // hashing is map-side work on a narrow derived column: parquet
+        // split count would cap its parallelism far below the cluster's,
+        // so round-robin to the session's parallelism first
         val li = Tables.lineitem(s, d).select(col("l_suppkey").as("key"))
+          .repartition(s.sparkContext.defaultParallelism)
         val d_ = 4
         val wBuckets = 256
         val cells = li
@@ -107,11 +111,9 @@ FROM est JOIN exact ON est.grp = exact.grp ORDER BY grp""")),
             pmod(h60(concat_ws(":", col("j"), col("key"))), lit(wBuckets)))
         val sketch = cells.groupBy("j", "bucket")
           .agg(count(lit(1)).as("cnt"))
-        val probes = li.distinct()
-          .select(col("key"),
-            explode(sequence(lit(0), lit(d_ - 1))).as("j"))
-          .withColumn("bucket",
-            pmod(h60(concat_ws(":", col("j"), col("key"))), lit(wBuckets)))
+        // probe the distinct (key, j, bucket) triples out of the same
+        // hashed cells — no second hashing pass over the input
+        val probes = cells.distinct()
         val estim = probes
           .join(sketch, Seq("j", "bucket"))
           .groupBy("key").agg(min("cnt").as("cms_est"))

@@ -332,6 +332,87 @@ SELECT * FROM (VALUES ('c_custkey', true), ('c_mktsegment', true),
                       ('c_no_such_col', false))
 AS t(col, present) ORDER BY col""")),
 
+    // M3 column statistics — the ANALYZE TABLE surface (beyond §2):
+    // count / distinct / min / max per key column, the numbers a
+    // cost-based optimizer (and a human sizing a join) reads first.
+    // One pass over the fact table, all stats in a single aggregate;
+    // at 100 TB swap countDistinct for approx_count_distinct and the
+    // plan is unchanged.
+    Q("m3_column_stats",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+        def statsOf(c: String) = li.agg(
+          count(col(c)).cast("long").as("n_nonnull"),
+          countDistinct(col(c)).as("ndv"),
+          min(col(c)).cast("double").as("min_v"),
+          max(col(c)).cast("double").as("max_v"))
+          .select(lit(c).as("col"), col("n_nonnull"), col("ndv"),
+            col("min_v"), col("max_v"))
+        statsOf("l_orderkey")
+          .union(statsOf("l_partkey"))
+          .union(statsOf("l_quantity"))
+          .orderBy("col")
+      },
+      Some("""
+SELECT col, n_nonnull, ndv, min_v, max_v FROM (
+  SELECT 'l_orderkey' AS col, count(l_orderkey) AS n_nonnull,
+         count(DISTINCT l_orderkey) AS ndv,
+         CAST(min(l_orderkey) AS DOUBLE) AS min_v,
+         CAST(max(l_orderkey) AS DOUBLE) AS max_v FROM lineitem
+  UNION ALL
+  SELECT 'l_partkey', count(l_partkey), count(DISTINCT l_partkey),
+         CAST(min(l_partkey) AS DOUBLE), CAST(max(l_partkey) AS DOUBLE)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_quantity', count(l_quantity), count(DISTINCT l_quantity),
+         CAST(min(l_quantity) AS DOUBLE), CAST(max(l_quantity) AS DOUBLE)
+  FROM lineitem)
+ORDER BY col""")),
+
+    // M4 constraint audit — the dbt-test / data-contract surface
+    // (beyond §2): uniqueness, referential integrity, null rate, and
+    // range checks emitted as ONE violation-count report. Each check
+    // is a scan or an anti join on the key it audits — the shapes a
+    // nightly contract run executes; zero violations is itself the
+    // assertion the testdata must pass.
+    Q("m4_constraint_audit",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val cust = Tables.customer(s, d)
+        val li = Tables.lineitem(s, d)
+        val dupPk = orders.groupBy("o_orderkey")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("orders_pk_unique").as("chk"), col("violations"))
+        val orphanFk = li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+          "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit("lineitem_orderkey_fk").as("chk"), col("violations"))
+        val nullCheck = cust
+          .agg(count(when(col("c_name").isNull, 1)).as("violations"))
+          .select(lit("customer_name_not_null").as("chk"), col("violations"))
+        val rangeCheck = li
+          .agg(count(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1))
+            .as("violations"))
+          .select(lit("lineitem_discount_range").as("chk"), col("violations"))
+        dupPk.union(orphanFk).union(nullCheck).union(rangeCheck)
+          .orderBy("chk")
+      },
+      Some("""
+SELECT * FROM (
+  SELECT 'orders_pk_unique' AS chk, count(*) AS violations
+  FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+  UNION ALL
+  SELECT 'lineitem_orderkey_fk', count(*)
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'customer_name_not_null', count(*) FROM customer WHERE c_name IS NULL
+  UNION ALL
+  SELECT 'lineitem_discount_range', count(*)
+  FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0)
+ORDER BY chk""")),
+
     // M1 table-existence probe (db_interact.py:99-113)
     Q("m1_table_exists",
       (s, d) => {
