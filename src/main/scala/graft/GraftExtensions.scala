@@ -27,6 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("norm_f"),
       new ExpressionInfo(classOf[NormF].getName, "norm_f"),
       (children: Seq[Expression]) => NormF(children.head)))
+    // analyzer check rule: veto big-by-big cartesian joins before they
+    // execute (active only when spark.graft.crossJoinGuard.maxBytes is
+    // set — see CrossJoinGuard)
+    ext.injectCheckRule(graft.plans.CrossJoinGuard.rule)
   }
 }
 

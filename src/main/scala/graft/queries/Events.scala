@@ -148,6 +148,40 @@ m AS (SELECT user_id, us,
 SELECT user_id, count(*) AS n_events,
        CAST(sum(CASE WHEN hwm IS NOT NULL AND us < hwm - 1800000000
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
-FROM m GROUP BY user_id ORDER BY user_id"""))
+FROM m GROUP BY user_id ORDER BY user_id""")),
+
+    // VARIANT semi-structured extraction (beyond §2 — Spark 4's
+    // binary JSON type): parse once into VARIANT, then typed
+    // path-extraction with variant_get. Against schemaless feeds this
+    // replaces from_json-with-declared-schema (e4): the parse cost is
+    // paid once and every downstream path read is a cheap binary
+    // probe, not a re-parse — the right trade at 100 TB where one
+    // feed fans out to many extractions. The nested document is built
+    // deterministically from columns so the oracle can rebuild it.
+    Q("e6_variant_extract",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") % 20 === 0)
+        .withColumn("doc", concat(
+          lit("{\"u\":"), col("user_id"),
+          lit(",\"m\":{\"t\":\""), col("event_type"),
+          lit("\",\"k\":"), get_json_object(col("props"), "$.k"),
+          lit("}}")))
+        .withColumn("v", parse_json(col("doc")))
+        .select(col("event_id"),
+          try_variant_get(col("v"), "$.u", "long").as("u"),
+          try_variant_get(col("v"), "$.m.t", "string").as("t"),
+          try_variant_get(col("v"), "$.m.k", "long").as("k"))
+        .orderBy("event_id"),
+      Some("""
+WITH j AS (SELECT event_id,
+                  '{"u":' || CAST(user_id AS VARCHAR) ||
+                  ',"m":{"t":"' || event_type ||
+                  '","k":' || json_extract_string(props, '$.k') || '}}' AS doc
+           FROM events WHERE event_id % 20 = 0)
+SELECT event_id,
+       CAST(json_extract(doc, '$.u') AS BIGINT) AS u,
+       json_extract_string(doc, '$.m.t') AS t,
+       CAST(json_extract(doc, '$.m.k') AS BIGINT) AS k
+FROM j ORDER BY event_id"""))
   )
 }

@@ -319,7 +319,40 @@ SELECT o.o_orderkey, count(l.l_orderkey) AS n_items,
 FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey % 50 = 0
 GROUP BY o.o_orderkey, o.o_totalprice
-ORDER BY o.o_orderkey"""))
+ORDER BY o.o_orderkey""")),
+
+    // Null-safe equi-join (beyond §2): <=> treats NULL as a
+    // legitimate, joinable key value — the lookup-with-missing-bucket
+    // shape (rows whose dimension key is absent match the dim's
+    // explicit "missing" row instead of dropping out as a plain
+    // equi-join would). Catalyst plans <=> as a hash join exactly like
+    // =, so the null bucket shuffles/broadcasts normally — no
+    // degeneration to a nested loop (plan-asserted).
+    Q("j15_null_safe_join",
+      (s, d) => {
+        import s.implicits._
+        val docs = Tables.documents(s, d)
+          .withColumn("src_key",
+            when(col("source") === "src3", lit(null)).otherwise(col("source")))
+        val dim = ((0 to 19).filter(_ != 3).map(i => (s"src$i", s"tier_${i % 3}"))
+          :+ (null.asInstanceOf[String], "tier_missing"))
+          .toDF("src_key", "tier")
+        docs.join(dim, docs("src_key") <=> dim("src_key"))
+          .groupBy("tier").agg(count(lit(1)).as("n_docs"))
+          .orderBy("tier")
+      },
+      Some("""
+WITH docs AS (SELECT CASE WHEN source = 'src3' THEN NULL ELSE source END
+                       AS src_key
+              FROM documents),
+dim AS (
+  SELECT 'src' || CAST(i AS VARCHAR) AS src_key,
+         'tier_' || CAST(i % 3 AS VARCHAR) AS tier
+  FROM UNNEST(range(0, 20)) AS t(i) WHERE i <> 3
+  UNION ALL SELECT NULL, 'tier_missing')
+SELECT tier, count(*) AS n_docs
+FROM docs JOIN dim ON docs.src_key IS NOT DISTINCT FROM dim.src_key
+GROUP BY tier ORDER BY tier"""))
   )
 
   /** J11's body: catalog-managed cleanup (DROP the entries), then

@@ -281,6 +281,65 @@ ORDER BY o_orderkey""")),
     // dropped; the batch report counts both. At scale the quarantine is
     // just another partitioned append — bad data never blocks the
     // pipeline and never disappears.
+    // K8 snapshot-versioned sink with time travel (beyond §2 — the
+    // Iceberg/Delta snapshot pattern on plain parquet): data files are
+    // IMMUTABLE; each version is a manifest listing its member files;
+    // an append publishes new files plus a manifest that references
+    // the old files — never rewrites them — and flips the _LATEST
+    // pointer as the last, atomic step. Readers resolve
+    // pointer → manifest → file list, so "as of v1" and "latest" are
+    // both O(manifest) metadata reads. At 100 TB this is the only
+    // sane mutation model: appends cost O(delta), time travel costs
+    // nothing extra, and a crashed publish leaves _LATEST untouched
+    // (the half-written version is invisible).
+    Q("k8_snapshot_versioned_sink",
+      (s, d) => graft.Scratch.withDir(s, "snap") { root =>
+        import java.nio.file.{Files, Paths}
+        import scala.jdk.CollectionConverters._
+        val sup = Tables.supplier(s, d)
+        def publish(df: DataFrame, v: Int, carry: Seq[String]): Unit = {
+          val dataDir = s"$root/data_v$v"
+          df.write.mode("overwrite").parquet(dataDir)
+          val mine = Files.list(Paths.get(dataDir)).iterator().asScala
+            .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+          Files.write(Paths.get(s"$root/manifest_v$v.txt"),
+            (carry ++ mine).mkString("\n").getBytes)
+          Files.write(Paths.get(s"$root/_LATEST"), v.toString.getBytes)
+        }
+        def manifest(v: Int): Seq[String] =
+          Files.readString(Paths.get(s"$root/manifest_v$v.txt"))
+            .split("\n").toSeq
+        def readVersion(v: Int): DataFrame =
+          s.read.parquet(manifest(v): _*)
+        // v1: even suppliers; v2: append the odd ones (v1 files carried
+        // by reference into v2's manifest, not rewritten)
+        publish(sup.filter(col("s_suppkey") % 2 === 0), 1, Nil)
+        publish(sup.filter(col("s_suppkey") % 2 === 1), 2, manifest(1))
+        val latest = Files.readString(Paths.get(s"$root/_LATEST")).trim.toInt
+        def summarize(tag: String, df: DataFrame): DataFrame =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(col("s_acctbal").cast("decimal(18,2)")).cast("double")
+              .as("bal_sum"))
+            .select(lit(tag).as("snapshot"), col("n_rows"), col("bal_sum"))
+        summarize("v1_asof", readVersion(1))
+          .union(summarize("v2_asof", readVersion(2)))
+          .union(summarize("latest", readVersion(latest)))
+          .orderBy("snapshot")
+      },
+      Some("""
+SELECT 'v1_asof' AS snapshot, count(*) AS n_rows,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+FROM supplier WHERE s_suppkey % 2 = 0
+UNION ALL
+SELECT 'v2_asof', count(*),
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+FROM supplier
+UNION ALL
+SELECT 'latest', count(*),
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+FROM supplier
+ORDER BY snapshot""")),
+
     Q("k7_quarantine_sink",
       (s, d) => graft.Scratch.withDir(s, "quarantine") { out =>
         import org.apache.spark.sql.types._

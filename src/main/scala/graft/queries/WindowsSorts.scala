@@ -271,6 +271,58 @@ QUALIFY event_id % 20 = 0 ORDER BY event_id""")),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
               ORDER BY c_custkey LIMIT 10 OFFSET 20""")),
 
+    // Time-grid densification (beyond the ∅-list): the resample shape —
+    // project each user's sparse events onto a complete hourly grid
+    // (sequence + explode between the user's own bounds), left-join the
+    // observed hourly aggregate, and LOCF-fill the holes (w7's fill over
+    // a generated, gap-free axis). Grid generation is per-row local;
+    // the only shuffles are the hourly pre-aggregate and the user_id
+    // window — at 100 TB the grid never materializes wider than
+    // users × hours, independent of event count.
+    Q("w8_time_grid_densify",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("filled", last("v", ignoreNulls = true).over(w))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"),
+            count(col("v")).as("n_observed"),
+            sum(col("filled")).cast("double").as("filled_sum"))
+          .orderBy("user_id")
+      },
+      Some("""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+filled AS (
+  SELECT g.user_id, g.h, hourly.v,
+         last_value(hourly.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h)
+SELECT user_id, count(*) AS n_hours, count(v) AS n_observed,
+       CAST(sum(filled) AS DOUBLE) AS filled_sum
+FROM filled GROUP BY user_id ORDER BY user_id""")),
+
     // Scalable GLOBAL row numbering (beyond the ∅-list): a bare
     // row_number() over an unpartitioned window collapses the whole
     // dataset into ONE task — the canonical local-mode-works,
