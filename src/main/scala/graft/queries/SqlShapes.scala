@@ -236,6 +236,34 @@ object SqlShapes {
                           AND l3.l_suppkey <> l1.l_suppkey
                           AND l3.l_returnflag = 'R')
       GROUP BY s_name
-      ORDER BY numwait DESC, s_name LIMIT 100""")
+      ORDER BY numwait DESC, s_name LIMIT 100"""),
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE) — the hierarchy walk:
+    // every supplier climbs a synthetic binary org tree (parent =
+    // node halved) to the root, and reports its depth. The recursion
+    // is a fixpoint loop of self-joins the engine runs to
+    // convergence — the declarative twin of the iterative
+    // connected-components driver loop in [[Dedup.labelPropagation]].
+    // Anchor cardinality bounds every iteration (#suppliers rows), so
+    // the loop is depth × one-shuffle, not exponential. Dialects
+    // differ only in integer division (DIV vs //).
+    Q("sql_recursive_hierarchy",
+      (s, d) => {
+        Tables.supplier(s, d).createOrReplaceTempView("sql_supplier")
+        s.sql("""
+          WITH RECURSIVE anc(node, cur, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM sql_supplier
+            UNION ALL
+            SELECT node, cur DIV 2, depth + 1 FROM anc WHERE cur > 1)
+          SELECT node, max(depth) AS depth_to_root
+          FROM anc GROUP BY node ORDER BY node""")
+      },
+      Some("""
+WITH RECURSIVE anc(node, cur, depth) AS (
+  SELECT s_suppkey, s_suppkey, 0 FROM supplier
+  UNION ALL
+  SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 1)
+SELECT node, max(depth) AS depth_to_root
+FROM anc GROUP BY node ORDER BY node"""))
   )
 }

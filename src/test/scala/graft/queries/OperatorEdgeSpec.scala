@@ -77,4 +77,51 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out.join(excl, Seq("c_custkey")).isEmpty)
     assert(out.count() + excl.count() == c.count())
   }
+
+  test("j15 semantics: <=> matches NULL to NULL; = never does") {
+    import spark.implicits._
+    val l = Seq(Some("a"), None).toDF("k")
+    val r = Seq(Some("a"), None).toDF("k2")
+    assert(l.join(r, col("k") === col("k2")).count() == 1)
+    assert(l.join(r, col("k") <=> col("k2")).count() == 2)
+  }
+
+  test("w7/w8 fill: a user whose first observations are null stays null until the first value") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val d = Seq((1, 1, None), (1, 2, None), (1, 3, Some(5.0)), (1, 4, None))
+      .toDF("u", "t", "v")
+    val w = Window.partitionBy("u").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = d.withColumn("f", last("v", ignoreNulls = true).over(w))
+      .orderBy("t").collect().map(r => Option(r.get(3)))
+    assert(filled.toSeq == Seq(None, None, Some(5.0), Some(5.0)))
+  }
+
+  test("substring spans: docs shorter than the gram width are excluded, not errored") {
+    import spark.implicits._
+    // minimal corpus: one 3-token doc (below K=8) plus two 10-token
+    // twins; the short doc must not appear and must not break explode
+    val base = (1 to 10).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, "a b c")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("edge_docs")
+    // re-run the operator's core shape inline against the tiny corpus
+    val k = 8
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(sequence(lit(0), col("n") - k)).as("i"))
+    assert(grams.filter(col("doc_id") === 3L).isEmpty)
+    assert(grams.count() == 6) // two docs x three 8-gram starts
+  }
+
+  test("k8 snapshot isolation: v1 read is unchanged by the v2 publish") {
+    val out = Registry.queries("k8_snapshot_versioned_sink")(
+      spark, TestSpark.Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // latest == v2 (pointer flipped), and v1 stays the strict subset it
+    // was published as — time travel reads the old manifest untouched
+    assert(out("latest") == out("v2_asof"))
+    assert(out("v1_asof")._1 < out("v2_asof")._1)
+  }
 }
