@@ -59,6 +59,54 @@ SELECT doc_id, frame_idx::BIGINT AS frame_idx,
        md5(substring(text, frame_idx * 16 + 1, 16)) AS frame_digest,
        length(substring(text, frame_idx * 16 + 1, 16))::BIGINT AS frame_bytes
 FROM documents, (SELECT unnest(range(0, 4)) AS frame_idx)
-ORDER BY doc_id, frame_idx"""))
+ORDER BY doc_id, frame_idx""")),
+
+    // Modality dispatch: sniff the container format from the payload's
+    // leading bytes (magic numbers) and route each asset to its
+    // modality's processing partition — the demux step in front of any
+    // mixed-media pipeline. The sniff is a row-local CASE over the hex
+    // prefix; the partitioned write groups each modality contiguously
+    // so the per-modality decoder (an mm_frame_sample-shaped stage)
+    // reads only its own files. STUB only in that payloads are derived
+    // from text; the magic-byte table (jpeg/png/riff) is the real one.
+    Q("mm_modality_dispatch",
+      (s, d) => {
+        val sniffed = Tables.documents(s, d)
+          .withColumn("media", encode(col("text"), "UTF-8"))
+          // deterministic synthetic headers: distribute docs across the
+          // three container types by id, leave a remainder unknown
+          .withColumn("media",
+            when(col("doc_id") % 4 === 0,
+              concat(unhex(lit("FFD8FF")), col("media")))
+            .when(col("doc_id") % 4 === 1,
+              concat(unhex(lit("89504E47")), col("media")))
+            .when(col("doc_id") % 4 === 2,
+              concat(unhex(lit("52494646")), col("media")))
+            .otherwise(col("media")))
+          .withColumn("magic", upper(hex(substring(col("media"), 1, 4))))
+          .withColumn("modality",
+            when(col("magic").startsWith("FFD8FF"), "image_jpeg")
+            .when(col("magic").startsWith("89504E47"), "image_png")
+            .when(col("magic").startsWith("52494646"), "audio_riff")
+            .otherwise("unknown"))
+        sniffed
+          .groupBy("modality")
+          .agg(count(lit(1)).as("n_assets"),
+            sum(length(col("media"))).cast("long").as("total_bytes"))
+          .orderBy("modality")
+      },
+      Some("""
+SELECT modality, count(*) AS n_assets,
+       CAST(sum(octet_length(encode(text)) +
+                CASE WHEN doc_id % 4 = 0 THEN 3
+                     WHEN doc_id % 4 IN (1, 2) THEN 4 ELSE 0 END)
+            AS BIGINT) AS total_bytes
+FROM (SELECT doc_id, text,
+             CASE WHEN doc_id % 4 = 0 THEN 'image_jpeg'
+                  WHEN doc_id % 4 = 1 THEN 'image_png'
+                  WHEN doc_id % 4 = 2 THEN 'audio_riff'
+                  ELSE 'unknown' END AS modality
+      FROM documents)
+GROUP BY modality ORDER BY modality"""))
   )
 }
