@@ -30,14 +30,46 @@ object Sketches {
   /** 60-bit portable hash: md5 hex prefix → BIGINT. Identical in
     * DuckDB as CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT).
     */
-  private def h60(c: Column): Column =
+  private[graft] def h60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
   /** DuckDB spelling of [[h60]]. */
   private def h60Sql(expr: String): String =
     s"CAST(('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
 
-  private val K = 64 // KMV sketch size: ~12.5% standard error
+  private[graft] val K = 64 // KMV sketch size: ~12.5% standard error
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 256
+
+  /** Count-min sketch of a `key` column: d×w counter cells. Additive in
+    * the input — sketch(A ⊎ B) = sketch(A) + sketch(B) cell-wise
+    * (SketchSpec proves it), which is what makes it map-side
+    * combinable and cross-shard mergeable.
+    */
+  private[graft] def cmsSketch(items: DataFrame): DataFrame =
+    cmsCells(items).groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** The (key, j, bucket) hash cells behind [[cmsSketch]]. */
+  private[graft] def cmsCells(items: DataFrame): DataFrame =
+    items
+      .select(col("key"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("j"))
+      .withColumn("bucket",
+        pmod(h60(concat_ws(":", col("j"), col("key"))), lit(CmsWidth)))
+
+  /** KMV state per group: the ≤ K smallest DISTINCT key hashes, ranked.
+    * Merging two groups' states = the K smallest of their union
+    * (SketchSpec proves it) — state is bounded by K per group at any
+    * input size.
+    */
+  private[graft] def kmvState(grouped: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("grp").orderBy("h")
+    grouped
+      .select(col("grp"), h60(col("key")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+  }
 
   def qs: Seq[Q] = Seq(
 
@@ -49,15 +81,9 @@ object Sketches {
     // hash count (the sketch IS exact below saturation).
     Q("a15_kmv_distinct_sketch",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val li = Tables.lineitem(s, d)
-        val hashed = li
-          .select(col("l_returnflag").as("grp"), h60(col("l_partkey")).as("h"))
-          .distinct()
-        val w = Window.partitionBy("grp").orderBy("h")
-        val ranked = hashed
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= K)
+        val ranked = kmvState(li
+          .select(col("l_returnflag").as("grp"), col("l_partkey").as("key")))
         val est = ranked.groupBy("grp").agg(
           count(lit(1)).as("n_kept"),
           max(when(col("rn") === K, col("h"))).as("hk"))
@@ -102,13 +128,7 @@ FROM est JOIN exact ON est.grp = exact.grp ORDER BY grp""")),
         // so round-robin to the session's parallelism first
         val li = Tables.lineitem(s, d).select(col("l_suppkey").as("key"))
           .repartition(s.sparkContext.defaultParallelism)
-        val d_ = 4
-        val wBuckets = 256
-        val cells = li
-          .select(col("key"),
-            explode(sequence(lit(0), lit(d_ - 1))).as("j"))
-          .withColumn("bucket",
-            pmod(h60(concat_ws(":", col("j"), col("key"))), lit(wBuckets)))
+        val cells = cmsCells(li)
         val sketch = cells.groupBy("j", "bucket")
           .agg(count(lit(1)).as("cnt"))
         // probe the distinct (key, j, bucket) triples out of the same

@@ -256,6 +256,48 @@ ORDER BY p_id""")),
     // emits. Checked against the same independent lag-derivation oracle
     // as st5, extended with the per-session value total the built-in
     // session_window agg couldn't have computed in cents.
+    // Streaming KMV distinct-count: the sketch family on an unbounded
+    // stream. The file arrives TWICE (redelivery fixture) and the
+    // k-min state absorbs the duplicates by construction — a sketch
+    // that needs no dedup stage is the cheapest exactly-once there is.
+    // The final estimate applies the SAME expression as the batch
+    // operator (a15) to the drained state, and the oracle is the batch
+    // KMV over (event_type, user_id) — stream must equal batch.
+    Q("st8_streaming_kmv",
+      (s, d) => graft.Scratch.withDir(s, "stkmv") { root =>
+        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(d, s"$root/in", "b.parquet") // redelivery
+        val est = EventsStream.kmvDistinct(s,
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.drainToMemory(est, "st8_kmv", s"$root/ck",
+          org.apache.spark.sql.streaming.OutputMode.Update())
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("updates").desc)
+        val K = Sketches.K
+        s.table("st8_kmv")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("grp"), col("n_kept"),
+            round(when(col("n_kept") < K, col("n_kept").cast("double"))
+              .otherwise(lit((K - 1).toDouble) * pow(lit(2.0), 60)
+                / col("hk").cast("double")), 3).as("est_distinct"))
+          .orderBy("grp")
+      },
+      Some(s"""
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events),
+ranked AS (
+  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+  FROM hashed)
+SELECT grp, count(*) AS n_kept,
+       round(CASE WHEN count(*) < ${Sketches.K} THEN CAST(count(*) AS DOUBLE)
+                  ELSE ${Sketches.K - 1}.0 * pow(2.0, 60)
+                       / CAST(max(CASE WHEN rn = ${Sketches.K} THEN h END) AS DOUBLE)
+             END, 3) AS est_distinct
+FROM ranked WHERE rn <= ${Sketches.K} GROUP BY grp ORDER BY grp""")),
+
     Q("st7_custom_state_session",
       (s, d) => graft.Scratch.withDir(s, "stcustom") { root =>
         copyEvents(d, s"$root/in", "a.parquet")

@@ -179,6 +179,45 @@ object EventsStream extends Serializable {
       .toDF("user_id", "session_start", "n_events", "total_value")
   }
 
+  /** Streaming KMV distinct-count sketch — bounded-state cardinality
+    * over an unbounded stream. State per group is the ≤ K smallest
+    * distinct 60-bit key hashes (the portable md5-prefix hash of
+    * [[graft.queries.Sketches]], computed identically here in executor
+    * code), merged batch-by-batch with NoTimeout — cardinality state
+    * never expires, it saturates at K longs per group. Two properties
+    * carry the whole design: the k-min set is a commutative monoid
+    * (batch arrival order cannot change the final state — the
+    * mergeability SketchSpec proves for the batch twin), and it is
+    * DUPLICATE-INSENSITIVE, so source redelivery needs no separate
+    * dedup state: re-seen keys hash into values already kept or
+    * already above the cut. Emits (grp, updates, n_kept, hk) each
+    * batch; the caller keeps the highest-updates row per group and
+    * applies the same estimate expression as the batch operator.
+    */
+  def kmvDistinct(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val K = graft.queries.Sketches.K
+    def h60(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val typed = events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Array[Long]), (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (grp, rows, state) =>
+          val (updates, kept) = state.getOption.getOrElse((0L, Array.empty[Long]))
+          val merged = (kept ++ rows.map(r => h60(r._2.toString)))
+            .distinct.sorted.take(K)
+          state.update((updates + 1, merged))
+          (grp, updates + 1, merged.length.toLong, merged.last)
+      }
+      .toDF("grp", "updates", "n_kept", "hk")
+  }
+
   /** Streaming duplicate suppression — the streaming twin of the batch
     * dedup family (north-star) and of the reference's "skip what was
     * already ingested" semantics: redeliveries of an event inside the

@@ -44,6 +44,42 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS is mergeable: sketch(A) + sketch(B) == sketch(A ++ B), cell for cell") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = (1 to 500).map(i => (i % 37).toLong).toDF("key")
+    val a = all.filter(col("key") % 2 === 0)
+    val b = all.filter(col("key") % 2 === 1)
+    val merged = Sketches.cmsSketch(a).withColumnRenamed("cnt", "ca")
+      .join(Sketches.cmsSketch(b).withColumnRenamed("cnt", "cb"),
+        Seq("j", "bucket"), "full_outer")
+      .select(col("j"), col("bucket"),
+        (coalesce(col("ca"), lit(0L)) + coalesce(col("cb"), lit(0L))).as("cnt"))
+    val whole = Sketches.cmsSketch(all)
+    assert(merged.join(whole, Seq("j", "bucket"))
+      .filter(merged("cnt") =!= whole("cnt")).isEmpty)
+    assert(merged.count() == whole.count())
+  }
+
+  test("KMV is mergeable: k smallest of (state(A) ∪ state(B)) == state(A ++ B)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 300 distinct keys per half ensures both halves saturate K=64
+    val all = (1 to 600).map(i => ("g", i.toLong)).toDF("grp", "key")
+    val a = all.filter(col("key") <= 300)
+    val b = all.filter(col("key") > 300)
+    val w = Window.partitionBy("grp").orderBy("h")
+    val merged = Sketches.kmvState(a).select("grp", "h")
+      .union(Sketches.kmvState(b).select("grp", "h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Sketches.K)
+    val whole = Sketches.kmvState(all).select("grp", "h", "rn")
+    assert(merged.select("grp", "h").except(whole.select("grp", "h")).isEmpty)
+    assert(whole.select("grp", "h").except(merged.select("grp", "h")).isEmpty)
+  }
+
   test("substring spans: per-doc mass is consistent with the span count and doc length") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)

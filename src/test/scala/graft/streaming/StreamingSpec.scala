@@ -176,4 +176,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.length.toLong == raw.count()) // every event exactly once
     assert(ids.distinct.length == ids.length) // no duplicate survived
   }
+
+  test("streaming KMV state equals the batch sketch state — and redelivery cannot move it") {
+    // st8 runs with the events file delivered TWICE; the batch twin
+    // sees it once. Equality of (n_kept, hk-derived estimate) proves
+    // both stream==batch and duplicate-insensitivity in one assertion.
+    val streamed = Registry.queries("st8_streaming_kmv")(
+      spark, TestSpark.Sf0001)
+      .select("grp", "n_kept", "est_distinct")
+    val batch = graft.queries.Sketches.kmvState(
+      graft.Tables.events(spark, TestSpark.Sf0001)
+        .select(col("event_type").as("grp"), col("user_id").as("key")))
+      .groupBy("grp").agg(count(lit(1)).as("n_kept"),
+        max(when(col("rn") === graft.queries.Sketches.K, col("h"))).as("hk"))
+      .select(col("grp"), col("n_kept"),
+        round(when(col("n_kept") < graft.queries.Sketches.K,
+          col("n_kept").cast("double"))
+          .otherwise(lit((graft.queries.Sketches.K - 1).toDouble)
+            * pow(lit(2.0), 60) / col("hk").cast("double")), 3)
+          .as("est_distinct"))
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
 }
