@@ -352,6 +352,35 @@ WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                     AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // UNPIVOT / melt (beyond the ∅-list): the wide→long inverse of a9's
+    // pivot — metric columns become (metric, value) rows, the reshape
+    // every metrics store and chart feed wants. Spark's native unpivot
+    // (3.4+) is a zero-shuffle row-local expansion.
+    Q("a17_unpivot_melt",
+      (s, d) => {
+        val wide = Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              .as("sum_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+              .as("sum_price"))
+        wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")),
+          "metric", "metric_value")
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, metric, metric_value
+FROM wide UNPIVOT (metric_value FOR metric IN (sum_qty, sum_price))
+ORDER BY l_returnflag, metric""")),
+
     // A2 AVG group-by (views_p1.py:9-12); l_quantity is integral-valued
     // so the sum is exact and the avg deterministic across engines
     Q("a2_avg_groupby",

@@ -197,6 +197,60 @@ FROM w, UNNEST(range(0, len(toks))) AS t(i)
 WHERE len(toks[i + 1]) >= 6
 ORDER BY doc_id, pos""")),
 
+    // String-function gallery (beyond the ∅-list): the edit-distance /
+    // padding / character-mapping battery every normalization pipeline
+    // leans on. levenshtein is the notable one — a native codegen'd
+    // dynamic-program per row, the building block of typo-tolerant
+    // matching (pair it with a15-style blocking before using it at
+    // scale; edit distance on unblocked pairs is the quadratic trap).
+    Q("f14_string_gallery",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_partkey") % 20 === 0)
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("p_type")).cast("long").as("lev"),
+          lpad(col("p_brand"), 12, "#").as("padded"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("xlated"),
+          split_part(col("p_name"), lit(" "), lit(1)).as("first_word"),
+          reverse(col("p_brand")).as("rev"))
+        .orderBy("p_partkey"),
+      Some("""
+SELECT p_partkey,
+       CAST(levenshtein(p_name, p_type) AS BIGINT) AS lev,
+       lpad(p_brand, 12, '#') AS padded,
+       translate(p_name, 'aeiou', 'AEIOU') AS xlated,
+       split_part(p_name, ' ', 1) AS first_word,
+       reverse(p_brand) AS rev
+FROM part WHERE p_partkey % 20 = 0 ORDER BY p_partkey""")),
+
+    // Datetime-function gallery (beyond the ∅-list): interval
+    // arithmetic, calendar boundaries, day counting, weekday
+    // extraction — the date-dimension derivations of every mart.
+    // Engine conventions differ on weekday numbering (Spark
+    // 1=Sunday…7, DuckDB 0=Sunday…6), normalized in the oracle — the
+    // kind of cross-engine trap the oracle gate exists to catch.
+    Q("f15_datetime_gallery",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderkey"),
+          // TIMESTAMP not DATE: pandas (the driver's compare layer)
+          // renders SQL DATE as midnight Timestamp, parquet DATE as
+          // datetime.date — same instant, unequal objects
+          last_day(col("o_orderdate")).cast("timestamp").as("month_end"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).cast("long")
+            .as("days_since_epoch0"),
+          (col("o_orderdate") + expr("INTERVAL 10 DAYS")).as("plus_10d"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"))
+        .orderBy("o_orderkey"),
+      Some("""
+SELECT o_orderkey,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch0,
+       o_orderdate + INTERVAL 10 DAY AS plus_10d,
+       date_trunc('month', o_orderdate) AS month_start,
+       CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
+FROM orders WHERE o_orderkey % 40 = 0 ORDER BY o_orderkey""")),
+
     // F10 timestamp-defaulted state rows (tanimoto.py:51-54).
     // current_timestamp() is inherently nondeterministic, so the clock is
     // pinnable: when spark.graft.now is set (ISO "yyyy-MM-dd HH:mm:ss",

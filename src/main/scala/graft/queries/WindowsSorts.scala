@@ -271,6 +271,33 @@ QUALIFY event_id % 20 = 0 ORDER BY event_id""")),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
               ORDER BY c_custkey LIMIT 10 OFFSET 20""")),
 
+    // Rank-function gallery (beyond the ∅-list): rank / dense_rank /
+    // cume_dist complete the ranking family next to w1's row_number
+    // and w5's percent_rank/ntile. Ties are REAL here (o_totalprice
+    // collides), which is the point: rank leaves gaps, dense_rank
+    // doesn't, cume_dist counts peers — and all three are
+    // deterministic under ties without a tiebreak because equal keys
+    // get equal values.
+    Q("w9_rank_gallery",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc)
+        Tables.orders(s, d)
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("o_orderkey") % 25 === 0)
+          .select("o_orderkey", "o_orderpriority", "rnk", "drnk", "cd")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+SELECT o_orderkey, o_orderpriority,
+       rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC)
+QUALIFY o_orderkey % 25 = 0 ORDER BY o_orderkey""")),
+
     // Time-grid densification (beyond the ∅-list): the resample shape —
     // project each user's sparse events onto a complete hourly grid
     // (sequence + explode between the user's own bounds), left-join the
