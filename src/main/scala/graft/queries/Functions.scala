@@ -251,6 +251,34 @@ SELECT o_orderkey,
        CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
 FROM orders WHERE o_orderkey % 40 = 0 ORDER BY o_orderkey""")),
 
+    // try_* error-handling gallery (beyond the ∅-list): the ANSI-mode
+    // survival kit — malformed casts, division by zero, out-of-range
+    // array access each yield NULL instead of killing the job. At
+    // 100 TB a single poisoned row must never fail a stage; try_*
+    // keeps ANSI semantics everywhere else. (F6 is the from_json
+    // cousin; this covers the scalar arithmetic surface.)
+    Q("f16_try_functions",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("try_cast(concat(l_orderkey, " +
+            "CASE WHEN l_linenumber % 3 = 0 THEN 'x' ELSE '' END) AS BIGINT)")
+            .as("maybe_id"),
+          try_divide(col("l_quantity"), col("l_linenumber") - 1)
+            .as("per_prior_line"),
+          try_element_at(split(col("l_returnflag"), ""), lit(5))
+            .as("oob_char"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+SELECT l_orderkey, l_linenumber,
+       TRY_CAST(CAST(l_orderkey AS VARCHAR) ||
+                CASE WHEN l_linenumber % 3 = 0 THEN 'x' ELSE '' END AS BIGINT)
+         AS maybe_id,
+       l_quantity / NULLIF(l_linenumber - 1, 0) AS per_prior_line,
+       string_split(l_returnflag, '')[5] AS oob_char
+FROM lineitem WHERE l_orderkey % 100 = 0
+ORDER BY l_orderkey, l_linenumber""")),
+
     // F10 timestamp-defaulted state rows (tanimoto.py:51-54).
     // current_timestamp() is inherently nondeterministic, so the clock is
     // pinnable: when spark.graft.now is set (ISO "yyyy-MM-dd HH:mm:ss",

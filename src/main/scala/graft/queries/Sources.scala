@@ -391,6 +391,40 @@ SELECT * FROM (VALUES ('c_custkey', true), ('c_mktsegment', true),
                       ('c_no_such_col', false))
 AS t(col, present) ORDER BY col""")),
 
+    // K9 file-sizing sink (beyond §2): the small-files problem is the
+    // dominant operational failure of 100 TB parquet lakes (every file
+    // is a task + a NameNode/listing entry + a row-group header).
+    // maxRecordsPerFile bounds file size from above WITHIN a task;
+    // repartition bounds task count — together they pin the output
+    // layout deterministically: 1 task × ceil(9912/2000) = 5 files.
+    // The read-back aggregates file-level row counts via the
+    // input_file_name metadata column — layout as data, oracle-checked.
+    Q("k9_file_sizing_sink",
+      (s, d) => graft.Scratch.withDir(s, "filesize") { out =>
+        Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "A")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .repartition(1)
+          .sortWithinPartitions("l_orderkey", "l_linenumber")
+          .write.mode("overwrite")
+          .option("maxRecordsPerFile", 2000)
+          .parquet(s"$out/li")
+        val back = s.read.parquet(s"$out/li")
+        back
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("rows_in_file"))
+          .groupBy("rows_in_file")
+          .agg(count(lit(1)).cast("long").as("n_files"))
+          .orderBy("rows_in_file")
+      },
+      Some("""
+WITH n AS (SELECT count(*) AS total FROM lineitem WHERE l_returnflag = 'A')
+SELECT CAST(CASE WHEN i < total // 2000 THEN 2000 ELSE total % 2000 END AS BIGINT)
+         AS rows_in_file,
+       CAST(count(*) AS BIGINT) AS n_files
+FROM n, UNNEST(range(0, CAST(ceil(total / 2000.0) AS BIGINT))) AS t(i)
+GROUP BY 1 ORDER BY rows_in_file""")),
+
     // M3 column statistics — the ANALYZE TABLE surface (beyond §2):
     // count / distinct / min / max per key column, the numbers a
     // cost-based optimizer (and a human sizing a join) reads first.

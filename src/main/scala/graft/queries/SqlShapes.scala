@@ -238,6 +238,21 @@ object SqlShapes {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name LIMIT 100"""),
 
+    // Join-strategy hints — the explicit control surface when the
+    // planner's default is wrong for reasons it can't see (a dim that
+    // EXPLODES after a join, a broadcast that OOMs real executors).
+    // MERGE here forces sort-merge on a join the 64 MB threshold would
+    // otherwise broadcast; PlanQualitySpec asserts the override took.
+    // Results are hint-invariant, so the oracle is the plain join.
+    q("sql_join_hints", """
+      SELECT /*+ MERGE(sql_nation) */
+             n_name, count(*) AS n_custs,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM sql_customer
+      JOIN sql_nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+      ORDER BY n_name"""),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE) — the hierarchy walk:
     // every supplier climbs a synthetic binary org tree (parent =
     // node halved) to the root, and reports its depth. The recursion

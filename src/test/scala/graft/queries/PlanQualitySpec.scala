@@ -237,4 +237,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("MERGE hint overrides the broadcast default on a broadcast-eligible dim") {
+    val p = plan("sql_join_hints")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("partitioned parquet reads prune partitions from an equality filter") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    graft.Scratch.withDir(spark2, "prunecheck") { out =>
+      graft.Tables.lineitem(spark2, TestSpark.Sf001)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(s"$out/li")
+      val q = spark2.read.parquet(s"$out/li")
+        .filter(col("l_returnflag") === "A")
+        .select("l_orderkey", "l_quantity")
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("l_returnflag"),
+        p.take(2000))
+      q.limit(1)
+    }
+  }
 }
