@@ -542,6 +542,44 @@ WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
     labels.union(singletons)
   }
 
+  /** Substring-span dedup core (see the `dedup_substring_spans` entry
+    * for the full design note): per doc, the maximal runs of tokens
+    * covered by some K-gram that also occurs verbatim in ANOTHER doc.
+    * Equivalent model (SpanProps checks it against brute force): mark
+    * every token covered by a cross-doc-shared K-gram; a span is a
+    * maximal contiguous covered run; dup_tokens is the covered count.
+    */
+  private[graft] def substringSpans(docs: DataFrame, K: Int): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") >= K)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n") - K)).as("i"),
+        col("toks"))
+      .withColumn("gkey",
+        substring(md5(concat_ws(" ",
+          slice(col("toks"), col("i") + 1, lit(K)))), 1, 16))
+      .select("doc_id", "i", "gkey")
+    val dupKeys = grams.groupBy("gkey")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gkey")
+    val spans = grams.join(dupKeys, "gkey")
+      .select("doc_id", "i")
+      .withColumn("brk",
+        when(col("i") - lag("i", 1).over(w) <= K, 0).otherwise(1))
+      .withColumn("sid", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "sid")
+      .agg(min("i").as("st"), (max("i") + K - 1).as("en"))
+    spans.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st") + 1).cast("long").as("dup_tokens"))
+      .orderBy("doc_id")
+  }
+
   def qs: Seq[Q] = Seq(
     // Exact dedup: hash group-by on full content; survivor = lowest id,
     // output = (duplicate, canonical) pairs
@@ -828,37 +866,8 @@ ORDER BY i, j""")),
     // stitching is per-doc-local. Output: per-doc span count and
     // duplicated-token mass (what a cleaner would cut).
     Q("dedup_substring_spans",
-      (s, d) => {
-        val K = 8
-        val w = Window.partitionBy("doc_id").orderBy("i")
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .withColumn("n", size(col("toks")))
-          .filter(col("n") >= K)
-          .select(col("doc_id"),
-            explode(sequence(lit(0), col("n") - K)).as("i"),
-            col("toks"))
-          .withColumn("gkey",
-            substring(md5(concat_ws(" ",
-              slice(col("toks"), col("i") + 1, lit(K)))), 1, 16))
-          .select("doc_id", "i", "gkey")
-        val dupKeys = grams.groupBy("gkey")
-          .agg(countDistinct("doc_id").as("nd"))
-          .filter(col("nd") >= 2)
-          .select("gkey")
-        val spans = grams.join(dupKeys, "gkey")
-          .select("doc_id", "i")
-          .withColumn("brk",
-            when(col("i") - lag("i", 1).over(w) <= K, 0).otherwise(1))
-          .withColumn("sid", sum("brk").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy("doc_id", "sid")
-          .agg(min("i").as("st"), (max("i") + K - 1).as("en"))
-        spans.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"),
-            sum(col("en") - col("st") + 1).cast("long").as("dup_tokens"))
-          .orderBy("doc_id")
-      },
+      (s, d) => substringSpans(
+        Tables.documents(s, d).select("doc_id", "text"), 8),
       Some("""
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks,
                   len(string_split(text, ' ')) AS n FROM documents),

@@ -352,7 +352,47 @@ dim AS (
   UNION ALL SELECT NULL, 'tier_missing')
 SELECT tier, count(*) AS n_docs
 FROM docs JOIN dim ON docs.src_key IS NOT DISTINCT FROM dim.src_key
-GROUP BY tier ORDER BY tier"""))
+GROUP BY tier ORDER BY tier""")),
+
+    // Fuzzy string join (beyond §2 — entity resolution): probe names
+    // carry a deterministic typo (4th char deleted); matching is
+    // BLOCK on a cheap equi-key (first two chars), then VERIFY with
+    // levenshtein inside the block. The blocking key turns the O(N·M)
+    // all-pairs edit-distance into an equi-join over small buckets —
+    // the only way edit distance survives 100 TB — and the verify is
+    // a codegen'd per-pair kernel, same discipline as the LSH
+    // dedup family (candidates from an index, exactness from a
+    // verifier).
+    Q("j16_fuzzy_match_join",
+      (s, d) => {
+        val parts = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name")).distinct()
+        val probes = parts.filter(col("p_partkey") % 97 === 0)
+          .select(col("p_partkey").as("probe_id"),
+            concat(substring(col("p_name"), 1, 3),
+              substring(col("p_name"), 5, 1000)).as("probe_name"))
+        val blockedP = probes
+          .withColumn("blk", substring(col("probe_name"), 1, 2))
+        val blockedC = parts
+          .withColumn("blk", substring(col("p_name"), 1, 2))
+        blockedP.join(blockedC, "blk")
+          .withColumn("lev",
+            levenshtein(col("probe_name"), col("p_name")).cast("long"))
+          .filter(col("lev") <= 1)
+          .select("probe_id", "probe_name", "p_partkey", "p_name", "lev")
+          .orderBy("probe_id", "p_partkey")
+      },
+      Some("""
+WITH parts AS (SELECT DISTINCT p_partkey, p_name FROM part),
+probes AS (
+  SELECT p_partkey AS probe_id,
+         substr(p_name, 1, 3) || substr(p_name, 5) AS probe_name
+  FROM parts WHERE p_partkey % 97 = 0)
+SELECT probe_id, probe_name, p_partkey, p_name,
+       CAST(levenshtein(probe_name, p_name) AS BIGINT) AS lev
+FROM probes JOIN parts ON substr(probe_name, 1, 2) = substr(p_name, 1, 2)
+WHERE levenshtein(probe_name, p_name) <= 1
+ORDER BY probe_id, p_partkey"""))
   )
 
   /** J11's body: catalog-managed cleanup (DROP the entries), then
