@@ -352,6 +352,47 @@ WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                     AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_nationkey ORDER BY c_nationkey""")),
 
+    // Per-group z-score normalization (beyond the ∅-list): the feature
+    // standardization every ML ingest applies. Mean and variance come
+    // from exact decimal sums (a11's trick), so the only float ops are
+    // one division, one sqrt — IEEE requires sqrt correctly rounded —
+    // and the final (x-µ)/σ, identical on both engines under
+    // round(…,6). Stats broadcast back onto the rows: two passes, one
+    // tiny join, no window over the full data.
+    Q("a18_zscore_normalize",
+      (s, d) => {
+        val v = col("value").cast("decimal(18,2)")
+        val stats = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(v).cast("double").as("sv"),
+            sum((v * v).cast("decimal(28,4)")).cast("double").as("ssv"))
+          .select(col("event_type"),
+            (col("sv") / col("n")).as("mu"),
+            sqrt((col("ssv") - col("sv") * col("sv") / col("n")) / col("n"))
+              .as("sigma"))
+        Tables.events(s, d)
+          .filter(col("event_id") % 40 === 0)
+          .join(broadcast(stats), "event_type")
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("mu")) / col("sigma"), 6).as("z"))
+          .orderBy("event_id")
+      },
+      Some("""
+WITH stats AS (
+  SELECT event_type,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mu,
+         sqrt((CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) *
+                              CAST(value AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+                    AS DOUBLE)
+               - CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 * CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+              / count(*)) AS sigma
+  FROM events GROUP BY event_type)
+SELECT event_id, event_type, round((value - mu) / sigma, 6) AS z
+FROM events JOIN stats USING (event_type)
+WHERE event_id % 40 = 0 ORDER BY event_id""")),
+
     // UNPIVOT / melt (beyond the ∅-list): the wide→long inverse of a9's
     // pivot — metric columns become (metric, value) rows, the reshape
     // every metrics store and chart feed wants. Spark's native unpivot

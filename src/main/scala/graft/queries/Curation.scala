@@ -576,6 +576,55 @@ n AS (SELECT doc_id,
                                  ' +', ' ', 'g')) AS norm
       FROM corpus)
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-FROM n GROUP BY norm HAVING count(*) > 1 ORDER BY keep_id"""))
+FROM n GROUP BY norm HAVING count(*) > 1 ORDER BY keep_id""")),
+
+    // Winsorization (beyond the ∅-list): clamp outliers at exact
+    // per-group nearest-rank percentiles (p05/p95 via a13's technique)
+    // instead of dropping them — the robust-statistics cleaning step
+    // for value columns feeding training. Thresholds are one tiny
+    // broadcast; the clamp is map-only; the report is an exact decimal
+    // checksum per group so the oracle pins every clamped value.
+    Q("curation_winsorize",
+      (s, d) => {
+        val ev = graft.Tables.events(s, d)
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val wAll = Window.partitionBy("event_type")
+        val thr = ev
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("event_type")
+          .agg(
+            min(when(col("rn") === ceil(col("n") * 0.05), col("value")))
+              .as("p05"),
+            min(when(col("rn") === ceil(col("n") * 0.95), col("value")))
+              .as("p95"))
+        ev.join(broadcast(thr), "event_type")
+          .withColumn("clamped",
+            least(greatest(col("value"), col("p05")), col("p95")))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(when(col("value") < col("p05") ||
+              col("value") > col("p95"), 1)).as("n_clamped"),
+            sum(col("clamped").cast("decimal(18,2)")).cast("double")
+              .as("clamped_sum"))
+          .orderBy("event_type")
+      },
+      Some("""
+WITH r AS (SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value ASC, event_id ASC) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+           FROM events),
+thr AS (SELECT event_type,
+          min(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN value END) AS p05,
+          min(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+        FROM r GROUP BY event_type)
+SELECT event_type, count(*) AS n,
+       count(CASE WHEN value < p05 OR value > p95 THEN 1 END) AS n_clamped,
+       CAST(sum(CAST(least(greatest(value, p05), p95) AS DECIMAL(18,2)))
+            AS DOUBLE) AS clamped_sum
+FROM events JOIN thr USING (event_type)
+GROUP BY event_type ORDER BY event_type"""))
   )
 }
