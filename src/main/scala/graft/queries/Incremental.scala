@@ -115,7 +115,41 @@ FROM customer WHERE c_custkey % 7 = 0
 UNION ALL
 SELECT c_custkey, 2::BIGINT, c_name, c_acctbal, 2::BIGINT, NULL::BIGINT, true
 FROM chg
-ORDER BY c_custkey, version"""))
+ORDER BY c_custkey, version""")),
+
+    // Incremental aggregate maintenance (beyond §2 — materialized-view
+    // delta update): a per-key aggregate table is brought current by
+    // MERGING the delta's partial aggregates into the stored state
+    // (full outer join + coalesced sum/count algebra), never
+    // rescanning the base table. Works because sum/count form a
+    // commutative monoid — the same property behind map-side combine
+    // and the sketch merges. At 100 TB this is the difference between
+    // O(delta) and O(corpus) per refresh. The oracle recomputes from
+    // scratch: merged state must equal the full aggregate exactly.
+    Q("i6_incremental_agg_maintain",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def aggOf(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("l_partkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast("decimal(18,2)")).as("qty"))
+        // stored state: everything before the delta; delta: every 5th order
+        val state = aggOf(li.filter(col("l_orderkey") % 5 =!= 0))
+        val delta = aggOf(li.filter(col("l_orderkey") % 5 === 0))
+          .withColumnRenamed("n", "dn").withColumnRenamed("qty", "dqty")
+        state.join(delta, Seq("l_partkey"), "full_outer")
+          .select(col("l_partkey"),
+            (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n"),
+            (coalesce(col("qty"), lit(0).cast("decimal(18,2)"))
+              + coalesce(col("dqty"), lit(0).cast("decimal(18,2)")))
+              .cast("double").as("sum_qty"))
+          .orderBy("l_partkey")
+      },
+      Some("""
+SELECT l_partkey, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY l_partkey ORDER BY l_partkey"""))
   )
 
   /** One SCD2 merge step: fold `incoming` (c_custkey + tracked

@@ -271,6 +271,57 @@ QUALIFY event_id % 20 = 0 ORDER BY event_id""")),
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
               ORDER BY c_custkey LIMIT 10 OFFSET 20""")),
 
+    // First-touch attribution (beyond the ∅-list): the funnel-analytics
+    // composition — sessionize by inactivity gap (lag + cumsum, the
+    // batch twin of e3/st5's session windows), then credit every
+    // purchase in a session to the session's ENTRY event type
+    // (first_value over the session partition). Three windows, all
+    // partitioned by user — one shuffle total, nothing global.
+    Q("w10_session_attribution",
+      (s, d) => {
+        val wSeq = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wSess = Window.partitionBy("user_id", "sid")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wSeq))
+          .withColumn("brk",
+            when(col("gap_us").isNull || col("gap_us") >= 1800L * 1000000L, 1)
+              .otherwise(0))
+          .withColumn("sid", sum("brk").over(
+            wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("entry_type", first("event_type").over(wSess))
+          .filter(col("event_type") === "purchase")
+          .groupBy("entry_type")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("value").cast("decimal(18,2)")).cast("double")
+              .as("attributed_value"))
+          .orderBy("entry_type")
+      },
+      Some("""
+WITH seq AS (
+  SELECT user_id, event_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)),
+s2 AS (
+  SELECT *, CAST(sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000
+                          THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+  FROM seq),
+s3 AS (
+  SELECT *, first_value(event_type)
+              OVER (PARTITION BY user_id, sid
+                    ORDER BY ts ASC, event_id ASC) AS entry_type
+  FROM s2)
+SELECT entry_type, count(*) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+FROM s3 WHERE event_type = 'purchase'
+GROUP BY entry_type ORDER BY entry_type""")),
+
     // Rank-function gallery (beyond the ∅-list): rank / dense_rank /
     // cume_dist complete the ranking family next to w1's row_number
     // and w5's percent_rank/ntile. Ties are REAL here (o_totalprice
