@@ -238,6 +238,78 @@ object SqlShapes {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name LIMIT 100"""),
 
+    // The three shapes that need a partsupp bridge (absent from the
+    // testdata) run over a DERIVED one: the distinct (part, supplier)
+    // pairs observed in lineitem, with supply cost / available
+    // quantity as deterministic integer arithmetic on the keys — same
+    // CTE text on both engines, so the bridge is part of the tested
+    // query, not a fixture.
+
+    // TPC-H Q2 shape — min-cost supplier per part within a region: the
+    // correlated scalar MIN subquery re-scans the bridge + supplier +
+    // nation + region under correlation on p_partkey. Catalyst must
+    // decorrelate to a per-part min join; the equality predicate then
+    // keeps only the argmin rows.
+    q("sql_min_cost_supplier", """
+      WITH partsupp AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST((l_partkey * 7 + l_suppkey * 13) % 1000 AS DOUBLE) / 10.0
+                 AS ps_supplycost
+        FROM sql_lineitem)
+      SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost
+      FROM sql_part
+      JOIN partsupp ON p_partkey = ps_partkey
+      JOIN sql_supplier ON s_suppkey = ps_suppkey
+      JOIN sql_nation ON s_nationkey = n_nationkey
+      JOIN sql_region ON n_regionkey = r_regionkey
+      WHERE p_size = 15 AND r_name = 'ASIA'
+        AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2
+          JOIN sql_supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN sql_nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN sql_region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'ASIA')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"""),
+
+    // TPC-H Q11 shape — important stock: per-part value vs a
+    // global-fraction threshold computed by a scalar subquery over the
+    // SAME aggregation (one tiny broadcast value). Exact decimal sums
+    // on both sides of the comparison.
+    q("sql_important_stock", """
+      WITH partsupp AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey * 7 + l_suppkey * 13) % 1000 AS ps_cost_tenths
+        FROM sql_lineitem)
+      SELECT ps_partkey,
+             CAST(sum(ps_cost_tenths) AS DOUBLE) / 10.0 AS stock_value
+      FROM partsupp
+      GROUP BY ps_partkey
+      HAVING CAST(sum(ps_cost_tenths) AS DOUBLE) >
+             (SELECT CAST(sum(ps_cost_tenths) AS DOUBLE) * 0.0008 FROM partsupp)
+      ORDER BY stock_value DESC, ps_partkey LIMIT 100"""),
+
+    // TPC-H Q20 shape — excess inventory: nested IN subqueries with a
+    // doubly-correlated scalar SUM (both join keys correlate into the
+    // lineitem re-scan). The hardest nesting after Q21: an IN inside
+    // an IN, with the inner threshold per (part, supplier) pair.
+    q("sql_excess_inventory", """
+      WITH partsupp AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST((l_partkey * 31 + l_suppkey * 17) % 100 + 200 AS DOUBLE)
+                 AS ps_availqty
+        FROM sql_lineitem)
+      SELECT s_suppkey, s_name
+      FROM sql_supplier
+      WHERE s_suppkey IN (
+        SELECT ps_suppkey FROM partsupp
+        WHERE ps_partkey IN (SELECT p_partkey FROM sql_part
+                             WHERE p_name LIKE 'red%')
+          AND ps_availqty > (
+            SELECT 0.5 * sum(l_quantity) FROM sql_lineitem
+            WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey))
+      ORDER BY s_suppkey"""),
+
     // Join-strategy hints — the explicit control surface when the
     // planner's default is wrong for reasons it can't see (a dim that
     // EXPLODES after a join, a broadcast that OOMs real executors).
