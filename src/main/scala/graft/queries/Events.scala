@@ -150,6 +150,49 @@ SELECT user_id, count(*) AS n_events,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_late
 FROM m GROUP BY user_id ORDER BY user_id""")),
 
+    // Ordered funnel (beyond §2): view → click → purchase, each stage
+    // strictly after the previous one PER USER — the product-analytics
+    // staple. Three stage-min aggregates chained by two per-user
+    // equi-joins (each stage's threshold broadcast back as one row per
+    // user); no window over the full event stream, no self-join
+    // explosion. Conversion lag sums in exact integer micros.
+    Q("e7_ordered_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min("us").as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min("us").as("t3"))
+        val n1 = s1.agg(count(lit(1)).as("n")).select(col("n").as("n_viewed"))
+        val n2 = s2.agg(count(lit(1)).as("n")).select(col("n").as("n_clicked_after"))
+        val n3 = s3.join(s2, "user_id")
+          .agg(count(lit(1)).as("n_purchased_after"),
+            sum(col("t3") - col("t2")).cast("long").as("total_lag_us"))
+        n1.crossJoin(n2).crossJoin(n3)
+      },
+      Some("""
+WITH ev AS (SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+s1 AS (SELECT user_id, min(us) AS t1 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev
+       JOIN s1 ON ev.user_id = s1.user_id
+       WHERE event_type = 'click' AND us > t1 GROUP BY ev.user_id),
+s3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev
+       JOIN s2 ON ev.user_id = s2.user_id
+       WHERE event_type = 'purchase' AND us > t2 GROUP BY ev.user_id)
+SELECT (SELECT count(*) FROM s1) AS n_viewed,
+       (SELECT count(*) FROM s2) AS n_clicked_after,
+       (SELECT count(*) FROM s3) AS n_purchased_after,
+       (SELECT CAST(sum(t3 - t2) AS BIGINT)
+        FROM s3 JOIN s2 ON s3.user_id = s2.user_id) AS total_lag_us""")),
+
     // VARIANT semi-structured extraction (beyond §2 — Spark 4's
     // binary JSON type): parse once into VARIANT, then typed
     // path-extraction with variant_get. Against schemaless feeds this

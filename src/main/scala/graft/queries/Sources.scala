@@ -506,6 +506,46 @@ SELECT * FROM (
   FROM lineitem WHERE l_discount < 0.0 OR l_discount > 1.0)
 ORDER BY chk""")),
 
+    // M5 join-key skew report (beyond §2): the diagnostic that decides
+    // WHEN to reach for j10's salting — per candidate join key, the
+    // hottest key's share and the max/avg frequency ratio. One
+    // aggregate per key column over the fact table; a ratio ≫ 1 says
+    // a plain hash join will strand one reducer with the hot key's
+    // entire partition (AQE skew-split or salting territory).
+    Q("m5_skew_report",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        def skewOf(c: String) = {
+          val freq = li.groupBy(col(c).as("k"))
+            .agg(count(lit(1)).as("f"))
+          freq.agg(
+            count(lit(1)).as("n_keys"),
+            max("f").as("max_f"),
+            sum("f").as("total"))
+            .select(lit(c).as("key_col"), col("n_keys"), col("max_f"),
+              round(col("max_f") / (col("total") / col("n_keys")), 4)
+                .as("skew_ratio"),
+              round(col("max_f") / col("total"), 6).as("hot_share"))
+        }
+        skewOf("l_orderkey").union(skewOf("l_partkey"))
+          .union(skewOf("l_suppkey")).union(skewOf("l_returnflag"))
+          .orderBy("key_col")
+      },
+      Some("""
+WITH f AS (
+  SELECT 'l_orderkey' AS key_col, count(*) AS f
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', count(*) FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_suppkey', count(*) FROM lineitem GROUP BY l_suppkey
+  UNION ALL
+  SELECT 'l_returnflag', count(*) FROM lineitem GROUP BY l_returnflag)
+SELECT key_col, count(*) AS n_keys, max(f) AS max_f,
+       round(max(f) / (sum(f) / count(*)), 4) AS skew_ratio,
+       round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS hot_share
+FROM f GROUP BY key_col ORDER BY key_col""")),
+
     // M1 table-existence probe (db_interact.py:99-113)
     Q("m1_table_exists",
       (s, d) => {
