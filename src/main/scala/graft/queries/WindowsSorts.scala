@@ -486,6 +486,35 @@ QUALIFY global_rn <= 500 ORDER BY global_rn""")),
               UNION SELECT c_custkey FROM customer ORDER BY id""")),
 
     // U4 EXCEPT: parts not shipped before 1996 (datamart.py:86-103 pattern)
+    // Beyond the ∅-list: multiset EXCEPT ALL / INTERSECT ALL — bag
+    // semantics preserve DUPLICITY (how many copies survive), which is
+    // what reconciliation actually needs: "orders minus shipments"
+    // must say 3−2=1 copy remains, not merely "present". One query
+    // exercises both; counts roll up so the oracle pins every
+    // multiplicity.
+    Q("u7_except_intersect_all",
+      (s, d) => {
+        val a = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "A").select(col("l_partkey").as("id"))
+        val b = Tables.lineitem(s, d)
+          .filter(col("l_returnflag") === "R").select(col("l_partkey").as("id"))
+        val ex = a.exceptAll(b).groupBy("id")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy("id")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        ex.union(in).orderBy("op", "id")
+      },
+      Some("""
+WITH a AS (SELECT l_partkey AS id FROM lineitem WHERE l_returnflag = 'A'),
+b AS (SELECT l_partkey AS id FROM lineitem WHERE l_returnflag = 'R'),
+ex AS (SELECT id FROM a EXCEPT ALL SELECT id FROM b),
+inx AS (SELECT id FROM a INTERSECT ALL SELECT id FROM b)
+SELECT id, n, op FROM (
+  SELECT id, count(*) AS n, 'except_all' AS op FROM ex GROUP BY id
+  UNION ALL
+  SELECT id, count(*), 'intersect_all' FROM inx GROUP BY id)
+ORDER BY op, id""")),
+
     Q("u4_except",
       (s, d) => Tables.part(s, d).select(col("p_partkey").as("id"))
         .except(Tables.lineitem(s, d)
