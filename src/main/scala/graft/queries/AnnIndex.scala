@@ -47,20 +47,41 @@ object AnnIndex {
       .select(keep :+ col("cent_id").as("cell"): _*)
   }
 
+  /** Conf key bounding the quantizer size (centroid count). Everything
+    * driver-side in this index — the probed/touched cell-id lists in
+    * [[purge]] and the per-cell file census in [[compact]] — is O(K)
+    * where K = centroid count, so K must stay driver-sized. The default
+    * (1M cells × ~16 bytes/id ≈ 16 MB of driver lists) is far above any
+    * sane IVF configuration; a build whose quantizer exceeds it fails
+    * loudly instead of deferring the OOM to the first purge.
+    */
+  val MaxCellsKey = "spark.graft.ann.maxCells"
+  val DefaultMaxCells = 1L << 20
+
   /** Train the quantizer on `train`, assign `vecs` to cells, persist
-    * both under `stateDir`. The quantizer is pluggable: the default is
-    * the oracle-exact single-Lloyd [[SimilaritySearch.kmeansCents]];
-    * production builds pass [[SimilaritySearch.kmeansCentsAvg]] (plain
-    * `avg`, multi-iteration — no per-(cell,dim) collect_list, so the
-    * training reduction is safe at any corpus size).
+    * both under `stateDir`. The quantizer is pluggable: the DEFAULT is
+    * the production [[SimilaritySearch.kmeansCentsAvg]] (plain `avg`,
+    * multi-iteration — a partial-aggregating shuffle with no
+    * per-(cell,dim) collect_list, safe at any corpus size); builds that
+    * must match a bit-exact DuckDB oracle pass the single-Lloyd
+    * [[SimilaritySearch.kmeansCents]] explicitly. Fails if the trained
+    * quantizer exceeds [[MaxCellsKey]] cells (see there).
     */
   def build(s: SparkSession, train: DataFrame, vecs: DataFrame,
       stateDir: String,
-      quantizer: DataFrame => DataFrame = SimilaritySearch.kmeansCents): Unit = {
+      quantizer: DataFrame => DataFrame =
+        e => SimilaritySearch.kmeansCentsAvg(e)): Unit = {
     VectorExpressions.register(s)
     quantizer(train)
       .write.mode("overwrite").parquet(s"$stateDir/cent")
     val cents = s.read.parquet(s"$stateDir/cent")
+    val ncells = cents.count()
+    val cap = s.conf.getOption(MaxCellsKey).map(_.trim.toLong)
+      .getOrElse(DefaultMaxCells)
+    require(ncells <= cap,
+      s"AnnIndex: quantizer produced $ncells cells > $MaxCellsKey=$cap; " +
+        "driver-side cell lists (purge/compact) are O(cells) — use a " +
+        "coarser quantizer or raise the conf deliberately")
     assignCells(vecs, cents, nprobe = 1)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$stateDir/vec")
   }
@@ -100,7 +121,9 @@ object AnnIndex {
   def purge(s: SparkSession, tombstones: DataFrame, stateDir: String): PurgeStats = {
     val dead = tombstones.select("vec_id").distinct().persist()
     val vec = s.read.parquet(s"$stateDir/vec")
-    // touched cells: bounded by the quantizer size K, safe to collect
+    // touched cells: bounded by the quantizer size K, which build()
+    // caps at MaxCellsKey (default 2^20) — ≤ ~16 MB of ids on the
+    // driver, never corpus-proportional; safe to collect
     val touched = vec.join(dead, Seq("vec_id"), "left_semi")
       .select("cell").distinct().collect().map(_.get(0))
     val nPurged = dead.count()

@@ -65,6 +65,36 @@ object Dedup {
   private val bootstrapCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Durable bootstrap state (docs with doc_id % 5 ≠ 0) per sf dir —
+    * built once per process; the update/compact/purge stage queries and
+    * the composed incremental query all read it.
+    */
+  private def bootstrapDir(s: SparkSession, d: String): String =
+    bootstrapCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("ndidx_v1")
+      DedupIndex.bootstrap(s,
+        Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0), dir)
+      dir
+    })
+
+  private val updateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Full-corpus state (bootstrap + one update folding the % 5 = 0
+    * delta in) per sf dir — the steady-state input the compact and
+    * purge stage queries consume, built once per process so those
+    * stages time ONLY their own work.
+    */
+  private def fullStateDir(s: SparkSession, d: String): String =
+    updateCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("ndidx_v2")
+      DedupIndex.update(s,
+        Tables.documents(s, d).select("doc_id", "text"),
+        bootstrapDir(s, d), dir)
+      dir
+    })
+
   /** Per-bucket membership cap before pair expansion ([[bucketPairs]]):
     * LSH buckets wider than this are salted into ceil(n/SaltCap) groups
     * and expanded block-pair-wise, so no single task materializes a
@@ -486,6 +516,29 @@ WHERE round(len(list_intersect(a.shs, b.shs))::DOUBLE /
             len(list_distinct(a.shs || b.shs)), 6) >= 0.5)"""
   }
 
+  /** DuckDB CTE list ending in `sigt` — the per-doc MinHash signature
+    * table (doc_id, n, m0..m7) over `documents` restricted by `cond`
+    * (e.g. "WHERE doc_id % 5 <> 0", or "" for the full corpus). The
+    * from-scratch mirror of [[DedupIndex]]'s sig/ state: the per-stage
+    * index oracles compare persisted state directly against this.
+    */
+  def sigCtes(cond: String): String = {
+    val h = TextHash.sqlTokenHash("sh")
+    val mins = MinHashAB.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % ${TextHash.P}) AS m$i"
+    }.mkString(", ")
+    s"""d0 AS (SELECT doc_id, ${sqlShingles("text")} AS shs FROM documents $cond),
+p0 AS (SELECT doc_id, unnest(shs) AS sh FROM d0),
+dfreq AS (SELECT sh, count(*) AS df FROM p0 GROUP BY sh),
+kept AS (SELECT doc_id, p0.sh AS sh FROM p0 JOIN dfreq ON p0.sh = dfreq.sh
+         WHERE dfreq.df <= $DfCap),
+rescued AS (SELECT doc_id, sh FROM p0
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM kept)),
+p AS (SELECT * FROM kept UNION ALL SELECT * FROM rescued),
+hs AS (SELECT doc_id, $h AS h FROM p),
+sigt AS (SELECT doc_id, count(*) AS n, $mins FROM hs GROUP BY doc_id)"""
+  }
+
   /** Iterative min-label propagation over undirected `edges` (i, j):
     * every doc in `allDocs` gets the min doc_id reachable through
     * edges; singletons (no edge) skip the loop and label themselves.
@@ -629,15 +682,10 @@ SELECT i, j, jac FROM verified ORDER BY i, j""")),
       (s, d) => graft.Scratch.withDir(s, "ndidx") { root =>
         val docs = Tables.documents(s, d).select("doc_id", "text")
         // The bootstrap happens ONCE per corpus in production (state is
-        // durable) — cache it per (process, sfDir) so a repeated
+        // durable) — cached per (process, sfDir) so a repeated
         // measurement times the steady-state daily cost: the update.
         // The first invocation still exercises the full build.
-        val v1 = bootstrapCache.computeIfAbsent(d, _ => {
-          val dir = graft.Scratch.dir("ndidx_v1")
-          DedupIndex.bootstrap(s, docs.filter(col("doc_id") % 5 =!= 0), dir)
-          dir
-        })
-        val res = DedupIndex.update(s, docs, v1, s"$root/v2")
+        val res = DedupIndex.update(s, docs, bootstrapDir(s, d), s"$root/v2")
         // pairs touching flip-affected-but-not-new docs are valid new
         // knowledge but outside this query's contract (new-batch pairs)
         res.pairs.filter(col("i") % 5 === 0 || col("j") % 5 === 0)
@@ -646,6 +694,78 @@ SELECT i, j, jac FROM verified ORDER BY i, j""")),
       Some("WITH " + minhashCtes(
         "AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)") + """
 SELECT i, j, jac FROM verified ORDER BY i, j""")),
+
+    // ── Index lifecycle, stage-attributed ──────────────────────────
+    // One declared query per lifecycle stage (bootstrap / update /
+    // compact / purge), each against its own oracle, so the bench
+    // times every stage separately — a regression in any one is
+    // visible on its own line. dedup_incremental_minhash above stays
+    // the composed steady-state entry (unchanged semantics across
+    // rounds). compact and purge consume the process-cached
+    // full-corpus state, so their numbers are their OWN cost, not a
+    // rebuild's.
+
+    // Bootstrap: full durable build over the pre-delta corpus; the
+    // served result is the persisted signature table itself, which the
+    // oracle recomputes from scratch (state on disk == from-scratch
+    // math — the strongest bootstrap check there is).
+    Q("dedup_index_bootstrap",
+      (s, d) => graft.Scratch.withDir(s, "ndidx_boot") { root =>
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0)
+        DedupIndex.bootstrap(s, docs, s"$root/v1")
+        s.read.parquet(s"$root/v1/sig")
+          .select(col("doc_id") +: col("n") +:
+            (0 until 8).map(i => col(s"m$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some("WITH " + sigCtes("WHERE doc_id % 5 <> 0") + """
+SELECT doc_id, n, m0, m1, m2, m3, m4, m5, m6, m7
+FROM sigt ORDER BY doc_id""")),
+
+    // Update: the delta-proportional daily ingest against the cached
+    // bootstrap — the same contract as the composed query (new-batch
+    // pairs), declared separately so the stage has its own bench line.
+    Q("dedup_index_update",
+      (s, d) => graft.Scratch.withDir(s, "ndidx_upd") { root =>
+        val docs = Tables.documents(s, d).select("doc_id", "text")
+        DedupIndex.update(s, docs, bootstrapDir(s, d), s"$root/v2")
+          .pairs.filter(col("i") % 5 === 0 || col("j") % 5 === 0)
+          .orderBy("i", "j")
+      },
+      Some("WITH " + minhashCtes(
+        "AND (x.doc_id % 5 = 0 OR y.doc_id % 5 = 0)") + """
+SELECT i, j, jac FROM verified ORDER BY i, j""")),
+
+    // Compact: fold the two-batch lineage (bootstrap + update) into
+    // single rawpost/df batches. The served result is the compacted df
+    // table — summing the lineage must equal the from-scratch
+    // full-corpus document frequencies exactly.
+    Q("dedup_index_compact",
+      (s, d) => graft.Scratch.withDir(s, "ndidx_cmp") { root =>
+        DedupIndex.compact(s, fullStateDir(s, d), s"$root/v3")
+        s.read.parquet(s"$root/v3/df").orderBy("sh")
+      },
+      Some("WITH " + sigCtes("") + """
+SELECT sh, df FROM dfreq ORDER BY sh""")),
+
+    // Purge: takedown of every doc_id % 7 = 3 from the full-corpus
+    // state. The served result is the post-purge signature table,
+    // which must equal a from-scratch build over the survivors —
+    // including the downward df-cap flips a removal can cause.
+    Q("dedup_index_purge",
+      (s, d) => graft.Scratch.withDir(s, "ndidx_prg") { root =>
+        val tomb = Tables.documents(s, d).select("doc_id")
+          .filter(col("doc_id") % 7 === 3)
+        DedupIndex.purge(s, tomb, fullStateDir(s, d), s"$root/v4")
+        s.read.parquet(s"$root/v4/sig")
+          .select(col("doc_id") +: col("n") +:
+            (0 until 8).map(i => col(s"m$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some("WITH " + sigCtes("WHERE doc_id % 7 <> 3") + """
+SELECT doc_id, n, m0, m1, m2, m3, m4, m5, m6, m7
+FROM sigt ORDER BY doc_id""")),
 
     // SimHash near-dup: 32-bit signature, Hamming distance <= 6 within a
     // source block — banded candidate generation, all-pairs oracle

@@ -247,7 +247,7 @@ SELECT o_orderkey,
        CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
        date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_epoch0,
        o_orderdate + INTERVAL 10 DAY AS plus_10d,
-       date_trunc('month', o_orderdate) AS month_start,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
        CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow
 FROM orders WHERE o_orderkey % 40 = 0 ORDER BY o_orderkey""")),
 

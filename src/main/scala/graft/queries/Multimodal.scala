@@ -105,6 +105,12 @@ FROM (SELECT doc_id, text,
              CASE WHEN doc_id % 4 = 0 THEN 'image_jpeg'
                   WHEN doc_id % 4 = 1 THEN 'image_png'
                   WHEN doc_id % 4 = 2 THEN 'audio_riff'
+                  -- un-prefixed docs are sniffed too: the engine
+                  -- classifies by ACTUAL leading bytes, so a document
+                  -- whose text itself starts with a printable magic
+                  -- ('RIFF' is the only ASCII one) is that modality on
+                  -- both sides, not silently divergent
+                  WHEN text LIKE 'RIFF%' THEN 'audio_riff'
                   ELSE 'unknown' END AS modality
       FROM documents)
 GROUP BY modality ORDER BY modality"""))

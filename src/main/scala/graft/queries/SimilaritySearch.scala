@@ -321,7 +321,7 @@ SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm,
-             ${sqlBucket("v")} AS bkt
+             CAST(${sqlBucket("v")} AS BIGINT) AS bkt
       FROM e0),
 q AS (SELECT vec_id AS q_id, v, nrm, bkt FROM e WHERE vec_id < 10),
 c AS (SELECT vec_id AS c_id, v, nrm, bkt FROM e WHERE vec_id >= 10),
@@ -451,8 +451,12 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
+        // oracle-gated build: the DuckDB twin mirrors the single-Lloyd
+        // quantizer bit-for-bit, so pass it explicitly (the build
+        // default is the production avg quantizer)
         AnnIndex.build(s, train = emb,
-          vecs = emb.filter(col("vec_id") >= 10), stateDir = root)
+          vecs = emb.filter(col("vec_id") >= 10), stateDir = root,
+          quantizer = kmeansCents)
         AnnIndex.query(s, emb.filter(col("vec_id") < 10), root,
           topK = 5, nprobe = 2)
       },
@@ -478,7 +482,8 @@ SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
           .select(col("vec_id"), col("label"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
         AnnIndex.build(s, train = emb.drop("label"),
-          vecs = emb.filter(col("vec_id") >= 10), stateDir = root)
+          vecs = emb.filter(col("vec_id") >= 10), stateDir = root,
+          quantizer = kmeansCents) // bit-exact oracle twin below
         AnnIndex.query(s, emb.filter(col("vec_id") < 10).drop("label"), root,
           topK = 5, nprobe = 2, candidateFilter = Some(col("label") === 1))
       },

@@ -300,8 +300,12 @@ ORDER BY o_orderkey""")),
         def publish(df: DataFrame, v: Int, carry: Seq[String]): Unit = {
           val dataDir = s"$root/data_v$v"
           df.write.mode("overwrite").parquet(dataDir)
-          val mine = Files.list(Paths.get(dataDir)).iterator().asScala
-            .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+          // Files.list holds a directory handle until closed
+          val ls = Files.list(Paths.get(dataDir))
+          val mine =
+            try ls.iterator().asScala
+              .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+            finally ls.close()
           Files.write(Paths.get(s"$root/manifest_v$v.txt"),
             (carry ++ mine).mkString("\n").getBytes)
           Files.write(Paths.get(s"$root/_LATEST"), v.toString.getBytes)
@@ -371,7 +375,8 @@ ORDER BY snapshot""")),
           .orderBy("sink")
       },
       Some("""
-SELECT * FROM (VALUES ('good', 2, 3), ('quarantine', 1, 15))
+SELECT sink, CAST(n AS BIGINT) AS n, CAST(checksum AS BIGINT) AS checksum
+FROM (VALUES ('good', 2, 3), ('quarantine', 1, 15))
 AS t(sink, n, checksum) ORDER BY sink""")),
 
     // M2 column-existence probe — the schema-introspection twin of M1
@@ -545,6 +550,117 @@ SELECT key_col, count(*) AS n_keys, max(f) AS max_f,
        round(max(f) / (sum(f) / count(*)), 4) AS skew_ratio,
        round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS hot_share
 FROM f GROUP BY key_col ORDER BY key_col""")),
+
+    // S9 JSONL source — the lingua franca of LLM data pipelines: one
+    // JSON object per line. Explicit caller schema (schema inference at
+    // 100 TB is a full extra pass over the corpus — never), PERMISSIVE
+    // parse with malformed lines parked in the corrupt-record column
+    // (the JSON analog of the reference's CSV permissive ingest,
+    // S3_interact.py:78-96), quarantined rows excluded from the good
+    // stream. The fixture round-trips the region table through the
+    // native JSONL writer and plants two malformed lines (bad type /
+    // not JSON) in an extra part file the directory scan picks up.
+    Q("s9_jsonl_source",
+      (s, d) => graft.Scratch.withDir(s, "jsonl") { out =>
+        import org.apache.spark.sql.types._
+        val region = Tables.region(s, d)
+        region.write.mode("overwrite").json(s"$out/r")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/r/part-corrupt.json"),
+          ("{\"r_regionkey\": \"not_a_number\", \"r_name\": 7}\n" +
+            "this line is not json\n").getBytes("UTF-8"))
+        val schema = StructType(
+          region.schema.fields :+ StructField("_corrupt", StringType))
+        // same persist discipline as s4b: a plan that prunes the scan
+        // down to only the internal corrupt-record column is rejected
+        // by Spark, so parse once, then carve good rows from the block
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(s"$out/r").persist()
+        graft.Caching.releasing(s, parsed)(
+          parsed.filter(col("_corrupt").isNull)
+            .select(region.columns.map(col).toSeq: _*)
+            .orderBy("r_regionkey"))
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")),
+
+    // S9b multiline JSON — the other wire shape: one document whose
+    // record spans lines (an API response array, a config export).
+    // multiLine=true switches the reader from line-splittable to
+    // whole-file parse; at 100 TB that costs parallelism (one task per
+    // FILE, not per split), which is exactly why the flat JSONL form
+    // above is the default and this one is for small/medium side
+    // inputs — the trade is stated here because the option looks free.
+    Q("s9b_json_multiline",
+      (s, d) => graft.Scratch.withDir(s, "jsonml") { out =>
+        import org.apache.spark.sql.types._
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/doc.json"),
+          """[
+            |  {"id": 1,
+            |   "tag": "alpha"},
+            |  {"id": 2,
+            |   "tag": "beta"}
+            |]""".stripMargin.getBytes("UTF-8"))
+        val schema = StructType(Seq(
+          StructField("id", LongType), StructField("tag", StringType)))
+        s.read.schema(schema).option("multiLine", "true")
+          .json(s"$out/doc.json").orderBy("id")
+      },
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'alpha'),
+                                    (CAST(2 AS BIGINT), 'beta'))
+              AS t(id, tag) ORDER BY id""")),
+
+    // K10 partitioned JSONL sink + dead-letter split — the sink half of
+    // the JSONL story, composing k2's layout with k7's quarantine: good
+    // rows land as JSONL partitioned by status (each partition dir is
+    // independently line-splittable downstream), malformed input lines
+    // land raw in a JSONL dead-letter dir, and the read-back aggregates
+    // both sinks. Orders flow through the real writer/reader; the two
+    // planted corrupt lines make the quarantine leg non-empty.
+    Q("k10_jsonl_partitioned_sink",
+      (s, d) => graft.Scratch.withDir(s, "jsonlsink") { out =>
+        import org.apache.spark.sql.types._
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        orders.write.mode("overwrite").json(s"$out/in")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/in/part-corrupt.json"),
+          ("{\"o_orderkey\": \"NaN?\"}\n" + "garbage line\n").getBytes("UTF-8"))
+        val schema = StructType(
+          orders.schema.fields :+ StructField("_corrupt", StringType))
+        val parsed = s.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .json(s"$out/in").persist()
+        parsed.filter(col("_corrupt").isNull)
+          .select(orders.columns.map(col).toSeq: _*)
+          .write.mode("overwrite").partitionBy("o_orderstatus")
+          .json(s"$out/good")
+        parsed.filter(col("_corrupt").isNotNull)
+          .select(col("_corrupt").as("raw_line"))
+          .write.mode("overwrite").json(s"$out/deadletter")
+        parsed.unpersist(false)
+        val good = s.read.schema(orders.schema).json(s"$out/good")
+        val dead = s.read.json(s"$out/deadletter")
+        good.groupBy(col("o_orderstatus").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("checksum"))
+          .union(dead
+            .agg(count(lit(1)).as("n"),
+              sum(length(col("raw_line"))).cast("double").as("checksum"))
+            .select(lit("deadletter").as("bucket"), col("n"), col("checksum")))
+          .orderBy("bucket")
+      },
+      Some("""
+SELECT o_orderstatus AS bucket, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS checksum
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT 'deadletter', 2, 34.0  -- the two planted lines' total length
+ORDER BY bucket""")),
 
     // M1 table-existence probe (db_interact.py:99-113)
     Q("m1_table_exists",

@@ -42,12 +42,16 @@ object SqlShapes {
 
   /** Run one SQL text with the views registered; the oracle is the
     * same text with the sql_ prefix dropped (DuckDB sees the parquet
-    * files as bare table names).
+    * files as bare table names). The rewrite is scoped to the known
+    * view names only — a literal/alias that merely contains "sql_"
+    * must survive untouched (it is not a table reference).
     */
   private def q(name: String, text: String): Q =
     Q(name,
       (s: SparkSession, d: String) => { views(s, d); s.sql(text) },
-      Some(text.replaceAll("sql_", "")))
+      Some(text.replaceAll(
+        "\\bsql_(region|nation|customer|supplier|part|orders|lineitem)\\b",
+        "$1")))
 
   def qs: Seq[Q] = Seq(
 
@@ -129,10 +133,10 @@ object SqlShapes {
     // fact-fact join on the order key, then a tiny two-row aggregate.
     q("sql_ship_priority_class", """
       SELECT l_linestatus,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS high_line_count,
-             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                      THEN 1 ELSE 0 END) AS low_line_count
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       FROM sql_orders
       JOIN sql_lineitem ON o_orderkey = l_orderkey
       WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'

@@ -30,7 +30,10 @@ class AnnIndexPurgeSpec extends AnyFunSuite {
         .select(col("vec_id"), col("embedding"),
           expr("norm_f(embedding)").as("nrm"))
       val cands = emb.filter(col("vec_id") >= 10)
-      AnnIndex.build(spark, emb, cands, r1)
+      // deterministic quantizer: the purged≡rebuild equality below
+      // trains twice and needs bit-identical centroids both times
+      AnnIndex.build(spark, emb, cands, r1,
+        quantizer = SimilaritySearch.kmeansCents)
       // tombstones: one entire cell (the smallest) + one member of the
       // largest cell — exercises both the rewrite and the delete path
       val sizes = spark.read.parquet(s"$r1/vec").groupBy("cell")
@@ -64,7 +67,8 @@ class AnnIndexPurgeSpec extends AnyFunSuite {
       // Filter by the COLLECTED ids: the lazy `tomb` plan still roots
       // in r1's pre-purge files, which the purge just replaced.
       AnnIndex.build(spark, emb,
-        cands.filter(!col("vec_id").isInCollection(tombIds.toSeq)), r2)
+        cands.filter(!col("vec_id").isInCollection(tombIds.toSeq)), r2,
+        quantizer = SimilaritySearch.kmeansCents)
       val qs = emb.filter(col("vec_id") < 10)
       def run(root: String) =
         AnnIndex.query(spark, qs, root, topK = 5, nprobe = 2).collect()

@@ -55,7 +55,10 @@ class SimilaritySearchSpec extends AnyFunSuite {
       val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
         .select(col("vec_id"), col("embedding"),
           expr("norm_f(embedding)").as("nrm"))
-      AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root)
+      // oracle-exact quantizer: this test asserts equality against the
+      // inline multiprobe query, which trains with kmeansCents
+      AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root,
+        quantizer = SimilaritySearch.kmeansCents)
       // the IVF posting lists ARE partition directories
       val cellDirs = new java.io.File(s"$root/vec").listFiles()
         .filter(_.getName.startsWith("cell="))
@@ -88,9 +91,15 @@ class SimilaritySearchSpec extends AnyFunSuite {
       val cands = emb.filter(col("vec_id") >= 10)
       // incremental: build on the even half (quantizer trained on FULL
       // corpus both times so the cell geometry is identical), append odds
-      AnnIndex.build(spark, emb, cands.filter(col("vec_id") % 2 === 0), r1)
+      // the two independent trainings must yield bit-identical
+      // geometry for the equality below — use the deterministic
+      // single-Lloyd quantizer (the avg default is last-ulp
+      // partition-order-dependent across runs)
+      AnnIndex.build(spark, emb, cands.filter(col("vec_id") % 2 === 0), r1,
+        quantizer = SimilaritySearch.kmeansCents)
       AnnIndex.append(spark, cands.filter(col("vec_id") % 2 === 1), r1)
-      AnnIndex.build(spark, emb, cands, r2)
+      AnnIndex.build(spark, emb, cands, r2,
+        quantizer = SimilaritySearch.kmeansCents)
       val qs = emb.filter(col("vec_id") < 10)
       def run(root: String) =
         AnnIndex.query(spark, qs, root, topK = 5, nprobe = 2).collect()
@@ -136,8 +145,8 @@ class SimilaritySearchSpec extends AnyFunSuite {
       val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
         .select(col("vec_id"), col("embedding"),
           expr("norm_f(embedding)").as("nrm"))
-      AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root,
-        quantizer = e => SimilaritySearch.kmeansCentsAvg(e, iters = 3))
+      // no quantizer argument: the avg path IS the build default now
+      AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root)
       def pairs(nprobe: Int): Set[(Long, Long)] =
         AnnIndex.query(spark, emb.filter(col("vec_id") < 10), root,
           topK = 5, nprobe = nprobe).collect()
@@ -166,6 +175,25 @@ class SimilaritySearchSpec extends AnyFunSuite {
     val gt = pairs("simsearch_bruteforce_topk")
     val r = pairs("simsearch_pq_rerank").intersect(gt).size.toDouble / gt.size
     assert(r >= 0.40, s"PQ rerank recall@5 dropped to $r")
+  }
+
+  test("build enforces the maxCells cap so purge/compact driver lists stay bounded") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    val root = graft.Scratch.dir("annidx_cap")
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id"), col("embedding"),
+          expr("norm_f(embedding)").as("nrm"))
+      spark.conf.set(AnnIndex.MaxCellsKey, "2")
+      val e = intercept[IllegalArgumentException] {
+        AnnIndex.build(spark, emb, emb.filter(col("vec_id") >= 10), root)
+      }
+      assert(e.getMessage.contains(AnnIndex.MaxCellsKey))
+    } finally {
+      spark.conf.unset(AnnIndex.MaxCellsKey)
+      graft.Scratch.delete(root)
+    }
   }
 
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {

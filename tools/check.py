@@ -12,6 +12,8 @@ import sys
 
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,6 +22,35 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     # driver sorts columns by name before hashing
     return df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
+
+
+def norm_type(t: pa.DataType) -> str:
+    """Collapse representation-only arrow differences (large_string vs
+    string, dictionary encoding) but keep semantic ones (int64 vs
+    decimal128) — the driver's hash is typed, so those must be red."""
+    if pa.types.is_dictionary(t):
+        t = t.value_type
+    if pa.types.is_large_string(t) or pa.types.is_string(t):
+        return "string"
+    if pa.types.is_large_binary(t) or pa.types.is_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"  # unit/tz are writer artifacts, values compared below
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return f"list<{norm_type(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{norm_type(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    return str(t)
+
+
+def cmp_types(spark_tbl: pa.Table, oracle_tbl: pa.Table):
+    st = {f.name: norm_type(f.type) for f in spark_tbl.schema}
+    ot = {f.name: norm_type(f.type) for f in oracle_tbl.schema}
+    for c in sorted(set(st) & set(ot)):
+        if st[c] != ot[c]:
+            return f"TYPE col={c} spark={st[c]} oracle={ot[c]}"
+    return None
 
 
 def cmp_frames(name, spark_df, oracle_df):
@@ -58,18 +89,21 @@ def main(sf_dir, out_dir):
         if only and name not in only:
             continue
         try:
-            spark_df = pd.read_parquet(f"{out_dir}/{name}")
+            spark_tbl = pq.read_table(f"{out_dir}/{name}")
+            spark_df = spark_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: no spark output ({e})")
             bad += 1
             continue
         try:
-            oracle_df = con.sql(sql).df()
+            oracle_tbl = con.sql(sql).arrow()
+            oracle_df = oracle_tbl.to_pandas()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             bad += 1
             continue
-        err = cmp_frames(name, spark_df, oracle_df)
+        err = cmp_types(spark_tbl, oracle_tbl) or \
+            cmp_frames(name, spark_df, oracle_df)
         if err:
             print(f"FAIL {name}: {err}")
             bad += 1
