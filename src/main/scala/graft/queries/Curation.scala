@@ -625,6 +625,45 @@ SELECT event_type, count(*) AS n,
        CAST(sum(CAST(least(greatest(value, p05), p95) AS DECIMAL(18,2)))
             AS DOUBLE) AS clamped_sum
 FROM events JOIN thr USING (event_type)
-GROUP BY event_type ORDER BY event_type"""))
+GROUP BY event_type ORDER BY event_type""")),
+
+    // Overlapping document chunking — the context-window prep step
+    // (RAG indexing, long-doc training): each document splits into
+    // 50-token chunks on a 40-token stride (10 tokens of overlap so no
+    // boundary loses context). Pure map-side fan-out: tokenize once,
+    // explode the stride grid, slice — no shuffle at all until the
+    // presentation sort, so at 100 TB this is a single pass that
+    // parallelizes per input split. Chunks are identified by
+    // (doc_id, chunk_idx) and content-addressed with the portable
+    // rolling hash, ready to feed the dedup/embedding stages.
+    Q("curation_chunk_overlap",
+      (s, d) => {
+        TextHash.register(s)
+        val C = 50
+        val S = 40
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n_tokens", size(col("toks")).cast("long"))
+          .withColumn("start",
+            explode(sequence(lit(0),
+              greatest(col("n_tokens") - 1, lit(0L)).cast("int"), lit(S))))
+          .withColumn("chunk",
+            array_join(slice(col("toks"), col("start") + 1, lit(C)), " "))
+          .select(col("doc_id"),
+            expr(s"start div $S").cast("long").as("chunk_idx"),
+            least(col("n_tokens") - col("start"), lit(C.toLong))
+              .as("chunk_tokens"),
+            expr("tok_hash(chunk)").as("chunk_hash"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+             unnest(range(0, greatest(len(toks), 1), 40)) AS start
+      FROM t)
+SELECT doc_id, (start // 40)::BIGINT AS chunk_idx,
+       least(n - start, 50)::BIGINT AS chunk_tokens,
+       ${TextHash.sqlTokenHash("array_to_string(toks[start+1:start+50], ' ')")} AS chunk_hash
+FROM x ORDER BY doc_id, chunk_idx"""))
   )
 }

@@ -159,6 +159,48 @@ estim AS (
   FROM probes JOIN sketch USING (j, bucket) GROUP BY key),
 exact AS (SELECT key, count(*) AS exact_cnt FROM items GROUP BY key)
 SELECT key, cms_est, exact_cnt, cms_est - exact_cnt AS overcount
-FROM estim JOIN exact USING (key) ORDER BY key"""))
+FROM estim JOIN exact USING (key) ORDER BY key""")),
+
+    // Quantiles over a deterministic hash sample — the scale answer to
+    // "exact percentiles need a per-group sort of everything" (a13):
+    // keep rows whose portable 60-bit key hash lands under 20%, take
+    // DISCRETE quantiles of the sample. The sample predicate is
+    // row-local and engine-portable, so the sketch is trivially
+    // MERGEABLE (sample(A ∪ B) = sample(A) ∪ sample(B) — a row-level
+    // filter commutes with union, unlike a quantile) and stable under
+    // resharding/retries; at 100 TB the sort shrinks 5×, and the rate
+    // dials accuracy against cost. Estimates are oracle-hash-checked
+    // exactly, like the KMV/CMS family above.
+    Q("a19_sampled_quantiles",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)
+        val wAll = Window.partitionBy("event_type")
+        Tables.events(s, d)
+          .filter(pmod(h60(col("event_id")), lit(100L)) < 20)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .groupBy("event_type")
+          .agg(max("n").as("n_sample"),
+            min(when(col("rn") === ceil(col("n") * 0.5), col("value"))).as("p50"),
+            min(when(col("rn") === ceil(col("n") * 0.9), col("value"))).as("p90"),
+            max("value").as("p100"))
+          .orderBy("event_type")
+      },
+      Some(s"""
+WITH smp AS (
+  SELECT event_type, event_id, value FROM events
+  WHERE ${h60Sql("event_id")} % 100 < 20),
+r AS (SELECT event_type, value,
+        row_number() OVER (PARTITION BY event_type
+                           ORDER BY value ASC, event_id ASC) AS rn,
+        count(*) OVER (PARTITION BY event_type) AS n
+      FROM smp)
+SELECT event_type, max(n) AS n_sample,
+       min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
+       min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
+       max(value) AS p100
+FROM r GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -276,6 +276,77 @@ j AS (SELECT t.doc_id, v.tok IS NOT NULL AS in_vocab
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
        CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
        round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
-FROM j GROUP BY doc_id ORDER BY doc_id"""))
+FROM j GROUP BY doc_id ORDER BY doc_id""")),
+
+    // BM25 keyword retrieval — the lexical-search staple (corpus
+    // exploration, search-based decontamination, hybrid retrieval next
+    // to the ANN family). Okapi BM25 with k1=1.2, b=0.75 for a fixed
+    // 3-term query: per-doc term frequencies and length are map-side
+    // column arithmetic; the corpus statistics (N, df per term, Σdl)
+    // are ONE 1-row aggregate broadcast back — so the whole scoring
+    // pass is a single scan plus a 1-row cross join, and the top-k is
+    // TakeOrderedAndProject (k rows cross the final stage, never the
+    // corpus). The per-term score contributions are summed in a FIXED
+    // written order (t1+t2+t3, not an aggregate) so the double sum is
+    // engine-exact; ln() is the one libm call, absorbed by round(…,4).
+    Q("text_bm25_topk",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        def tf(t: String) =
+          size(filter(toks, x => x === t)).cast("long")
+        val base = Tables.documents(s, d)
+          .select(col("doc_id"), size(toks).cast("long").as("dl"),
+            tf("vector").as("f1"), tf("stream").as("f2"),
+            tf("merge").as("f3"))
+        val stats = base.agg(
+          count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+          sum((col("f1") > 0).cast("long")).as("df1"),
+          sum((col("f2") > 0).cast("long")).as("df2"),
+          sum((col("f3") > 0).cast("long")).as("df3"))
+        def idf(dfc: Column) =
+          log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+        def wgt(f: Column) =
+          f.cast("double") * lit(2.2) /
+            (f.cast("double") +
+              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+        val scored = base.crossJoin(broadcast(stats))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("score", round(
+            idf(col("df1")) * wgt(col("f1")) +
+              idf(col("df2")) * wgt(col("f2")) +
+              idf(col("df3")) * wgt(col("f3")), 4))
+          .select("doc_id", "score")
+          .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .orderBy("rn")
+      },
+      Some("""
+WITH b AS (
+  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
+    len(list_filter(string_split(text, ' '), t -> t = 'vector'))::BIGINT AS f1,
+    len(list_filter(string_split(text, ' '), t -> t = 'stream'))::BIGINT AS f2,
+    len(list_filter(string_split(text, ' '), t -> t = 'merge'))::BIGINT AS f3
+  FROM documents),
+st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+              CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+              CAST(sum(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+              CAST(sum(CASE WHEN f3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+       FROM b),
+sc AS (
+  SELECT doc_id, round(
+      ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0)
+        * (f1 * 2.2 / (f1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+    + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0)
+        * (f2 * 2.2 / (f2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+    + ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0)
+        * (f3 * 2.2 / (f3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))), 4) AS score
+  FROM b CROSS JOIN st)
+SELECT doc_id, score, rn FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc)
+WHERE rn <= 10 ORDER BY rn"""))
   )
 }

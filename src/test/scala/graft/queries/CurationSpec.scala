@@ -195,4 +195,39 @@ class CurationSpec extends AnyFunSuite {
     assert(flagged == brute,
       s"flagged=${flagged.size} brute=${brute.size} diff=${(flagged.keySet diff brute.keySet) ++ (brute.keySet diff flagged.keySet)}")
   }
+  test("chunk_overlap covers every token: stride grid, overlap, exact tail") {
+    import org.apache.spark.sql.functions._
+    val chunks = Registry.queries("curation_chunk_overlap")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(chunks.keySet == docs.keySet, "every document must chunk")
+    chunks.foreach { case (doc, cs) =>
+      val n = docs(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk_idx is the dense stride grid 0..ceil(n/40)-1
+      assert(sorted.map(_._2).toSeq == (0L until ((n + 39) / 40)).toSeq,
+        s"doc $doc: chunk grid broken")
+      sorted.foreach { case (_, idx, len) =>
+        val start = idx * 40
+        assert(len == math.min(n - start, 50L),
+          s"doc $doc chunk $idx: len $len != min(${n - start}, 50)")
+      }
+      // coverage: last chunk reaches the last token; consecutive chunks
+      // overlap by 10 tokens whenever the doc is long enough
+      val (_, lastIdx, lastLen) = sorted.last
+      assert(lastIdx * 40 + lastLen == n, s"doc $doc: tail token uncovered")
+      sorted.sliding(2).foreach {
+        case Array((_, i1, l1), (_, i2, _)) =>
+          val overlap = (i1 * 40 + l1) - i2 * 40
+          assert(overlap == l1 - 40 && overlap > 0 && overlap <= 10,
+            s"doc $doc: chunks $i1/$i2 overlap $overlap (len $l1)")
+        case _ => ()
+      }
+    }
+  }
+
 }
