@@ -244,6 +244,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("bm25: corpus stats broadcast back, top-k is TakeOrdered, one scan family") {
+    val p = plan("text_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered (k rows cross), not a full sort:\n${p.take(2000)}")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row stats must broadcast, not shuffle:\n${p.take(2000)}")
+  }
+
+  test("chunk_overlap is map-only: no aggregation or join shuffle before the presentation sort") {
+    val p = plan("curation_chunk_overlap")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking must not shuffle (tokenize+explode+slice are row-local):\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("runtime bloom filter from a filtered dim prunes the fact scan") {
+    // At 100 TB the biggest win after static pushdown is RUNTIME
+    // filtering: a selective dim predicate becomes a bloom filter
+    // applied to the fact scan before the join shuffle. Spark injects
+    // it above size thresholds; assert the machinery engages on this
+    // join shape so a conf/plan regression can't silently drop it.
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must be UNDER its threshold, application side's
+      // scan OVER its; fixture tables are tiny, so open both gates
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val orders = graft.Tables.orders(s, TestSpark.Sf001)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = graft.Tables.lineitem(s, TestSpark.Sf001)
+        .select("l_orderkey", "l_quantity")
+      val q = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected:\n${p.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   test("partitioned parquet reads prune partitions from an equality filter") {
     import org.apache.spark.sql.functions._
     val spark2 = spark
