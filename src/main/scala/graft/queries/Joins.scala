@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -392,7 +393,64 @@ SELECT probe_id, probe_name, p_partkey, p_name,
        CAST(levenshtein(probe_name, p_name) AS BIGINT) AS lev
 FROM probes JOIN parts ON substr(probe_name, 1, 2) = substr(p_name, 1, 2)
 WHERE levenshtein(probe_name, p_name) <= 1
-ORDER BY probe_id, p_partkey"""))
+ORDER BY probe_id, p_partkey""")),
+
+    // J17 full-outer reconciliation — the two-ledger audit shape: the
+    // same per-customer totals derived from two systems (ledger B is
+    // missing every 97th order — the simulated sync gap), FULL OUTER
+    // joined and classified match / left_only / right_only / mismatch.
+    // Exact DECIMAL totals make equality well-defined; both sides
+    // hash-partition on the join key (same-key shuffles, AQE-coalesced)
+    // and the classification is row-local — the shape scales as one
+    // co-partitioned join whatever the ledger sizes.
+    Q("j17_full_outer_reconcile",
+      (s, d) => {
+        def ledger(src: DataFrame) = src
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"),
+            count(lit(1)).as("n_orders"))
+        val orders = Tables.orders(s, d)
+        val a = ledger(orders)
+          .select(col("o_custkey").as("cust_a"), col("total").as("total_a"),
+            col("n_orders").as("n_a"))
+        val b = ledger(orders.filter(col("o_orderkey") % 97 =!= 0))
+          .select(col("o_custkey").as("cust_b"), col("total").as("total_b"),
+            col("n_orders").as("n_b"))
+        a.join(b, col("cust_a") === col("cust_b"), "full_outer")
+          .select(
+            coalesce(col("cust_a"), col("cust_b")).as("custkey"),
+            when(col("cust_b").isNull, "left_only")
+              .when(col("cust_a").isNull, "right_only")
+              .when(col("total_a") === col("total_b"), "match")
+              .otherwise("mismatch").as("status"),
+            col("total_a"), col("total_b"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n"),
+            // stay DECIMAL through the sum (order-independent), one
+            // cast at the end — the repo's money convention
+            sum(coalesce(col("total_a"), lit(0).cast("decimal(18,2)")))
+              .cast("double").as("sum_a"),
+            sum(coalesce(col("total_b"), lit(0).cast("decimal(18,2)")))
+              .cast("double").as("sum_b"))
+          .orderBy("status")
+      },
+      Some("""
+WITH a AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+                  count(*) AS n FROM orders GROUP BY o_custkey),
+b AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total,
+             count(*) AS n FROM orders WHERE o_orderkey % 97 <> 0
+      GROUP BY o_custkey),
+j AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+             CASE WHEN b.o_custkey IS NULL THEN 'left_only'
+                  WHEN a.o_custkey IS NULL THEN 'right_only'
+                  WHEN a.total = b.total THEN 'match'
+                  ELSE 'mismatch' END AS status,
+             a.total AS total_a, b.total AS total_b
+      FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey)
+SELECT status, count(*) AS n,
+       CAST(sum(coalesce(total_a, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_a,
+       CAST(sum(coalesce(total_b, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_b
+FROM j GROUP BY status ORDER BY status"""))
   )
 
   /** J11's body: catalog-managed cleanup (DROP the entries), then

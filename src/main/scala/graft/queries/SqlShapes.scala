@@ -355,6 +355,24 @@ WITH RECURSIVE anc(node, cur, depth) AS (
   UNION ALL
   SELECT node, cur // 2, depth + 1 FROM anc WHERE cur > 1)
 SELECT node, max(depth) AS depth_to_root
-FROM anc GROUP BY node ORDER BY node"""))
+FROM anc GROUP BY node ORDER BY node""")),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT — per-customer
+    // top-1 order, the "for each row, run this parameterized query"
+    // surface. Catalyst decorrelates the lateral into a join + ranked
+    // window instead of N inner executions — the difference between a
+    // plan and a loop at 100 TB; the slice predicate keeps the result
+    // review-sized while every customer still exercises the rewrite.
+    q("sql_lateral_top_order", """
+      SELECT c_custkey, o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS top_price
+      FROM sql_customer,
+      LATERAL (SELECT o_orderkey, o_totalprice
+               FROM sql_orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC
+               LIMIT 1)
+      WHERE c_custkey % 50 = 0
+      ORDER BY c_custkey""")
   )
 }
