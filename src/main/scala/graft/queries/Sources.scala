@@ -612,6 +612,23 @@ FROM f GROUP BY key_col ORDER BY key_col""")),
                                     (CAST(2 AS BIGINT), 'beta'))
               AS t(id, tag) ORDER BY id""")),
 
+    // S9c gzip-compressed JSONL — how the format actually arrives from
+    // crawlers/exports. The reader decodes transparently; the caveat
+    // this query exists to record: a .json.gz file is NOT splittable —
+    // one file = one task regardless of size — so at 100 TB the
+    // ingest contract is "many medium gzip files" (or zstd/bzip2 for
+    // splittable frames), never one giant archive. Same schema and
+    // quarantine discipline as s9.
+    Q("s9c_jsonl_gzip",
+      (s, d) => graft.Scratch.withDir(s, "jsonlgz") { out =>
+        val nation = Tables.nation(s, d)
+        nation.write.mode("overwrite")
+          .option("compression", "gzip").json(s"$out/n")
+        s.read.schema(nation.schema).json(s"$out/n")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     // K10 partitioned JSONL sink + dead-letter split — the sink half of
     // the JSONL story, composing k2's layout with k7's quarantine: good
     // rows land as JSONL partitioned by status (each partition dir is

@@ -388,6 +388,52 @@ SELECT user_id,
        strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
        count(*) AS n_events,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start"""))
+FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start""")),
+
+    // Multi-sink fanout inside ONE streaming query — the router shape:
+    // each micro-batch persists once and writes to two durable sinks
+    // (purchases to the revenue path, everything else to the activity
+    // path) inside foreachBatch, so the split shares a single source
+    // read and a single checkpoint; both sinks advance exactly-once
+    // together (a crash between writes replays the batch into BOTH —
+    // append-only parquet + the idempotent file-log make that safe to
+    // re-run at the fixture's AvailableNow cadence). The oracle is the
+    // same routing stated over the batch table.
+    Q("st9_multi_sink_fanout",
+      (s, d) => graft.Scratch.withDir(s, "stfan") { root =>
+        copyEvents(d, s"$root/in", "a.parquet")
+        val q = EventsStream.readEvents(s, s"$root/in")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.persist()
+            batch.filter(col("event_type") === "purchase")
+              .write.mode("append").parquet(s"$root/revenue")
+            batch.filter(col("event_type") =!= "purchase")
+              .write.mode("append").parquet(s"$root/activity")
+            batch.unpersist(false)
+            ()
+          }
+          .option("checkpointLocation", s"$root/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        def summarize(tag: String, dir: String) =
+          s.read.parquet(dir)
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+            .select(lit(tag).as("sink"), col("n"), col("total"))
+        summarize("activity", s"$root/activity")
+          .union(summarize("revenue", s"$root/revenue"))
+          .orderBy("sink")
+      },
+      Some("""
+SELECT 'activity' AS sink, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events WHERE event_type <> 'purchase'
+UNION ALL
+SELECT 'revenue', count(*),
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events WHERE event_type = 'purchase'
+ORDER BY sink"""))
   )
 }
