@@ -551,6 +551,56 @@ SELECT key_col, count(*) AS n_keys, max(f) AS max_f,
        round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS hot_share
 FROM f GROUP BY key_col ORDER BY key_col""")),
 
+    // S10 ORC source/sink — the other columnar warehouse format
+    // (closing a marked-absent row in SURVEY §2.1's ∅ list; Avro stays
+    // absent — its SQL connector jar is not in this distribution). The
+    // ORC reader shares parquet's scan machinery: vectorized batches,
+    // predicate pushdown, column pruning — the roundtrip plus the
+    // pushed filter prove the format is a first-class citizen, not a
+    // compatibility shim.
+    Q("s10_orc_roundtrip",
+      (s, d) => graft.Scratch.withDir(s, "orc") { out =>
+        Tables.part(s, d).write.mode("overwrite").orc(s"$out/part")
+        s.read.orc(s"$out/part")
+          .filter(col("p_partkey") % 2 === 0)
+          .orderBy("p_partkey")
+      },
+      Some("SELECT * FROM part WHERE p_partkey % 2 = 0 ORDER BY p_partkey")),
+
+    // K11 dynamic partition overwrite — the daily-restate sink: rewrite
+    // ONLY the partitions the new data touches (here: double the F
+    // partition's totals), leaving every other partition's files
+    // untouched. Static overwrite mode would have dropped the whole
+    // table first — the classic footgun this conf exists to avoid; at
+    // 100 TB restating one day must never rewrite the year.
+    Q("k11_dynamic_partition_overwrite",
+      (s, d) => graft.Scratch.withDir(s, "dynpo") { out =>
+        val orders = Tables.orders(s, d)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        orders.write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(s"$out/t")
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try orders.filter(col("o_orderstatus") === "F")
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(s"$out/t")
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        s.catalog.refreshByPath(s"$out/t")
+        s.read.parquet(s"$out/t")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+              .as("total"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+SELECT o_orderstatus, count(*) AS n,
+       CAST(sum(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+                          ELSE o_totalprice END AS DECIMAL(18,2)))
+            AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     // S9 JSONL source — the lingua franca of LLM data pipelines: one
     // JSON object per line. Explicit caller schema (schema inference at
     // 100 TB is a full extra pass over the corpus — never), PERMISSIVE
