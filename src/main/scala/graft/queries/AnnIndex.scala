@@ -76,8 +76,13 @@ object AnnIndex {
       .write.mode("overwrite").parquet(s"$stateDir/cent")
     val cents = s.read.parquet(s"$stateDir/cent")
     val ncells = cents.count()
-    val cap = s.conf.getOption(MaxCellsKey).map(_.trim.toLong)
-      .getOrElse(DefaultMaxCells)
+    val cap = s.conf.getOption(MaxCellsKey) match {
+      case None => DefaultMaxCells
+      case Some(v) => scala.util.Try(v.trim.toLong).getOrElse(
+        throw new IllegalArgumentException(
+          s"AnnIndex: $MaxCellsKey must be a cell count in plain digits, " +
+            s"got '$v' (unset the conf for the default $DefaultMaxCells)"))
+    }
     require(ncells <= cap,
       s"AnnIndex: quantizer produced $ncells cells > $MaxCellsKey=$cap; " +
         "driver-side cell lists (purge/compact) are O(cells) — use a " +

@@ -98,4 +98,39 @@ class SketchSpec extends AnyFunSuite {
       assert(mass <= nToks, s"doc ${r.getAs[Long]("doc_id")}: mass $mass > doc length $nToks")
     }
   }
+  test("native Datasketches HLL: near-exact here, and per-group union == global sketch") {
+    // the production path for distinct counts at 100 TB is Spark's
+    // built-in hll_sketch_agg / hll_union_agg (Apache Datasketches) —
+    // not oracle-hashable (DuckDB's HLL differs), so the contract is
+    // spec'd instead: estimate accuracy, and the merge law that makes
+    // the sketch shardable (inserting the same values under any
+    // grouping fills the same registers, so unioning per-group
+    // sketches must reproduce the global estimate exactly)
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, TestSpark.Sf001)
+    val est = ev.agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))"))
+      .head().getLong(0)
+    val exact = ev.select("user_id").distinct().count()
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"HLL estimate $est vs exact $exact drifted beyond 5%")
+    val merged = ev.groupBy("event_type")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head().getLong(0)
+    assert(merged == est,
+      s"union of per-group sketches ($merged) != global sketch ($est)")
+  }
+
+  test("native approx_percentile brackets the exact discrete percentile") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.events(spark, TestSpark.Sf001)
+    val Array(lo, hi) = ev
+      .agg(expr("approx_percentile(value, 0.5, 1000)"),
+        expr("percentile(value, 0.5)"))
+      .head().toSeq.map(_.toString.toDouble).toArray
+    // accuracy=1000 on this cardinality: approx must land within 2%
+    assert(math.abs(lo - hi) <= math.abs(hi) * 0.02 + 1e-9,
+      s"approx_percentile $lo vs exact $hi")
+  }
+
 }
