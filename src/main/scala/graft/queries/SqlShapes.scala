@@ -357,6 +357,17 @@ WITH RECURSIVE anc(node, cur, depth) AS (
 SELECT node, max(depth) AS depth_to_root
 FROM anc GROUP BY node ORDER BY node""")),
 
+    // GROUP BY ALL — the modern-SQL ergonomic both engines share:
+    // every non-aggregate select item becomes a grouping key, so a
+    // report query can't silently drop a dimension from the GROUP BY.
+    q("sql_group_by_all", """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM sql_orders
+      GROUP BY ALL
+      ORDER BY o_orderstatus, o_orderpriority"""),
+
     // LATERAL correlated subquery with ORDER BY + LIMIT — per-customer
     // top-1 order, the "for each row, run this parameterized query"
     // surface. Catalyst decorrelates the lateral into a join + ranked
