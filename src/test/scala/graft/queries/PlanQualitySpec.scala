@@ -259,6 +259,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("lateral top-1 subquery decorrelates to a ranked join, not per-row execution") {
+    val p = plan("sql_lateral_top_order")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"lateral stayed a nested loop:\n${p.take(2500)}")
+    assert(p.contains("Window") || p.contains("TakeOrdered"),
+      s"expected a ranked decorrelation:\n${p.take(2500)}")
+  }
+
   test("runtime bloom filter from a filtered dim prunes the fact scan") {
     // At 100 TB the biggest win after static pushdown is RUNTIME
     // filtering: a selective dim predicate becomes a bloom filter
