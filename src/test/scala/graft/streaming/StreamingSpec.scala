@@ -198,4 +198,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
     assert(streamed.count() > 0)
   }
+  test("RocksDB state store backend reproduces the default provider's results exactly") {
+    // On a cluster the state store is RocksDB (bounded executor memory,
+    // incremental checkpointing) — the HDFS-backed default used
+    // everywhere else in this suite is the local-mode convenience. The
+    // backend must be a pure implementation detail: the same chained
+    // dedup -> windowed-agg drain under the RocksDB provider has to
+    // produce byte-identical results.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    def drain(tag: String): Seq[(String, String, Long, Double)] = {
+      val in = tmpDir(s"rocks_in_$tag"); stageEvents(in)
+      val ckpt = tmpDir(s"rocks_ckpt_$tag")
+      EventsStream.drainToMemory(
+        EventsStream.tumblingAggOn(EventsStream.dedupStream(
+          EventsStream.readEvents(spark, in.toString))),
+        s"t_rocks_$tag", ckpt.toString, OutputMode.Append())
+      spark.table(s"t_rocks_$tag").orderBy("win_start", "event_type")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    }
+    val default = drain("default")
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = drain("rocksdb")
+      assert(rocks == default,
+        s"RocksDB backend diverged: ${rocks.size} vs ${default.size} rows")
+      assert(rocks.nonEmpty)
+    } finally prev match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
 }
