@@ -121,6 +121,12 @@ object Bench {
 
     val qs = merged.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // current pass's raw times ride along in the FULL artifact so a
+    // stale min can always be compared against the latest measurement
+    // (a query edited mid-round without changing the declared set keeps
+    // its old min; queries_pass is where a new slowness shows)
+    val qsPass = results.map { case (k, v) => s"\"" + k + "\":" + r3c(v) }
+      .mkString("{", ",", "}")
     val succeededMin = merged.values.filter(_ >= 0)
     val total = if (succeededMin.nonEmpty) succeededMin.sum else 0.0
     val succeededCur = results.values.filter(_ >= 0)
@@ -129,7 +135,7 @@ object Bench {
     val canaryJson =
       s""""canary_pre_s":${r3c(canaryPre)},"canary_post_s":${r3c(canaryPost)}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"pass_value":${r3c(passTotal)},"queries":$qs,$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"pass_value":${r3c(passTotal)},"queries":$qs,"queries_pass":$qsPass,$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
     // Full line first: goes to the file (and scrollback) for anyone who
     // wants every query.
     println(line)
