@@ -113,6 +113,83 @@ FROM (SELECT doc_id, text,
                   WHEN text LIKE 'RIFF%' THEN 'audio_riff'
                   ELSE 'unknown' END AS modality
       FROM documents)
-GROUP BY modality ORDER BY modality"""))
+GROUP BY modality ORDER BY modality""")),
+
+    // REAL container decode, zero external libs: a byte-exact RIFF/WAV
+    // PCM16 writer AND parser built from SQL byte arithmetic
+    // (hex/unhex/substring/shiftright — all codegen'd). Each doc
+    // synthesizes a valid mono 8 kHz 16-bit WAV (44-byte canonical
+    // header + little-endian PCM derived from doc_id), then the
+    // ENGINE-SIDE result is computed only by PARSING the bytes back:
+    // header fields validated, data chunk length read from offset 41,
+    // each sample re-assembled from its two LE bytes and sign-extended,
+    // then aggregated. The oracle never sees bytes — it computes the
+    // same statistics from the generator formula — so any parser bug
+    // (endianness, offset, sign) breaks the hash. This upgrades the
+    // multimodal story from "decode stubbed" to "containers without
+    // library codecs (RIFF/WAV here) decode for real, in-plan"; only
+    // lib-dependent codecs (JPEG/H.264) remain behind DecodeStub. At
+    // 100 TB the whole pipeline is map-only: synthesize/scan, explode
+    // samples, partial-aggregate per doc — no shuffle beyond the
+    // per-doc combine.
+    Q("mm_wav_pcm_decode",
+      (s, d) => {
+        // unsigned LE bytes of `v` (SQL expr string), little-endian
+        def le(v: String, nBytes: Int): String = {
+          val bytes = (0 until nBytes).map(i =>
+            s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
+          s"unhex(concat(${bytes.mkString(", ")}))"
+        }
+        val n = "(64 + pmod(doc_id, 64))" // samples per doc
+        val sample = // signed int16 sample i as unsigned 0..65535
+          "pmod(pmod(doc_id * 31 + i * 17, 2048) - 1024, 65536)"
+        val wav = s"""concat(
+          unhex('52494646'), ${le(s"36 + 2 * $n", 4)}, unhex('57415645'),
+          unhex('666D7420'), ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+          ${le("8000", 4)}, ${le("16000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+          unhex('64617461'), ${le(s"2 * $n", 4)},
+          unhex(array_join(transform(sequence(0, $n - 1),
+            i -> concat(lpad(hex($sample & 255), 2, '0'),
+                        lpad(hex(shiftright($sample, 8) & 255), 2, '0'))), '')))"""
+        // parse-side: byte at 1-based pos, and LE integers from bytes
+        def b(pos: String) =
+          s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
+        def leRead(pos: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"${b(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(wav).as("media"))
+          // header fields come ONLY from the bytes
+          .withColumn("fmt_ok",
+            expr("decode(substring(media, 1, 4), 'UTF-8') = 'RIFF'") &&
+              expr("decode(substring(media, 9, 4), 'UTF-8') = 'WAVE'") &&
+              expr("decode(substring(media, 37, 4), 'UTF-8') = 'data'") &&
+              expr(s"${leRead("21", 2)} = 1") && // PCM
+              expr(s"${leRead("23", 2)} = 1") && // mono
+              expr(s"${leRead("5", 4)} = 36 + ${leRead("41", 4)}"))
+          .withColumn("sample_rate", expr(leRead("25", 4)))
+          .withColumn("bits", expr(leRead("35", 2)))
+          .withColumn("n_samples", expr(s"${leRead("41", 4)} div 2"))
+          .withColumn("i", explode(expr("sequence(0, n_samples - 1)")))
+          .withColumn("u", expr(leRead("45 + 2 * i", 2)))
+          .withColumn("smp", expr("if(u > 32767, u - 65536, u)"))
+          .groupBy("doc_id", "fmt_ok", "sample_rate", "bits", "n_samples")
+          .agg(min("smp").as("min_s"), max("smp").as("max_s"),
+            sum("smp").as("sum_s"),
+            sum(expr("smp * smp")).as("sum_sq"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+              WHERE doc_id < 100),
+smp AS (SELECT doc_id, n,
+               ((doc_id * 31 + i * 17) % 2048) - 1024 AS s
+        FROM base, UNNEST(range(0, n)) AS t(i))
+SELECT doc_id, true AS fmt_ok,
+       CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       min(s) AS min_s, max(s) AS max_s,
+       CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
+FROM smp GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
