@@ -190,6 +190,91 @@ SELECT doc_id, true AS fmt_ok,
        CAST(max(n) AS BIGINT) AS n_samples,
        min(s) AS min_s, max(s) AS max_s,
        CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
-FROM smp GROUP BY doc_id ORDER BY doc_id"""))
+FROM smp GROUP BY doc_id ORDER BY doc_id""")),
+
+    // The image twin of the WAV decode: uncompressed 24-bit BMP written
+    // and parsed in pure SQL byte arithmetic. BMP's two traps make it a
+    // real parser test: pixel rows are stored BOTTOM-UP and padded to
+    // 4-byte boundaries, and the result includes a row-weighted channel
+    // sum (Σ (y+1)·red with y the TOP-DOWN image row), so a parser that
+    // forgets the vertical flip or uses a 3·w stride instead of the
+    // padded one breaks the hash. The oracle computes from the pixel
+    // formula directly — it never sees bytes. Map-only like the WAV
+    // path; only lib-dependent codecs (JPEG etc.) remain stubbed.
+    Q("mm_bmp_decode",
+      (s, d) => {
+        def le(v: String, nBytes: Int): String = {
+          val bytes = (0 until nBytes).map(i =>
+            s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
+          s"unhex(concat(${bytes.mkString(", ")}))"
+        }
+        val w = "(4 + pmod(doc_id, 5))"
+        val h = "(3 + pmod(doc_id, 4))"
+        val rowSize = s"(((3 * $w + 3) div 4) * 4)"
+        val dataSize = s"($rowSize * $h)"
+        // channel value at image column x, STORED row ry (image row
+        // y = h - 1 - ry); c = 0 (blue), 1 (green), 2 (red)
+        def px(c: Int): String =
+          s"pmod(doc_id * 7 + x * 13 + ($h - 1 - ry) * 29 + ${c * 97}, 256)"
+        // one stored row: w pixels of BGR then zero padding to rowSize
+        val rowHex =
+          s"""concat(array_join(transform(sequence(0, $w - 1),
+                x -> concat(lpad(hex(${px(0)}), 2, '0'),
+                            lpad(hex(${px(1)}), 2, '0'),
+                            lpad(hex(${px(2)}), 2, '0'))), ''),
+              repeat('00', $rowSize - 3 * $w))"""
+        val bmp = s"""concat(
+          unhex('424D'), ${le(s"54 + $dataSize", 4)}, ${le("0", 4)},
+          ${le("54", 4)}, ${le("40", 4)}, ${le(w, 4)}, ${le(h, 4)},
+          ${le("1", 2)}, ${le("24", 2)}, ${le("0", 4)}, ${le(dataSize, 4)},
+          ${le("2835", 4)}, ${le("2835", 4)}, ${le("0", 4)}, ${le("0", 4)},
+          unhex(array_join(transform(sequence(0, $h - 1), ry -> $rowHex), '')))"""
+        def b(pos: String) =
+          s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
+        def leRead(pos: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"${b(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(bmp).as("media"))
+          .withColumn("fmt_ok",
+            expr("decode(substring(media, 1, 2), 'UTF-8') = 'BM'") &&
+              expr(s"${leRead("27", 2)} = 1") && // planes
+              expr(s"${leRead("29", 2)} = 24") && // bpp
+              expr(s"${leRead("31", 4)} = 0") && // BI_RGB
+              expr(s"${leRead("3", 4)} = 54 + ${leRead("35", 4)}"))
+          .withColumn("img_w", expr(leRead("19", 4)))
+          .withColumn("img_h", expr(leRead("23", 4)))
+          .withColumn("row_size", expr("((3 * img_w + 3) div 4) * 4"))
+          .withColumn("k", explode(expr("sequence(0, img_w * img_h - 1)")))
+          .withColumn("x", expr("k % img_w"))
+          .withColumn("ry", expr("k div img_w")) // stored row (bottom-up)
+          .withColumn("y", expr("img_h - 1 - ry")) // image row (top-down)
+          .withColumn("off", expr("55 + ry * row_size + 3 * x"))
+          .withColumn("blue", expr(leRead("off", 1)))
+          .withColumn("green", expr(leRead("off + 1", 1)))
+          .withColumn("red", expr(leRead("off + 2", 1)))
+          .groupBy("doc_id", "fmt_ok", "img_w", "img_h")
+          .agg(sum("blue").as("sum_b"), sum("green").as("sum_g"),
+            sum("red").as("sum_r"),
+            sum(expr("(y + 1) * red")).as("row_weighted_r"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents WHERE doc_id < 100),
+pix AS (SELECT doc_id, w, h, i % w AS x, i // w AS y
+        FROM base, UNNEST(range(0, w * h)) AS t(i)),
+chan AS (SELECT doc_id, w, h, x, y,
+                (doc_id * 7 + x * 13 + y * 29) % 256 AS blue,
+                (doc_id * 7 + x * 13 + y * 29 + 97) % 256 AS green,
+                (doc_id * 7 + x * 13 + y * 29 + 194) % 256 AS red
+         FROM pix)
+SELECT doc_id, true AS fmt_ok,
+       CAST(max(w) AS BIGINT) AS img_w, CAST(max(h) AS BIGINT) AS img_h,
+       CAST(sum(blue) AS BIGINT) AS sum_b,
+       CAST(sum(green) AS BIGINT) AS sum_g,
+       CAST(sum(red) AS BIGINT) AS sum_r,
+       CAST(sum((y + 1) * red) AS BIGINT) AS row_weighted_r
+FROM chan GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
