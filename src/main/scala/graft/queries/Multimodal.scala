@@ -275,6 +275,83 @@ SELECT doc_id, true AS fmt_ok,
        CAST(sum(green) AS BIGINT) AS sum_g,
        CAST(sum(red) AS BIGINT) AS sum_r,
        CAST(sum((y + 1) * red) AS BIGINT) AS row_weighted_r
-FROM chan GROUP BY doc_id ORDER BY doc_id"""))
+FROM chan GROUP BY doc_id ORDER BY doc_id""")),
+
+    // NPY float32 decode — the embedding-interchange format, parsed at
+    // the IEEE-754 bit level in pure SQL: magic + version validated
+    // from bytes, the header length read LE16, the shape extracted by
+    // regexp from the decoded header dict, and every float32
+    // re-assembled from its 4 LE bytes as sign/exponent/mantissa →
+    // (1−2s)·(1+m/2²³)·2^(e−127). The generator picks exponents and
+    // mantissas as integers, so every value is an EXACT double in both
+    // engines and the differential is hash-exact with no rounding — a
+    // bit-level parser bug (byte order, field widths, bias) cannot
+    // hide. One row per decoded component; map-only at any scale.
+    Q("mm_npy_f32_decode",
+      (s, d) => {
+        def le(v: String, nBytes: Int): String = {
+          val bytes = (0 until nBytes).map(i =>
+            s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
+          s"unhex(concat(${bytes.mkString(", ")}))"
+        }
+        val n = "(8 + pmod(doc_id, 8))"
+        val eBits = "(120 + pmod(doc_id + i, 16))"
+        val mBits = "pmod(doc_id * 1001 + i * 37, 8388608)"
+        val u32 = s"(shiftleft(cast($eBits as bigint), 23) + $mBits)"
+        val dict =
+          s"""concat("{'descr': '<f4', 'fortran_order': False, 'shape': (", $n, ",), }")"""
+        val npy = s"""concat(
+          unhex('934E554D5059'), unhex('0100'),
+          ${le(s"((10 + length($dict) + 1 + 63) div 64) * 64 - 10", 2)},
+          encode(concat($dict,
+            repeat(' ', ((10 + length($dict) + 1 + 63) div 64) * 64 - 10
+                          - length($dict) - 1),
+            '\\n'), 'UTF-8'),
+          unhex(array_join(transform(sequence(0, $n - 1),
+            i -> concat(lpad(hex($u32 & 255), 2, '0'),
+                        lpad(hex(shiftright($u32, 8) & 255), 2, '0'),
+                        lpad(hex(shiftright($u32, 16) & 255), 2, '0'),
+                        lpad(hex(shiftright($u32, 24) & 255), 2, '0'))), '')))"""
+        def b(pos: String) =
+          s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
+        def leRead(pos: String, nBytes: Int): String =
+          (0 until nBytes).map(i =>
+            s"${b(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(npy).as("media"))
+          .withColumn("fmt_ok",
+            expr("hex(substring(media, 1, 6)) = '934E554D5059'") &&
+              expr(s"${leRead("7", 2)} = 1") && // version 1.0 LE = 0x0001
+              expr("decode(substring(media, cast(11 as int), " +
+                s"cast(${leRead("9", 2)} as int)), 'UTF-8') like '%<f4%'"))
+          .withColumn("hlen", expr(leRead("9", 2)))
+          .withColumn("n_vals", expr(
+            s"cast(regexp_extract(decode(substring(media, 11, cast(hlen as int)), " +
+              "'UTF-8'), 'shape.: \\\\((\\\\d+),', 1) as bigint)"))
+          .withColumn("i", explode(expr("sequence(0, n_vals - 1)")))
+          .withColumn("u", expr(leRead("11 + hlen + 4 * i", 4)))
+          .withColumn("sgn", expr("u div 2147483648"))
+          .withColumn("e", expr("(u div 8388608) % 256"))
+          .withColumn("m", expr("u % 8388608"))
+          // double literals need the D suffix: bare 8388608.0 parses as
+          // DECIMAL and the division would truncate at decimal scale
+          .withColumn("val", expr(
+            "(1 - 2 * sgn) * (1.0D + cast(m as double) / 8388608.0D) " +
+              "* power(2.0D, e - 127)"))
+          .select(col("doc_id"), col("fmt_ok"), col("n_vals"),
+            col("i").cast("long").as("i"), col("val"))
+          .orderBy("doc_id", "i")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 8 + doc_id % 8 AS n FROM documents
+              WHERE doc_id < 100),
+v AS (SELECT doc_id, n, i,
+             120 + (doc_id + i) % 16 AS e,
+             (doc_id * 1001 + i * 37) % 8388608 AS m
+      FROM base, UNNEST(range(0, n)) AS t(i))
+SELECT doc_id, true AS fmt_ok, CAST(n AS BIGINT) AS n_vals,
+       CAST(i AS BIGINT) AS i,
+       (1.0 + m / 8388608.0) * pow(2.0, e - 127) AS val
+FROM v ORDER BY doc_id, i"""))
   )
 }
