@@ -19,6 +19,47 @@ import graft.Tables
   */
 object Multimodal {
 
+  // ── SQL byte-arithmetic helpers shared by the real container
+  // decoders (WAV/BMP/NPY): little-endian integer write and read over
+  // a `media` binary column, composed entirely from codegen'd
+  // built-ins (hex/unhex/substring/shiftright/conv). ──
+
+  /** SQL expr producing the `nBytes` little-endian bytes of `v`. */
+  private def le(v: String, nBytes: Int): String = {
+    val bytes = (0 until nBytes).map(i =>
+      s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
+    s"unhex(concat(${bytes.mkString(", ")}))"
+  }
+
+  /** SQL expr for the unsigned byte of `media` at 1-based `pos`. */
+  private def byteAt(pos: String): String =
+    s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
+
+  /** SQL expr reading an unsigned little-endian int of `nBytes` at
+    * 1-based `pos` of `media`. */
+  private def leRead(pos: String, nBytes: Int): String =
+    (0 until nBytes).map(i =>
+      s"${byteAt(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
+
+  /** Per-doc sample count of the synthetic WAV fixture. */
+  private val wavN = "(64 + pmod(doc_id, 64))"
+
+  /** Signed int16 sample `i` of doc `doc_id`, as unsigned 0..65535. */
+  private val wavSampleU =
+    "pmod(pmod(doc_id * 31 + i * 17, 2048) - 1024, 65536)"
+
+  /** SQL expr building the complete valid mono 8 kHz PCM16 WAV bytes
+    * for `doc_id` — shared by the decode and frame-energy queries. */
+  private lazy val wavExpr: String = s"""concat(
+    unhex('52494646'), ${le(s"36 + 2 * $wavN", 4)}, unhex('57415645'),
+    unhex('666D7420'), ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
+    ${le("8000", 4)}, ${le("16000", 4)}, ${le("2", 2)}, ${le("16", 2)},
+    unhex('64617461'), ${le(s"2 * $wavN", 4)},
+    unhex(array_join(transform(sequence(0, $wavN - 1),
+      i -> concat(lpad(hex($wavSampleU & 255), 2, '0'),
+                  lpad(hex(shiftright($wavSampleU, 8) & 255), 2, '0'))), '')))"""
+
+
   def qs: Seq[Q] = Seq(
     // Opaque binary column + typed metadata extraction. STUB: width/
     // height are deterministic functions of byte length, not real pixels.
@@ -134,31 +175,8 @@ GROUP BY modality ORDER BY modality""")),
     // per-doc combine.
     Q("mm_wav_pcm_decode",
       (s, d) => {
-        // unsigned LE bytes of `v` (SQL expr string), little-endian
-        def le(v: String, nBytes: Int): String = {
-          val bytes = (0 until nBytes).map(i =>
-            s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
-          s"unhex(concat(${bytes.mkString(", ")}))"
-        }
-        val n = "(64 + pmod(doc_id, 64))" // samples per doc
-        val sample = // signed int16 sample i as unsigned 0..65535
-          "pmod(pmod(doc_id * 31 + i * 17, 2048) - 1024, 65536)"
-        val wav = s"""concat(
-          unhex('52494646'), ${le(s"36 + 2 * $n", 4)}, unhex('57415645'),
-          unhex('666D7420'), ${le("16", 4)}, ${le("1", 2)}, ${le("1", 2)},
-          ${le("8000", 4)}, ${le("16000", 4)}, ${le("2", 2)}, ${le("16", 2)},
-          unhex('64617461'), ${le(s"2 * $n", 4)},
-          unhex(array_join(transform(sequence(0, $n - 1),
-            i -> concat(lpad(hex($sample & 255), 2, '0'),
-                        lpad(hex(shiftright($sample, 8) & 255), 2, '0'))), '')))"""
-        // parse-side: byte at 1-based pos, and LE integers from bytes
-        def b(pos: String) =
-          s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
-        def leRead(pos: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"${b(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
         Tables.documents(s, d).filter(col("doc_id") < 100)
-          .select(col("doc_id"), expr(wav).as("media"))
+          .select(col("doc_id"), expr(wavExpr).as("media"))
           // header fields come ONLY from the bytes
           .withColumn("fmt_ok",
             expr("decode(substring(media, 1, 4), 'UTF-8') = 'RIFF'") &&
@@ -192,6 +210,39 @@ SELECT doc_id, true AS fmt_ok,
        CAST(sum(s) AS BIGINT) AS sum_s, CAST(sum(s * s) AS BIGINT) AS sum_sq
 FROM smp GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Decode → features, composed: frame-level energy/peak over the
+    // PARSED PCM stream — the feature-extract stage of an audio
+    // pipeline (VAD, loudness normalization, silence trimming all
+    // start here), running on real decoded samples, not a stub. Frames
+    // are 32 samples, full frames only; energy and peak are integer-
+    // exact so the oracle (generator formula, no bytes) hash-matches.
+    // Shape at scale: parse+explode is map-side, the frame aggregate
+    // is a partial-agg groupBy on (doc, frame) — one bounded shuffle.
+    Q("mm_wav_frame_energy",
+      (s, d) => {
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(wavExpr).as("media"))
+          .withColumn("n_samples", expr(s"${leRead("41", 4)} div 2"))
+          .withColumn("n_frames", expr("n_samples div 32"))
+          .withColumn("i", explode(expr("sequence(0, n_frames * 32 - 1)")))
+          .withColumn("u", expr(leRead("45 + 2 * i", 2)))
+          .withColumn("smp", expr("if(u > 32767, u - 65536, u)"))
+          .groupBy(col("doc_id"), expr("i div 32").as("frame_idx"))
+          .agg(sum(expr("smp * smp")).as("energy"),
+            max(expr("abs(smp)")).as("peak"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+              WHERE doc_id < 100),
+smp AS (SELECT doc_id, i // 32 AS frame_idx,
+               ((doc_id * 31 + i * 17) % 2048) - 1024 AS s
+        FROM base, UNNEST(range(0, (n // 32) * 32)) AS t(i))
+SELECT doc_id, frame_idx,
+       CAST(sum(s * s) AS BIGINT) AS energy,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM smp GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""")),
+
     // The image twin of the WAV decode: uncompressed 24-bit BMP written
     // and parsed in pure SQL byte arithmetic. BMP's two traps make it a
     // real parser test: pixel rows are stored BOTTOM-UP and padded to
@@ -203,11 +254,6 @@ FROM smp GROUP BY doc_id ORDER BY doc_id""")),
     // path; only lib-dependent codecs (JPEG etc.) remain stubbed.
     Q("mm_bmp_decode",
       (s, d) => {
-        def le(v: String, nBytes: Int): String = {
-          val bytes = (0 until nBytes).map(i =>
-            s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
-          s"unhex(concat(${bytes.mkString(", ")}))"
-        }
         val w = "(4 + pmod(doc_id, 5))"
         val h = "(3 + pmod(doc_id, 4))"
         val rowSize = s"(((3 * $w + 3) div 4) * 4)"
@@ -229,11 +275,6 @@ FROM smp GROUP BY doc_id ORDER BY doc_id""")),
           ${le("1", 2)}, ${le("24", 2)}, ${le("0", 4)}, ${le(dataSize, 4)},
           ${le("2835", 4)}, ${le("2835", 4)}, ${le("0", 4)}, ${le("0", 4)},
           unhex(array_join(transform(sequence(0, $h - 1), ry -> $rowHex), '')))"""
-        def b(pos: String) =
-          s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
-        def leRead(pos: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"${b(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
         Tables.documents(s, d).filter(col("doc_id") < 100)
           .select(col("doc_id"), expr(bmp).as("media"))
           .withColumn("fmt_ok",
@@ -289,11 +330,6 @@ FROM chan GROUP BY doc_id ORDER BY doc_id""")),
     // hide. One row per decoded component; map-only at any scale.
     Q("mm_npy_f32_decode",
       (s, d) => {
-        def le(v: String, nBytes: Int): String = {
-          val bytes = (0 until nBytes).map(i =>
-            s"lpad(hex(shiftright($v, ${8 * i}) & 255), 2, '0')")
-          s"unhex(concat(${bytes.mkString(", ")}))"
-        }
         val n = "(8 + pmod(doc_id, 8))"
         val eBits = "(120 + pmod(doc_id + i, 16))"
         val mBits = "pmod(doc_id * 1001 + i * 37, 8388608)"
@@ -312,11 +348,6 @@ FROM chan GROUP BY doc_id ORDER BY doc_id""")),
                         lpad(hex(shiftright($u32, 8) & 255), 2, '0'),
                         lpad(hex(shiftright($u32, 16) & 255), 2, '0'),
                         lpad(hex(shiftright($u32, 24) & 255), 2, '0'))), '')))"""
-        def b(pos: String) =
-          s"cast(conv(hex(substring(media, cast(($pos) as int), 1)), 16, 10) as bigint)"
-        def leRead(pos: String, nBytes: Int): String =
-          (0 until nBytes).map(i =>
-            s"${b(s"($pos) + $i")} * ${1L << (8 * i)}").mkString("(", " + ", ")")
         Tables.documents(s, d).filter(col("doc_id") < 100)
           .select(col("doc_id"), expr(npy).as("media"))
           .withColumn("fmt_ok",
