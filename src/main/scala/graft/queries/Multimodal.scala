@@ -4,18 +4,22 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Multimodal-column plumbing: media carried as opaque `binary` columns
-  * with typed metadata derived per row, and per-frame sampling that fans
-  * one asset out into N frame rows.
+/** Multimodal-column operators: media carried as opaque `binary`
+  * columns with typed metadata derived per row, frame fan-out, modality
+  * demux — and, for container formats that need no codec library, REAL
+  * decode in pure SQL byte arithmetic: RIFF/WAV PCM16
+  * (`mm_wav_pcm_decode`, `mm_wav_frame_energy`), uncompressed 24-bit
+  * BMP (`mm_bmp_decode`, `mm_bmp_resize`), and NPY float32 at the
+  * IEEE-754 bit level (`mm_npy_f32_decode`). Each decoder's oracle
+  * computes expected values from the generator formula WITHOUT seeing
+  * bytes, so the differential catches endianness/offset/stride/sign
+  * bugs in the parse.
   *
-  * No image/audio codecs exist in this environment, so the *decode* step
-  * is a clearly-marked deterministic STUB (arithmetic on byte length +
-  * content digest standing in for pixel decoding). Everything around it
-  * — binary encoding, schema, per-frame explode fan-out, digesting,
-  * partition-friendly shapes — is real Spark plumbing and oracle-checked.
-  * A production build swaps `fakeWidth/fakeHeight` for a real decoder
-  * inside the same dataflow (see graft.multimodal.DecodeStub for the
-  * mapPartitions batch-shaped variant).
+  * Only lib-dependent codecs (JPEG, H.264, …) remain stubbed — none
+  * exist in this environment; mm_binary_metadata/mm_frame_sample keep
+  * those stubs clearly marked, and graft.multimodal.DecodeStub holds
+  * the mapPartitions batch-shaped variant a production codec would
+  * drop into.
   */
 object Multimodal {
 
@@ -59,6 +63,33 @@ object Multimodal {
       i -> concat(lpad(hex($wavSampleU & 255), 2, '0'),
                   lpad(hex(shiftright($wavSampleU, 8) & 255), 2, '0'))), '')))"""
 
+
+  // ── Synthetic 24-bit BMP fixture shared by the decode and resize
+  // queries: w×h from doc_id, bottom-up padded rows, channel value at
+  // image (x, y) = (doc_id·7 + x·13 + y·29 + c·97) mod 256. ──
+  private val bmpW = "(4 + pmod(doc_id, 5))"
+  private val bmpH = "(3 + pmod(doc_id, 4))"
+  private val bmpRowSize = s"(((3 * $bmpW + 3) div 4) * 4)"
+  private val bmpDataSize = s"($bmpRowSize * $bmpH)"
+
+  private def bmpPx(c: Int): String =
+    s"pmod(doc_id * 7 + x * 13 + ($bmpH - 1 - ry) * 29 + ${c * 97}, 256)"
+
+  private lazy val bmpExpr: String = {
+    // one stored row: w pixels of BGR then zero padding to rowSize
+    val rowHex =
+      s"""concat(array_join(transform(sequence(0, $bmpW - 1),
+            x -> concat(lpad(hex(${bmpPx(0)}), 2, '0'),
+                        lpad(hex(${bmpPx(1)}), 2, '0'),
+                        lpad(hex(${bmpPx(2)}), 2, '0'))), ''),
+          repeat('00', $bmpRowSize - 3 * $bmpW))"""
+    s"""concat(
+      unhex('424D'), ${le(s"54 + $bmpDataSize", 4)}, ${le("0", 4)},
+      ${le("54", 4)}, ${le("40", 4)}, ${le(bmpW, 4)}, ${le(bmpH, 4)},
+      ${le("1", 2)}, ${le("24", 2)}, ${le("0", 4)}, ${le(bmpDataSize, 4)},
+      ${le("2835", 4)}, ${le("2835", 4)}, ${le("0", 4)}, ${le("0", 4)},
+      unhex(array_join(transform(sequence(0, $bmpH - 1), ry -> $rowHex), '')))"""
+  }
 
   def qs: Seq[Q] = Seq(
     // Opaque binary column + typed metadata extraction. STUB: width/
@@ -254,29 +285,8 @@ FROM smp GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx""")),
     // path; only lib-dependent codecs (JPEG etc.) remain stubbed.
     Q("mm_bmp_decode",
       (s, d) => {
-        val w = "(4 + pmod(doc_id, 5))"
-        val h = "(3 + pmod(doc_id, 4))"
-        val rowSize = s"(((3 * $w + 3) div 4) * 4)"
-        val dataSize = s"($rowSize * $h)"
-        // channel value at image column x, STORED row ry (image row
-        // y = h - 1 - ry); c = 0 (blue), 1 (green), 2 (red)
-        def px(c: Int): String =
-          s"pmod(doc_id * 7 + x * 13 + ($h - 1 - ry) * 29 + ${c * 97}, 256)"
-        // one stored row: w pixels of BGR then zero padding to rowSize
-        val rowHex =
-          s"""concat(array_join(transform(sequence(0, $w - 1),
-                x -> concat(lpad(hex(${px(0)}), 2, '0'),
-                            lpad(hex(${px(1)}), 2, '0'),
-                            lpad(hex(${px(2)}), 2, '0'))), ''),
-              repeat('00', $rowSize - 3 * $w))"""
-        val bmp = s"""concat(
-          unhex('424D'), ${le(s"54 + $dataSize", 4)}, ${le("0", 4)},
-          ${le("54", 4)}, ${le("40", 4)}, ${le(w, 4)}, ${le(h, 4)},
-          ${le("1", 2)}, ${le("24", 2)}, ${le("0", 4)}, ${le(dataSize, 4)},
-          ${le("2835", 4)}, ${le("2835", 4)}, ${le("0", 4)}, ${le("0", 4)},
-          unhex(array_join(transform(sequence(0, $h - 1), ry -> $rowHex), '')))"""
         Tables.documents(s, d).filter(col("doc_id") < 100)
-          .select(col("doc_id"), expr(bmp).as("media"))
+          .select(col("doc_id"), expr(bmpExpr).as("media"))
           .withColumn("fmt_ok",
             expr("decode(substring(media, 1, 2), 'UTF-8') = 'BM'") &&
               expr(s"${leRead("27", 2)} = 1") && // planes
@@ -317,6 +327,49 @@ SELECT doc_id, true AS fmt_ok,
        CAST(sum(red) AS BIGINT) AS sum_r,
        CAST(sum((y + 1) * red) AS BIGINT) AS row_weighted_r
 FROM chan GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Resize over REALLY-parsed pixels — the last multimodal verb
+    // (decode / feature-extract / resize / frame-sample) running on
+    // real math: nearest-neighbor downsample to 2×2, where each output
+    // pixel reads its source pixel's 3 channels from the BMP bytes at
+    // the padded bottom-up offset. The oracle evaluates the pixel
+    // formula at the same source coordinates (never bytes), so a
+    // coordinate-mapping bug (rounding, flip, stride) breaks the hash.
+    // Map-only: header parse + a 4-row explode per asset.
+    Q("mm_bmp_resize",
+      (s, d) => {
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(bmpExpr).as("media"))
+          .withColumn("img_w", expr(leRead("19", 4)))
+          .withColumn("img_h", expr(leRead("23", 4)))
+          .withColumn("row_size", expr("((3 * img_w + 3) div 4) * 4"))
+          .withColumn("k", explode(expr("sequence(0, 3)")))
+          .withColumn("ox", expr("k % 2"))
+          .withColumn("oy", expr("k div 2"))
+          // nearest-neighbor source pixel in TOP-DOWN image coords
+          .withColumn("sx", expr("(ox * img_w) div 2"))
+          .withColumn("sy", expr("(oy * img_h) div 2"))
+          // byte offset of the source pixel: stored rows are bottom-up
+          .withColumn("off",
+            expr("55 + (img_h - 1 - sy) * row_size + 3 * sx"))
+          .select(col("doc_id"), col("ox").cast("long").as("ox"),
+            col("oy").cast("long").as("oy"),
+            expr(leRead("off", 1)).as("blue"),
+            expr(leRead("off + 1", 1)).as("green"),
+            expr(leRead("off + 2", 1)).as("red"))
+          .orderBy("doc_id", "oy", "ox")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents WHERE doc_id < 100),
+px AS (SELECT doc_id, k % 2 AS ox, k // 2 AS oy,
+              ((k % 2) * w) // 2 AS sx, ((k // 2) * h) // 2 AS sy
+       FROM base, UNNEST(range(0, 4)) AS t(k))
+SELECT doc_id, ox, oy,
+       (doc_id * 7 + sx * 13 + sy * 29) % 256 AS blue,
+       (doc_id * 7 + sx * 13 + sy * 29 + 97) % 256 AS green,
+       (doc_id * 7 + sx * 13 + sy * 29 + 194) % 256 AS red
+FROM px ORDER BY doc_id, oy, ox""")),
 
     // NPY float32 decode — the embedding-interchange format, parsed at
     // the IEEE-754 bit level in pure SQL: magic + version validated
