@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative graph analytics over a derived edge list (SURVEY.md §2
+  * extension, same family as `dedup_connected_components`): weighted
+  * PageRank on the nation-level trade graph — edges are
+  * (customer nation → supplier nation) pairs weighted by lineitem
+  * count, i.e. "who buys from whom". The reference has no graph
+  * operator; this is the north-star extension that proves the engine
+  * can run fixed-point iteration as a sequence of declarative
+  * join+aggregate rounds (the connected-components loop proves
+  * convergence-checked iteration; PageRank proves weighted-propagation
+  * iteration with per-node state).
+  *
+  * DETERMINISM: classic PageRank sums IEEE doubles whose value depends
+  * on reduction order — un-oracle-able under a typed hash gate. Here
+  * every quantity is a scaled BIGINT (ranks in parts-per-billion) and
+  * every division is integer `div`, so sums are associative and the
+  * result is bit-identical in any engine at any parallelism; DuckDB's
+  * `//` floor-division equals Spark's `div` truncation because all
+  * operands are non-negative. Per-edge propagation shares are
+  * precomputed once as share_ppb = (w * SCALE) div out(u) — bounded by
+  * SCALE, so rank*share products stay ≤ 1e18 < Long.MaxValue. (At
+  * extreme edge weights — w approaching 1e10 — pre-scale all weights
+  * by a common divisor before building shares; shares are ratios, so
+  * uniform scaling leaves them unchanged up to rounding.)
+  *
+  * Scale shape: the edge list is built by one fact-sized join pipeline
+  * (lineitem→orders→customer→supplier; the two dims broadcast) and one
+  * groupBy(src,dst) — a single fact shuffle. Each iteration is then
+  * edges ⋈ ranks (ranks has |V| rows — broadcast for any dimension-like
+  * graph; for web-scale graphs pre-partition edges by src ONCE and
+  * reuse that partitioning every round) followed by groupBy(dst) —
+  * map-side combinable. Edge shares / node list / node count are
+  * materialized once ([[graft.Caching.materialize]]) so the 4-table
+  * join runs once, not once per iteration; iteration count is FIXED
+  * (5), so lineage stays shallow and no convergence scan is needed.
+  * Rank mass lost to dangling nodes (no out-edges) and to floor
+  * rounding is simply not redistributed — identical on both sides.
+  */
+object Graph {
+
+  private val SCALE = 1000000000L // ranks in parts-per-billion
+  private val Iters = 5
+  private val DampNum = 85L // damping 0.85 as an integer percentage
+
+  /** (src, dst, share_ppb) + (node) + 1-row (n) for the trade graph. */
+  private def tradeGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val edges = li
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val out = edges.groupBy("src").agg(sum("w").as("outw"))
+    val share = edges.join(out, "src")
+      .select(col("src"), col("dst"),
+        expr(s"(w * ${SCALE}L) div outw").as("share_ppb"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+    val nst = nodes.agg(count(lit(1)).as("n")) // 1 row — broadcastable
+    (graft.Caching.materialize(s, share),
+      graft.Caching.materialize(s, nodes),
+      graft.Caching.materialize(s, nst))
+  }
+
+  /** graph_pagerank: 5 damped iterations, ranks in ppb. */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val (share, nodes, nst) = tradeGraph(s, d)
+    // r0(v) = SCALE div N; every round: base + 85% of inbound shares
+    var ranks = nodes.crossJoin(broadcast(nst))
+      .select(col("node"), expr(s"${SCALE}L div n").as("rank"))
+    for (_ <- 1 to Iters) {
+      val contrib = share
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(expr(s"(rank * share_ppb) div ${SCALE}L")).as("c"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(broadcast(nst))
+        .select(col("node"),
+          expr(s"((100L - $DampNum) * (${SCALE}L div n)) div 100L" +
+            s" + ($DampNum * coalesce(c, 0L)) div 100L").as("rank"))
+    }
+    graft.Caching.releasing(s, share, nodes, nst)(
+      ranks.select(col("node").as("nationkey"), col("rank").as("rank_ppb"))
+        .orderBy(desc("rank_ppb"), col("nationkey")))
+  }
+
+  /** The DuckDB twin: the same integer arithmetic as unrolled CTEs.
+    * Every sum is CAST(... AS BIGINT) (DuckDB promotes sum(BIGINT) to
+    * HUGEINT); `//` on non-negative BIGINTs equals Spark's `div`.
+    */
+  private def pagerankSql: String = {
+    val base = s"((100 - $DampNum) * ($SCALE // nst.n)) // 100"
+    def iter(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT nd.node,
+         |         $base + ($DampNum * coalesce(c.c, 0)) // 100 AS rank
+         |  FROM nodes nd CROSS JOIN nst
+         |  LEFT JOIN (
+         |    SELECT sh.dst, CAST(sum((r.rank * sh.share_ppb) // $SCALE) AS BIGINT) AS c
+         |    FROM share sh JOIN $prev r ON sh.src = r.node
+         |    GROUP BY sh.dst) c ON nd.node = c.dst)""".stripMargin
+    val its = (1 to Iters)
+      .map(i => iter(s"it${i - 1}", s"it$i")).mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst,
+       |         CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |outd AS (
+       |  SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY src),
+       |share AS (
+       |  SELECT e.src, e.dst, (e.w * $SCALE) // o.outw AS share_ppb
+       |  FROM edges e JOIN outd o ON e.src = o.src),
+       |nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nst AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |it0 AS (
+       |  SELECT node, $SCALE // nst.n AS rank FROM nodes CROSS JOIN nst),
+       |$its
+       |SELECT node AS nationkey, rank AS rank_ppb FROM it$Iters
+       |ORDER BY rank_ppb DESC, nationkey""".stripMargin
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q("graph_pagerank", pagerank, Some(pagerankSql))
+  )
+}

@@ -44,7 +44,8 @@ object Registry {
     Embeddings.qs,
     Events.qs,
     StreamingQueries.qs,
-    Multimodal.qs
+    Multimodal.qs,
+    Graph.qs
   )
 
   lazy val all: Seq[Q] = groups.flatten
