@@ -201,6 +201,74 @@ SELECT event_type, max(n) AS n_sample,
        min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
        min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
        max(value) AS p100
-FROM r GROUP BY event_type ORDER BY event_type"""))
+FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // Heavy hitters by candidate-generation + verification: a bounded
+    // Misra-Gries summary per partition nominates candidates, then ONE
+    // semi-joined aggregation computes exact counts for just those
+    // candidates. The guarantee makes the approximate stage invisible
+    // in the answer: a token absent from partition i's summary has
+    // local frequency <= n_i/(MgK+1), so a token absent from EVERY
+    // summary has global frequency <= n/(MgK+1) < n/64 — the candidate
+    // union is a proven superset of the true heavy hitters, and the
+    // exact verification pass makes the final set exact (and therefore
+    // oracle-checkable against plain GROUP BY/HAVING SQL). At 100 TB:
+    // no full-vocabulary shuffle ever happens — the sketch pass is
+    // map-only with <= MgK state per task, candidates (<= partitions x
+    // MgK) broadcast back, and the count shuffle carries only rows
+    // matching a candidate.
+    Q("a20_heavy_hitters",
+      (s, d) => {
+        import s.implicits._
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+        val cands = toks.as[String]
+          .mapPartitions(it => misraGries(it, MgK))
+          .toDF("token").distinct()
+        val tot = toks.agg(count(lit(1)).as("n"))
+        toks.join(broadcast(cands), Seq("token"))
+          .groupBy("token").agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") * 64 > col("n"))
+          .select(col("token"), col("cnt"))
+          .orderBy(desc("cnt"), col("token"))
+      },
+      Some("""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks CROSS JOIN tot
+GROUP BY token, tot.n
+HAVING CAST(count(*) AS BIGINT) * 64 > tot.n
+ORDER BY cnt DESC, token"""))
   )
+
+  private[graft] val MgK = 256 // Misra-Gries capacity: 4x the 1/64 bar
+
+  /** Misra-Gries frequent-items summary of one partition: at most `k`
+    * counters; when a new item arrives at capacity, ALL counters drop
+    * by one (each decrement cancels one prior increment, so the scan
+    * is amortized O(1) per item) and zeroed entries free their slot.
+    * Survivors satisfy count(t) >= freq(t) - n/(k+1); contrapositive:
+    * anything frequent enough survives. Memory is <= k entries no
+    * matter the partition size.
+    */
+  private[graft] def misraGries(it: Iterator[String], k: Int)
+      : Iterator[String] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (t <- it) {
+      m.get(t) match {
+        case Some(c) => m.update(t, c + 1)
+        case None if m.size < k => m.update(t, 1L)
+        case None =>
+          dead.clear()
+          for ((key, c) <- m)
+            if (c == 1L) dead += key else m.update(key, c - 1)
+          dead.foreach(m.remove)
+      }
+    }
+    m.keysIterator
+  }
 }

@@ -133,4 +133,41 @@ class SketchSpec extends AnyFunSuite {
       s"approx_percentile $lo vs exact $hi")
   }
 
+  test("Misra-Gries summary is a superset of every (n/(k+1))-frequent item") {
+    // adversarial-ish stream: a few heavy items buried in a long
+    // distinct tail, heavy items clustered at the END so survival
+    // can't come from arrival order
+    val rnd = new scala.util.Random(7)
+    val tail = Seq.fill(20000)(s"t${rnd.nextInt(15000)}")
+    val heavy = Seq("h1", "h2", "h3").flatMap(h => Seq.fill(1500)(h))
+    val stream = tail ++ heavy
+    for (k <- Seq(16, 64, 256)) {
+      val summary = Sketches.misraGries(stream.iterator, k).toSet
+      assert(summary.size <= k, s"k=$k summary exceeded capacity")
+      val exact = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val bar = stream.size.toDouble / (k + 1)
+      exact.foreach { case (t, c) =>
+        if (c > bar)
+          assert(summary.contains(t),
+            s"k=$k dropped $t with freq $c > n/(k+1)=$bar")
+      }
+    }
+  }
+
+  test("heavy-hitter candidates make the approximate stage invisible") {
+    // the declared query's answer must equal plain exact GROUP BY —
+    // the sketch may only ever ADD candidates, never lose a true hit
+    import org.apache.spark.sql.functions._
+    val toks = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 64 > n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = Registry.queries("a20_heavy_hitters")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == exact, s"sketch path diverged: ${got.diff(exact)} extra, " +
+      s"${exact.diff(got)} missing")
+  }
+
 }
