@@ -371,6 +371,67 @@ SELECT doc_id, ox, oy,
        (doc_id * 7 + sx * 13 + sy * 29 + 194) % 256 AS red
 FROM px ORDER BY doc_id, oy, ox""")),
 
+    // Convolution over REALLY-parsed pixels — the feature-extraction
+    // verb as an image kernel: a 3×3 box blur (integer mean of the 9
+    // clamp-to-edge taps) where every tap reads its channel bytes from
+    // the BMP at the padded bottom-up offset. 9 byte-reads per output
+    // pixel, all map-side; per-doc checksums (plus a row-weighted one)
+    // keep the output bounded while pinning every blurred value. The
+    // oracle runs the same kernel on the pixel FORMULA at the same
+    // clamped coordinates — never bytes — so a tap-offset, clamp, or
+    // stride bug breaks the hash. Integer division by 9 truncates
+    // identically in both engines (all operands non-negative).
+    Q("mm_bmp_boxblur",
+      (s, d) => {
+        def tap(c: Int): String =
+          leRead(s"55 + (img_h - 1 - sy) * row_size + 3 * sx + $c", 1)
+        Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(bmpExpr).as("media"))
+          .withColumn("img_w", expr(leRead("19", 4)))
+          .withColumn("img_h", expr(leRead("23", 4)))
+          .withColumn("row_size", expr("((3 * img_w + 3) div 4) * 4"))
+          .withColumn("k", explode(expr("sequence(0, img_w * img_h - 1)")))
+          .withColumn("x", expr("k % img_w"))
+          .withColumn("y", expr("k div img_w")) // top-down image coords
+          .withColumn("j", explode(expr("sequence(0, 8)")))
+          .withColumn("sx",
+            expr("greatest(0L, least(img_w - 1, x + j % 3 - 1))"))
+          .withColumn("sy",
+            expr("greatest(0L, least(img_h - 1, y + j div 3 - 1))"))
+          .select(col("doc_id"), col("x"), col("y"),
+            expr(tap(0)).as("tb"), expr(tap(1)).as("tg"),
+            expr(tap(2)).as("tr"))
+          .groupBy("doc_id", "x", "y")
+          .agg(expr("sum(tb) div 9").as("bb"),
+            expr("sum(tg) div 9").as("bg"),
+            expr("sum(tr) div 9").as("br"))
+          .groupBy("doc_id")
+          .agg(sum("bb").as("sum_blur_b"), sum("bg").as("sum_blur_g"),
+            sum("br").as("sum_blur_r"),
+            sum(expr("(y + 1) * br")).as("row_weighted_blur_r"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents WHERE doc_id < 100),
+pix AS (SELECT doc_id, w, h, i % w AS x, i // w AS y
+        FROM base, UNNEST(range(0, w * h)) AS t(i)),
+taps AS (SELECT doc_id, w, h, x, y,
+                greatest(0, least(w - 1, x + j % 3 - 1)) AS sx,
+                greatest(0, least(h - 1, y + j // 3 - 1)) AS sy
+         FROM pix, UNNEST(range(0, 9)) AS t(j)),
+blur AS (SELECT doc_id, x, y,
+                sum((doc_id * 7 + sx * 13 + sy * 29) % 256) // 9 AS bb,
+                sum((doc_id * 7 + sx * 13 + sy * 29 + 97) % 256) // 9 AS bg,
+                sum((doc_id * 7 + sx * 13 + sy * 29 + 194) % 256) // 9 AS br
+         FROM taps GROUP BY doc_id, x, y)
+SELECT doc_id,
+       CAST(sum(bb) AS BIGINT) AS sum_blur_b,
+       CAST(sum(bg) AS BIGINT) AS sum_blur_g,
+       CAST(sum(br) AS BIGINT) AS sum_blur_r,
+       CAST(sum((y + 1) * br) AS BIGINT) AS row_weighted_blur_r
+FROM blur GROUP BY doc_id ORDER BY doc_id""")),
+
     // NPY float32 decode — the embedding-interchange format, parsed at
     // the IEEE-754 bit level in pure SQL: magic + version validated
     // from bytes, the header length read LE16, the shape extracted by

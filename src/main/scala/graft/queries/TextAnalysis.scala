@@ -278,6 +278,42 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
        round(CAST(sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS DOUBLE) / count(*), 6) AS oov_rate
 FROM j GROUP BY doc_id ORDER BY doc_id""")),
 
+    // Corpus-rarity scoring — the inverse signal of vocab coverage:
+    // the mean DOCUMENT frequency of a document's distinct vocabulary.
+    // Low mean-df documents are built from terms few other documents
+    // use (jargon, other languages, junk — or genuinely novel text);
+    // curation pipelines use it to route outliers to review instead of
+    // blindly sampling by quality score. Everything before the final
+    // projection is BIGINT (count + sum of counts), so the aggregation
+    // is order-insensitive; the one double division happens once per
+    // output row on exact integers < 2^53 — deterministic, hence
+    // hash-gateable. Scale: the df table and the per-doc rollup are
+    // the two shuffles (both on the minimum keys: token, then doc_id);
+    // the df join shuffles the distinct (doc, token) stream once —
+    // df itself is vocabulary-sized, NOT corpus-sized.
+    Q("text_rarity_score",
+      (s, d) => {
+        val td = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val dft = td.groupBy("tok").agg(count(lit(1)).as("df"))
+        td.join(dft, Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("vocab_n"), sum("df").as("df_sum"))
+          .withColumn("mean_df",
+            round(col("df_sum").cast("double") / col("vocab_n"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+td AS (SELECT DISTINCT doc_id, tok FROM t),
+dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM td GROUP BY tok)
+SELECT td.doc_id, count(*)::BIGINT AS vocab_n,
+       CAST(sum(dft.df) AS BIGINT) AS df_sum,
+       round(CAST(sum(dft.df) AS DOUBLE) / count(*), 6) AS mean_df
+FROM td JOIN dft ON td.tok = dft.tok
+GROUP BY td.doc_id ORDER BY doc_id""")),
+
     // BM25 keyword retrieval — the lexical-search staple (corpus
     // exploration, search-based decontamination, hybrid retrieval next
     // to the ANN family). Okapi BM25 with k1=1.2, b=0.75 for a fixed
