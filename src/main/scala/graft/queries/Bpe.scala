@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** BPE merge-rule induction — tokenizer-vocabulary training as
+  * declarative rounds (north-star extension: the op a pipeline runs
+  * BEFORE token counting even makes sense). Each round (a) counts
+  * adjacent token pairs corpus-wide, (b) picks the most frequent pair
+  * with a total deterministic tie-break, (c) applies the merge
+  * greedily left-to-right exactly like reference BPE: inside a run of
+  * overlapping matches (only possible for an (a,a) pair) the 1st,
+  * 3rd, … matches merge and the even ones are consumed. The output is
+  * the learned merge table (round, pair, pre-merge count) — the
+  * artifact a tokenizer build persists.
+  *
+  * Greedy-run parity is pure window algebra: a dense per-doc index
+  * `idx` makes "overlapping matches" mean "consecutive idx", so
+  * gaps-and-islands (idx - row_number over matches) groups each run
+  * and an odd-rank filter keeps every other match. Merged pairs keep
+  * the pair-start's original `pos`, so ordering — and the next
+  * round's adjacency via lead() — needs no renumbering.
+  *
+  * Determinism: pair counts are integers, the argmax tie-break is
+  * (count desc, pair asc) over raw token bytes, and merge application
+  * is set algebra over (doc, idx) — no floats anywhere, so the whole
+  * training run hash-matches the DuckDB twin. Merged tokens join with
+  * an ASCII unit separator (chr(31), can't occur in the fixture text);
+  * the output table renders it as '+'.
+  *
+  * Scale shape per round: one vocabulary-sized shuffle (pair groupBy),
+  * two doc-partitioned window passes, and one broadcast of the 1-row
+  * argmax — the token table itself is only ever shuffled by doc_id.
+  * The round output is materialized ([[graft.Caching.materialize]])
+  * so round N+1 reads a checkpoint, not a 3-reference re-execution of
+  * rounds 1..N; at 100 TB this is the same lineage discipline as the
+  * connected-components loop. Rounds are a fixed small constant here;
+  * a production vocab build runs the identical plan more times.
+  */
+object Bpe {
+
+  private val Rounds = 3
+
+  def merges(s: SparkSession, d: String): DataFrame = {
+    val sep = "chr(31)"
+    var toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+    val mats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val rules = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    for (r <- 1 to Rounds) {
+      val t = toks
+        .withColumn("idx", row_number().over(w))
+        .withColumn("nxt", lead("tok", 1).over(w))
+      val best = t.filter(col("nxt").isNotNull)
+        .groupBy("tok", "nxt").agg(count(lit(1)).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("tok").asc, col("nxt").asc)
+        .limit(1)
+        .select(col("tok").as("a"), col("nxt").as("b"), col("pair_cnt"))
+      val bestM = graft.Caching.materialize(s, best)
+      mats += bestM
+      rules += bestM.select(lit(r.toLong).as("merge_round"),
+        expr(s"replace(a, $sep, '+')").as("tok_a"),
+        expr(s"replace(b, $sep, '+')").as("tok_b"), col("pair_cnt"))
+      val matches = t.crossJoin(broadcast(bestM))
+        .filter(col("tok") === col("a") && col("nxt") === col("b"))
+      val merged = matches
+        .withColumn("rnm", row_number().over(
+          Window.partitionBy("doc_id").orderBy("idx")))
+        .withColumn("rnrun", row_number().over(
+          Window.partitionBy(col("doc_id"), col("idx") - col("rnm"))
+            .orderBy("idx")))
+        .filter(col("rnrun") % 2 === 1)
+        .select(col("doc_id"), col("pos"), col("idx"),
+          concat(col("a"), expr(sep), col("b")).as("tok"))
+      val consumed = merged.select(col("doc_id"), col("idx"))
+        .union(merged.select(col("doc_id"), (col("idx") + 1).as("idx")))
+      val next = t.join(consumed, Seq("doc_id", "idx"), "left_anti")
+        .select("doc_id", "pos", "tok")
+        .union(merged.select("doc_id", "pos", "tok"))
+      val nextM = graft.Caching.materialize(s, next)
+      mats += nextM
+      toks = nextM
+    }
+    graft.Caching.releasing(s, mats.toSeq: _*)(
+      rules.reduce(_ union _).orderBy("merge_round"))
+  }
+
+  /** The DuckDB twin: identical rounds as generated CTEs. */
+  private def mergesSql: String = {
+    def round(r: Int): String =
+      s"""t$r AS (
+         |  SELECT doc_id, pos, tok,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx,
+         |         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM toks$r),
+         |best$r AS (
+         |  SELECT tok AS a, nxt AS b, CAST(count(*) AS BIGINT) AS pair_cnt
+         |  FROM t$r WHERE nxt IS NOT NULL GROUP BY tok, nxt
+         |  ORDER BY pair_cnt DESC, a ASC, b ASC LIMIT 1),
+         |mg$r AS (
+         |  SELECT doc_id, pos, idx, tok,
+         |         row_number() OVER (PARTITION BY doc_id, idx - rnm
+         |                            ORDER BY idx) AS rnrun
+         |  FROM (SELECT m.doc_id, m.pos, m.idx,
+         |               m.a || chr(31) || m.b AS tok,
+         |               row_number() OVER (PARTITION BY m.doc_id
+         |                                  ORDER BY m.idx) AS rnm
+         |        FROM (SELECT t.*, b.a, b.b FROM t$r t, best$r b
+         |              WHERE t.tok = b.a AND t.nxt = b.b) m)),
+         |mk$r AS (SELECT doc_id, pos, idx, tok FROM mg$r WHERE rnrun % 2 = 1),
+         |toks${r + 1} AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM t$r t
+         |  LEFT JOIN (SELECT doc_id, idx FROM mk$r
+         |             UNION ALL SELECT doc_id, idx + 1 FROM mk$r) c
+         |    ON t.doc_id = c.doc_id AND t.idx = c.idx
+         |  WHERE c.idx IS NULL
+         |  UNION ALL SELECT doc_id, pos, tok FROM mk$r)""".stripMargin
+    val rounds = (1 to Rounds).map(round).mkString(",\n")
+    val rules = (1 to Rounds).map(r =>
+      s"""SELECT CAST($r AS BIGINT) AS merge_round,
+         |       replace(a, chr(31), '+') AS tok_a,
+         |       replace(b, chr(31), '+') AS tok_b, pair_cnt
+         |FROM best$r""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |toks1 AS (
+       |  SELECT doc_id, i AS pos, ts[i + 1] AS tok
+       |  FROM w0, UNNEST(range(0, len(ts))) AS u(i)),
+       |$rounds
+       |$rules
+       |ORDER BY merge_round""".stripMargin
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q("text_bpe_merges", merges, Some(mergesSql))
+  )
+}

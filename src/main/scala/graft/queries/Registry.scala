@@ -45,7 +45,8 @@ object Registry {
     Events.qs,
     StreamingQueries.qs,
     Multimodal.qs,
-    Graph.qs
+    Graph.qs,
+    Bpe.qs
   )
 
   lazy val all: Seq[Q] = groups.flatten
