@@ -99,6 +99,43 @@ r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hkey ASC, doc_id A
       FROM h)
 SELECT doc_id, lang, hkey FROM r WHERE rn <= ceil(n * 0.1) ORDER BY doc_id""")),
 
+    // Importance-weighted Bernoulli sample: each document is kept with
+    // probability proportional to its own integer weight (a
+    // length-derived permille here; any bounded integer signal works),
+    // decided by comparing a salted portable hash of the doc id against
+    // the weight — the per-doc analog of the quota-driven domain mix.
+    // The draw uses the md5-based 60-bit hash (the KMV/CMS one), NOT
+    // the rolling tok_hash: the rolling hash of sequential ids is
+    // affine in the id, so its residues are consecutive — fine for
+    // the ORDER BY sampling above (rank statistics only need relative
+    // order), catastrophic for a fixed-threshold Bernoulli draw.
+    // Map-only and a pure function of (salt, doc_id, weight): stable
+    // under resharding, retries, and engine choice, so the sampled SET
+    // itself is oracle-checked, not just its size. At 100 TB this is a
+    // scan with zero shuffles; changing the temperature of the mix is
+    // a constant edit, not a re-randomization.
+    Q("curation_weighted_sample",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("weight_pm",
+            least(lit(900L), greatest(lit(100L), expr("n_chars div 4"))))
+          .withColumn("draw",
+            pmod(Sketches.h60(
+              concat(lit("wsample_"), col("doc_id").cast("string"))),
+              lit(1000L)))
+          .filter(col("draw") < col("weight_pm"))
+          .select("doc_id", "source", "weight_pm", "draw")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH w AS (
+  SELECT doc_id, source,
+         least(900, greatest(100, n_chars // 4)) AS weight_pm,
+         CAST(('0x' || substr(md5('wsample_' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 1000 AS draw
+  FROM documents)
+SELECT doc_id, source, weight_pm, draw FROM w
+WHERE draw < weight_pm ORDER BY doc_id""")),
+
     // Reproducible corpus shuffle + sharding: global training order =
     // ORDER BY salted hash (a distributed range-partitioned sort — no
     // single-task stage), shard = hash mod Shards so each of N readers

@@ -138,7 +138,67 @@ object Graph {
        |ORDER BY rank_ppb DESC, nationkey""".stripMargin
   }
 
+  /** graph_triangle_count: per-node triangle membership on the
+    * undirected, de-looped trade graph. Triangles are enumerated once
+    * each via the i<j<k orientation (two equi-joins, never a cross
+    * join), then credited to all three corners. At web scale the same
+    * plan holds with the standard refinement: orient each edge from
+    * lower- to higher-degree endpoint instead of by id, which bounds
+    * the join fan-out of hub vertices (the id orientation is the
+    * degree orientation's special case and keeps this fixture
+    * deterministic).
+    */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val (share, nodes, nst) = tradeGraph(s, d)
+    val und = share.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("i"),
+        greatest(col("src"), col("dst")).as("j"))
+      .distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.j") === col("e2.i"))
+      .join(und.as("e3"),
+        col("e1.i") === col("e3.i") && col("e2.j") === col("e3.j"))
+      .select(col("e1.i").as("a"), col("e1.j").as("b"), col("e2.j").as("c"))
+    val perNode = tri.select(col("a").as("node"))
+      .union(tri.select(col("b").as("node")))
+      .union(tri.select(col("c").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    graft.Caching.releasing(s, share, nodes, nst)(
+      nodes.join(perNode, Seq("node"), "left")
+        .select(col("node").as("nationkey"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        .orderBy(desc("n_triangles"), col("nationkey")))
+  }
+
+  private def trianglesSql: String =
+    s"""WITH edges AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS i, greatest(src, dst) AS j
+       |  FROM edges WHERE src <> dst),
+       |tri AS (
+       |  SELECT e1.i AS a, e1.j AS b, e2.j AS c
+       |  FROM und e1
+       |  JOIN und e2 ON e1.j = e2.i
+       |  JOIN und e3 ON e1.i = e3.i AND e2.j = e3.j),
+       |pern AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+       |  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+       |        UNION ALL SELECT c FROM tri)
+       |  GROUP BY node)
+       |SELECT n.node AS nationkey, coalesce(p.n_triangles, 0) AS n_triangles
+       |FROM nodes n LEFT JOIN pern p ON n.node = p.node
+       |ORDER BY n_triangles DESC, nationkey""".stripMargin
+
   def qs: Seq[Q] = Seq(
-    Q("graph_pagerank", pagerank, Some(pagerankSql))
+    Q("graph_pagerank", pagerank, Some(pagerankSql)),
+    Q("graph_triangle_count", triangles, Some(trianglesSql))
   )
 }

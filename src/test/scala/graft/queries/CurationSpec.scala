@@ -230,4 +230,20 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted sample acceptance tracks the total weight mass") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, TestSpark.Sf001)
+    val n = docs.count().toDouble
+    val expected = docs
+      .withColumn("w",
+        least(lit(900L), greatest(lit(100L), expr("n_chars div 4"))))
+      .agg(sum(col("w"))).head().getLong(0).toDouble / 1000.0
+    val kept = Registry.queries("curation_weighted_sample")(
+      spark, TestSpark.Sf001).count().toDouble
+    // Bernoulli with per-doc p: sd <= sqrt(n)/2; allow 4 sigma
+    val sd = math.sqrt(n) / 2
+    assert(math.abs(kept - expected) <= 4 * sd,
+      s"kept $kept, expected ~$expected (n=$n, 4sd=${4 * sd})")
+  }
+
 }
