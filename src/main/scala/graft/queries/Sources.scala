@@ -567,6 +567,49 @@ FROM f GROUP BY key_col ORDER BY key_col""")),
       },
       Some("SELECT * FROM part WHERE p_partkey % 2 = 0 ORDER BY p_partkey")),
 
+    // S11 XML source — the remaining enterprise interchange format
+    // (feeds, sitemaps, legacy exports), on Spark 4's native XML
+    // datasource. The fixture is synthesized from orders rows — one
+    // element per record with BOTH an attribute (id) and child
+    // elements, because attribute-vs-element mapping is where XML
+    // readers break — then read back with rowTag + an EXPLICIT schema
+    // (inference at 100 TB is an extra corpus pass; same rule as CSV/
+    // JSONL). Doubles travel as their cast-to-string shortest form, so
+    // parse-back is bit-exact and the oracle can recompute from the
+    // ORIGINAL table without ever seeing XML — a tag-routing or
+    // attribute-prefix bug breaks the hash.
+    Q("s11_xml_source",
+      (s, d) => graft.Scratch.withDir(s, "xml") { out =>
+        // XML demands ONE root per file (a file of concatenated row
+        // elements is malformed — the reader keeps the first and
+        // quarantines the rest), so the fixture writes one rooted
+        // document per shard via partitionBy: the real layout of
+        // feed/export interchange, with shard count sized so each
+        // document stays file-sized.
+        val elems = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+          .select(pmod(col("o_orderkey"), lit(8L)).as("shard"),
+            format_string(
+              "<order id=\"%d\"><status>%s</status><price>%s</price></order>",
+              col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast("string")).as("elem"))
+        elems.groupBy("shard")
+          .agg(concat(lit("<orders>"), concat_ws("", collect_list(col("elem"))),
+            lit("</orders>")).as("value"))
+          .write.partitionBy("shard").mode("overwrite").text(s"$out/orders_xml")
+        s.read.format("xml")
+          .option("rowTag", "order")
+          .schema("_id BIGINT, status STRING, price DOUBLE")
+          .load(s"$out/orders_xml")
+          .select(col("_id").as("o_orderkey"),
+            col("status").as("o_orderstatus"),
+            col("price").as("o_totalprice"))
+          .filter(col("o_totalprice") > 50000)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_orderkey % 7 = 0 AND o_totalprice > 50000 ORDER BY o_orderkey""")),
+
     // K11 dynamic partition overwrite — the daily-restate sink: rewrite
     // ONLY the partitions the new data touches (here: double the F
     // partition's totals), leaving every other partition's files
