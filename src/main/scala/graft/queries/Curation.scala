@@ -136,6 +136,46 @@ WITH w AS (
 SELECT doc_id, source, weight_pm, draw FROM w
 WHERE draw < weight_pm ORDER BY doc_id""")),
 
+    // URL structure extraction — the web-corpus curation primitive
+    // (domain-level dedup keys, per-site mixing quotas, tracking-param
+    // scrubbing all start here). URLs are synthesized from document
+    // rows, parsed with Spark's parse_url (host / path / one query
+    // param), then rolled up per host. The oracle re-parses with
+    // DuckDB regexps — a genuinely different implementation — so the
+    // differential catches parser quirks instead of sharing them.
+    // Map-only until the one host-keyed rollup shuffle.
+    Q("curation_url_domain",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("url", format_string(
+            "https://%s.site-%d.example.com/docs/%d/view?ref=feed&page=%d",
+            col("source"), pmod(col("doc_id"), lit(7L)), col("doc_id"),
+            pmod(col("doc_id"), lit(13L))))
+          .withColumn("host", expr("parse_url(url, 'HOST')"))
+          .withColumn("path", expr("parse_url(url, 'PATH')"))
+          .withColumn("page",
+            expr("cast(parse_url(url, 'QUERY', 'page') as bigint)"))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_docs"), sum("page").as("page_sum"),
+            max("path").as("max_path"))
+          .orderBy("host")
+      },
+      Some("""
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.site-' || (doc_id % 7)::VARCHAR ||
+         '.example.com/docs/' || doc_id::VARCHAR || '/view?ref=feed&page=' ||
+         (doc_id % 13)::VARCHAR AS url
+  FROM documents),
+p AS (
+  SELECT regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+         regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+         CAST(regexp_extract(url, '[?&]page=([0-9]+)', 1) AS BIGINT) AS page
+  FROM u)
+SELECT host, count(*)::BIGINT AS n_docs,
+       CAST(sum(page) AS BIGINT) AS page_sum, max(path) AS max_path
+FROM p GROUP BY host ORDER BY host""")),
+
     // Reproducible corpus shuffle + sharding: global training order =
     // ORDER BY salted hash (a distributed range-partitioned sort — no
     // single-task stage), shard = hash mod Shards so each of N readers
