@@ -621,7 +621,73 @@ rr AS (SELECT sl.q_id, sl.c_id,
                     (sl.qnrm * c.nrm), 6) AS cos
        FROM shortlist sl JOIN e c ON sl.c_id = c.vec_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM rr)
-SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""))
+SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
+
+    // Hybrid retrieval — reciprocal-rank fusion of the lexical (BM25)
+    // and semantic (embedding-cosine) rankings, the standard way a
+    // production search stack combines the two signal families without
+    // calibrating their incomparable scores. Each arm ranks its own
+    // top-20 (TakeOrdered — only k rows ever cross a stage boundary),
+    // the arms FULL-OUTER join on the doc id (docs found by only one
+    // arm keep that arm's contribution), and rrf = Σ 1/(60 + rank) is
+    // summed over exactly two fixed-order terms — rank integers in,
+    // deterministic double out, so the fused list is hash-gateable.
+    // At scale each arm is its own bounded plan (BM25: one corpus-stat
+    // broadcast; cosine: map-side kernel vs a broadcast query vector)
+    // and the fusion joins two k-row lists — negligible at any corpus
+    // size.
+    Q("simsearch_hybrid_rrf",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
+        val lex = TextAnalysis.bm25Scored(s, d)
+          .withColumn("lex_rn", row_number().over(wLex).cast("long"))
+          .filter(col("lex_rn") <= 20).select("doc_id", "lex_rn")
+        val emb = Tables.embeddings(s, d)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_emb"))
+          .withColumn("q_norm", expr("norm_f(q_emb)"))
+        val wSem = Window.orderBy(col("cos").desc, col("doc_id").asc)
+        val sem = emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(expr("dot_f(q_emb, embedding)") /
+              (col("q_norm") * expr("norm_f(embedding)")), 6).as("cos"))
+          .withColumn("sem_rn", row_number().over(wSem).cast("long"))
+          .filter(col("sem_rn") <= 20).select("doc_id", "sem_rn")
+        val wOut = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (lit(60L) + col("lex_rn")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60L) + col("sem_rn")), lit(0.0)), 6))
+          .withColumn("rn", row_number().over(wOut).cast("long"))
+          .filter(col("rn") <= 10)
+          .select("doc_id", "lex_rn", "sem_rn", "rrf", "rn")
+          .orderBy("rn")
+      },
+      Some(s"""
+WITH ${TextAnalysis.bm25ScoredSql},
+lex AS (SELECT doc_id, lex_rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rn
+    FROM sc) WHERE lex_rn <= 20),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qv AS (SELECT v AS qv, sqrt(list_sum(list_transform(v, x -> x*x))) AS qnrm
+       FROM e0 WHERE vec_id = 0),
+cosd AS (SELECT vec_id AS doc_id,
+                round(list_sum(list_transform(range(1, len(v)+1), i -> qv[i] * v[i])) /
+                      (qnrm * sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS cos
+         FROM e0 CROSS JOIN qv WHERE vec_id <> 0),
+sem AS (SELECT doc_id, sem_rn FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS sem_rn
+    FROM cosd) WHERE sem_rn <= 20),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id, lex_rn, sem_rn,
+         round(coalesce(1.0::DOUBLE / (60 + lex_rn), 0.0)
+             + coalesce(1.0::DOUBLE / (60 + sem_rn), 0.0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, lex_rn, sem_rn, rrf, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
+WHERE rn <= 10 ORDER BY rn"""))
   )
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe and

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -327,39 +327,59 @@ GROUP BY td.doc_id ORDER BY doc_id""")),
     // engine-exact; ln() is the one libm call, absorbed by round(…,4).
     Q("text_bm25_topk",
       (s, d) => {
-        val toks = split(col("text"), " ")
-        def tf(t: String) =
-          size(filter(toks, x => x === t)).cast("long")
-        val base = Tables.documents(s, d)
-          .select(col("doc_id"), size(toks).cast("long").as("dl"),
-            tf("vector").as("f1"), tf("stream").as("f2"),
-            tf("merge").as("f3"))
-        val stats = base.agg(
-          count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
-          sum((col("f1") > 0).cast("long")).as("df1"),
-          sum((col("f2") > 0).cast("long")).as("df2"),
-          sum((col("f3") > 0).cast("long")).as("df3"))
-        def idf(dfc: Column) =
-          log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
-        def wgt(f: Column) =
-          f.cast("double") * lit(2.2) /
-            (f.cast("double") +
-              lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-        val scored = base.crossJoin(broadcast(stats))
-          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
-          .withColumn("score", round(
-            idf(col("df1")) * wgt(col("f1")) +
-              idf(col("df2")) * wgt(col("f2")) +
-              idf(col("df3")) * wgt(col("f3")), 4))
-          .select("doc_id", "score")
+        val scored = bm25Scored(s, d)
           .orderBy(col("score").desc, col("doc_id").asc).limit(10)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col("doc_id").asc)
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .orderBy("rn")
       },
-      Some("""
-WITH b AS (
+      Some(s"""
+WITH $bm25ScoredSql
+SELECT doc_id, score, rn FROM (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sc)
+WHERE rn <= 10 ORDER BY rn"""))
+  )
+
+  /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared
+    * by text_bm25_topk and the hybrid RRF fusion
+    * (SimilaritySearch.scala). Returns (doc_id, score), unlimited; the
+    * callers rank/cut. Corpus stats are ONE 1-row aggregate broadcast
+    * back; term contributions sum in a fixed written order so the
+    * double is deterministic.
+    */
+  private[queries] def bm25Scored(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def tf(t: String) =
+      size(filter(toks, x => x === t)).cast("long")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks).cast("long").as("dl"),
+        tf("vector").as("f1"), tf("stream").as("f2"),
+        tf("merge").as("f3"))
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+      sum((col("f1") > 0).cast("long")).as("df1"),
+      sum((col("f2") > 0).cast("long")).as("df2"),
+      sum((col("f3") > 0).cast("long")).as("df3"))
+    def idf(dfc: Column) =
+      log((col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5)) + lit(1.0))
+    def wgt(f: Column) =
+      f.cast("double") * lit(2.2) /
+        (f.cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("score", round(
+        idf(col("df1")) * wgt(col("f1")) +
+          idf(col("df2")) * wgt(col("f2")) +
+          idf(col("df3")) * wgt(col("f3")), 4))
+      .select("doc_id", "score")
+  }
+
+  /** The DuckDB CTE fragment computing [[bm25Scored]] as `sc`. */
+  private[queries] val bm25ScoredSql: String = """b AS (
   SELECT doc_id, len(string_split(text, ' '))::BIGINT AS dl,
     len(list_filter(string_split(text, ' '), t -> t = 'vector'))::BIGINT AS f1,
     len(list_filter(string_split(text, ' '), t -> t = 'stream'))::BIGINT AS f2,
@@ -378,11 +398,5 @@ sc AS (
         * (f2 * 2.2 / (f2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
     + ln((n_docs - df3 + 0.5) / (df3 + 0.5) + 1.0)
         * (f3 * 2.2 / (f3 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))), 4) AS score
-  FROM b CROSS JOIN st)
-SELECT doc_id, score, rn FROM (
-  SELECT doc_id, score,
-         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
-  FROM sc)
-WHERE rn <= 10 ORDER BY rn"""))
-  )
+  FROM b CROSS JOIN st)"""
 }
