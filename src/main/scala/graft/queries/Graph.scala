@@ -148,9 +148,13 @@ object Graph {
     * degree orientation's special case and keeps this fixture
     * deterministic).
     */
-  def triangles(s: SparkSession, d: String): DataFrame = {
-    val (share, nodes, nst) = tradeGraph(s, d)
-    val und = share.filter(col("src") =!= col("dst"))
+  /** Per-node triangle membership over directed `edges` (src, dst) and
+    * a `nodes` (node) universe — the core shared by the query and the
+    * crafted-graph differential spec.
+    */
+  private[queries] def triangleCounts(edges: DataFrame, nodes: DataFrame)
+      : DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("i"),
         greatest(col("src"), col("dst")).as("j"))
       .distinct()
@@ -163,11 +167,16 @@ object Graph {
       .union(tri.select(col("b").as("node")))
       .union(tri.select(col("c").as("node")))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node").as("nationkey"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy(desc("n_triangles"), col("nationkey"))
+  }
+
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    val (share, nodes, nst) = tradeGraph(s, d)
     graft.Caching.releasing(s, share, nodes, nst)(
-      nodes.join(perNode, Seq("node"), "left")
-        .select(col("node").as("nationkey"),
-          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
-        .orderBy(desc("n_triangles"), col("nationkey")))
+      triangleCounts(share.select("src", "dst"), nodes))
   }
 
   private def trianglesSql: String =

@@ -33,6 +33,35 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle counts match brute force on a crafted graph") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (every node in 3 triangles), a pendant 3->4
+    // (zero triangles), an isolated edge 5-6, self-loop and duplicate/
+    // reversed edges that must not double-count
+    val edges = Seq(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L),
+      (3L, 4L), (5L, 6L), (6L, 5L), (2L, 0L), (4L, 4L))
+      .toDF("src", "dst")
+    val nodes = (0L to 6L).toDF("node")
+    val got = Graph.triangleCounts(edges, nodes)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // brute force over the cleaned undirected graph
+    val und = edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val ns = (0L to 6L).toSeq
+    val want = ns.map { n =>
+      n -> ns.combinations(2).count { case Seq(x, y) =>
+        x != n && y != n &&
+          und((math.min(x, y), math.max(x, y))) &&
+          und((math.min(n, x), math.max(n, x))) &&
+          und((math.min(n, y), math.max(n, y)))
+      }.toLong
+    }.toMap
+    assert(got == want, s"got $got want $want")
+  }
+
   test("integer arithmetic makes the result parallelism-invariant") {
     // the determinism claim in the scaladoc, tested: a different
     // partition count must reduce in a different order yet produce
