@@ -639,10 +639,15 @@ SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
     Q("simsearch_hybrid_rrf",
       (s, d) => {
         VectorExpressions.register(s)
+        // each arm cuts to top-20 via orderBy+limit FIRST (TakeOrdered
+        // — distributed, k rows cross the stage) and only then ranks
+        // with a window: a global row_number over the full scored
+        // corpus would funnel every doc through one task
         val wLex = Window.orderBy(col("score").desc, col("doc_id").asc)
         val lex = TextAnalysis.bm25Scored(s, d)
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
           .withColumn("lex_rn", row_number().over(wLex).cast("long"))
-          .filter(col("lex_rn") <= 20).select("doc_id", "lex_rn")
+          .select("doc_id", "lex_rn")
         val emb = Tables.embeddings(s, d)
         val qv = emb.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_emb"))
@@ -653,8 +658,9 @@ SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
           .select(col("vec_id").as("doc_id"),
             round(expr("dot_f(q_emb, embedding)") /
               (col("q_norm") * expr("norm_f(embedding)")), 6).as("cos"))
+          .orderBy(col("cos").desc, col("doc_id").asc).limit(20)
           .withColumn("sem_rn", row_number().over(wSem).cast("long"))
-          .filter(col("sem_rn") <= 20).select("doc_id", "sem_rn")
+          .select("doc_id", "sem_rn")
         val wOut = Window.orderBy(col("rrf").desc, col("doc_id").asc)
         lex.join(sem, Seq("doc_id"), "full_outer")
           .withColumn("rrf", round(
