@@ -62,6 +62,36 @@ SELECT vec_id, idx, q FROM (
                            ELSE CAST(floor(v[i] / scale + 0.5) AS BIGINT) END}),
          recursive := true)
   FROM e)
+ORDER BY vec_id, idx""")),
+
+    // Matryoshka truncation — serve a cheaper retrieval tier from the
+    // PREFIX of each embedding (the nesting property MRL-style models
+    // train for): keep the first 16 dims and re-unit-normalize, so
+    // the truncated dot product is again a cosine. Map-only at any
+    // scale; the 4× dim cut compounds with int8 quantization for the
+    // coarse tier that PQ/IVF then re-ranks. Verified component-wise
+    // like emb_normalize (float→double is exact, so both engines see
+    // identical inputs).
+    Q("emb_matryoshka_truncate",
+      (s, d) => {
+        VectorExpressions.register(s)
+        Tables.embeddings(s, d)
+          .withColumn("tr", slice(col("embedding"), 1, 16))
+          .withColumn("nrm", expr("norm_f(tr)"))
+          .select(col("vec_id"), col("nrm"),
+            posexplode(col("tr").cast("array<double>")))
+          .select(col("vec_id"), col("pos").cast("long").as("idx"),
+            round(col("col") / col("nrm"), 6).as("val"))
+          .orderBy("vec_id", "idx")
+      },
+      Some("""
+WITH e AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v,
+                  sqrt(list_sum(list_transform((embedding::DOUBLE[])[1:16], x -> x*x))) AS nrm
+           FROM embeddings)
+SELECT vec_id, idx, val FROM (
+  SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
+           i -> {'idx': i - 1, 'val': round(v[i] / nrm, 6)}), recursive := true)
+  FROM e)
 ORDER BY vec_id, idx"""))
   )
 }

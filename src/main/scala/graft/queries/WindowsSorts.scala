@@ -401,6 +401,100 @@ SELECT user_id, count(*) AS n_hours, count(v) AS n_observed,
        CAST(sum(filled) AS DOUBLE) AS filled_sum
 FROM filled GROUP BY user_id ORDER BY user_id""")),
 
+    // Linear interpolation on the densified grid — the resample mode
+    // LOCF can't provide (sensor/metric series): a missing hour
+    // strictly between two observations gets prev + (next-prev) *
+    // elapsed-fraction; hours outside the observed range stay null.
+    // Bracketing observations come from the same one window pass
+    // family as w7/w8 (last/first ignoreNulls over the user-keyed
+    // grid). The interpolated double is a FIXED expression of exact
+    // decimals and integer second-diffs, and the per-user checksum
+    // rounds to decimal(18,6) BEFORE summing, so the aggregate is
+    // order-insensitive and hash-stable at any parallelism.
+    Q("w11_linear_interpolate",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(sum(col("value").cast("decimal(18,2)")).as("v"))
+        val grid = ev.groupBy("user_id")
+          .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"),
+              expr("INTERVAL 1 HOUR"))).as("h"))
+        val wb = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wf = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        grid.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("pv", last("v", ignoreNulls = true).over(wb))
+          .withColumn("ph",
+            last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wb))
+          .withColumn("nv", first("v", ignoreNulls = true).over(wf))
+          .withColumn("nh",
+            first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wf))
+          // exact integer interpolation in micro-units: cents-scaled
+          // bigints and integer div (all values non-negative, so floor
+          // == truncation) — double round(x, 6) has engine-specific
+          // tie behavior, measured 1e-6 apart on this fixture
+          .withColumn("pvc", (col("pv") * 100).cast("long"))
+          .withColumn("nvc", (col("nv") * 100).cast("long"))
+          .withColumn("ds",
+            unix_timestamp(col("h")) - unix_timestamp(col("ph")))
+          .withColumn("dt",
+            unix_timestamp(col("nh")) - unix_timestamp(col("ph")))
+          .withColumn("interp_u6", when(
+            col("v").isNull && col("pv").isNotNull && col("nv").isNotNull,
+            expr("(pvc * 10000L * dt + (nvc - pvc) * 10000L * ds) div dt")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_hours"), count(col("v")).as("n_observed"),
+            count(col("interp_u6")).as("n_interp"),
+            (sum(col("interp_u6")).cast("double") / lit(1000000.0))
+              .as("interp_sum"))
+          .orderBy("user_id")
+      },
+      Some("""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         sum(CAST(value AS DECIMAL(18,2))) AS v
+  FROM events GROUP BY user_id, date_trunc('hour', CAST(ts AS TIMESTAMP))),
+bounds AS (
+  SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS h0,
+         date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS h1
+  FROM events GROUP BY user_id),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+br AS (
+  SELECT g.user_id, g.h, hourly.v,
+         last_value(hourly.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN hourly.v IS NOT NULL THEN g.h END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+         first_value(hourly.v IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN hourly.v IS NOT NULL THEN g.h END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+  FROM grid g LEFT JOIN hourly ON g.user_id = hourly.user_id AND g.h = hourly.h),
+it AS (
+  SELECT user_id, h, v,
+         CASE WHEN v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL THEN
+           (CAST(pv * 100 AS BIGINT) * 10000 * date_diff('second', ph, nh)
+            + (CAST(nv * 100 AS BIGINT) - CAST(pv * 100 AS BIGINT)) * 10000
+              * date_diff('second', ph, h))
+           // date_diff('second', ph, nh)
+         END AS interp_u6
+  FROM br)
+SELECT user_id, count(*) AS n_hours, count(v) AS n_observed,
+       count(interp_u6) AS n_interp,
+       CAST(sum(interp_u6) AS DOUBLE) / 1000000.0 AS interp_sum
+FROM it GROUP BY user_id ORDER BY user_id""")),
+
     // Scalable GLOBAL row numbering (beyond the ∅-list): a bare
     // row_number() over an unpartitioned window collapses the whole
     // dataset into ONE task — the canonical local-mode-works,
