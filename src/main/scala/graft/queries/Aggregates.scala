@@ -359,6 +359,31 @@ GROUP BY c_nationkey ORDER BY c_nationkey""")),
     // and the final (x-µ)/σ, identical on both engines under
     // round(…,6). Stats broadcast back onto the rows: two passes, one
     // tiny join, no window over the full data.
+    // Activity bitmaps — the retention/engagement primitive: one
+    // BIGINT per user packs 30 days of presence (bit i = active on
+    // day i+1), built by the bit_or aggregate. Bitwise agg is
+    // associative/commutative (map-side combinable, merge = OR), the
+    // per-user state is 8 bytes at any event volume, and downstream
+    // set algebra (cohort intersect = AND, churn = ANDNOT) never
+    // touches the raw events again. bit_count gives active-day counts
+    // without unpacking.
+    Q("a21_activity_bitmap",
+      (s, d) => {
+        Tables.events(s, d)
+          .select(col("user_id"),
+            expr("shiftleft(1L, day(ts) - 1)").as("daybit"))
+          .groupBy("user_id").agg(expr("bit_or(daybit)").as("bitmap"))
+          .select(col("user_id"), col("bitmap"),
+            expr("cast(bit_count(bitmap) as bigint)").as("n_active_days"),
+            (col("bitmap").bitwiseAND(lit(127L)) =!= 0).as("active_week1"))
+          .orderBy("user_id")
+      },
+      Some("""
+SELECT user_id, bit_or(1::BIGINT << (date_part('day', CAST(ts AS TIMESTAMP)) - 1)) AS bitmap,
+       bit_count(bit_or(1::BIGINT << (date_part('day', CAST(ts AS TIMESTAMP)) - 1)))::BIGINT AS n_active_days,
+       (bit_or(1::BIGINT << (date_part('day', CAST(ts AS TIMESTAMP)) - 1)) & 127) <> 0 AS active_week1
+FROM events GROUP BY user_id ORDER BY user_id""")),
+
     Q("a18_zscore_normalize",
       (s, d) => {
         val v = col("value").cast("decimal(18,2)")

@@ -46,7 +46,11 @@ object Bpe {
 
   private val Rounds = 3
 
-  def merges(s: SparkSession, d: String): DataFrame = {
+  /** Run the full training loop: per-round rule rows, the final token
+    * table, and the materialized intermediates the caller must release.
+    */
+  private def train(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame, Seq[DataFrame]) = {
     val sep = "chr(31)"
     var toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -89,12 +93,38 @@ object Bpe {
           when(col("merged"), concat(col("a"), expr(sep), col("b")))
             .otherwise(col("tok")).as("tok"))
     }
-    graft.Caching.releasing(s, mats.toSeq: _*)(
+    (rules.toSeq, toks, mats.toSeq)
+  }
+
+  def merges(s: SparkSession, d: String): DataFrame = {
+    val (rules, _, mats) = train(s, d)
+    graft.Caching.releasing(s, mats: _*)(
       rules.reduce(_ union _).orderBy("merge_round"))
   }
 
+  /** text_bpe_encode — the APPLY side of the tokenizer story: run the
+    * learned merges over the corpus and report each document's token
+    * count before/after plus the corpus-level compression. Same plan
+    * as training (the final token table already exists when the rules
+    * do); the before/after rollups are two doc-keyed aggregations.
+    * The compression ratio is one double division of exact bigints.
+    */
+  def encode(s: SparkSession, d: String): DataFrame = {
+    val (_, toks, mats) = train(s, d)
+    val before = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_before"))
+    val after = toks.groupBy("doc_id").agg(count(lit(1)).as("n_after"))
+    graft.Caching.releasing(s, mats: _*)(
+      before.join(after, Seq("doc_id"))
+        .select(col("doc_id"), col("n_before"), col("n_after"),
+          round(col("n_after").cast("double") / col("n_before"), 6)
+            .as("ratio"))
+        .orderBy("doc_id"))
+  }
+
   /** The DuckDB twin: identical rounds as generated CTEs. */
-  private def mergesSql: String = {
+  private def cteBlock: String = {
     def round(r: Int): String =
       s"""t$r AS (
          |  SELECT doc_id, pos, tok,
@@ -124,21 +154,36 @@ object Bpe {
          |  WHERE c.idx IS NULL
          |  UNION ALL SELECT doc_id, pos, tok FROM mk$r)""".stripMargin
     val rounds = (1 to Rounds).map(round).mkString(",\n")
+    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |toks1 AS (
+       |  SELECT doc_id, i AS pos, ts[i + 1] AS tok
+       |  FROM w0, UNNEST(range(0, len(ts))) AS u(i)),
+       |$rounds""".stripMargin
+  }
+
+  private def mergesSql: String = {
     val rules = (1 to Rounds).map(r =>
       s"""SELECT CAST($r AS BIGINT) AS merge_round,
          |       replace(a, chr(31), '+') AS tok_a,
          |       replace(b, chr(31), '+') AS tok_b, pair_cnt
          |FROM best$r""".stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-       |toks1 AS (
-       |  SELECT doc_id, i AS pos, ts[i + 1] AS tok
-       |  FROM w0, UNNEST(range(0, len(ts))) AS u(i)),
-       |$rounds
+    s"""$cteBlock
        |$rules
        |ORDER BY merge_round""".stripMargin
   }
 
+  private def encodeSql: String =
+    s"""$cteBlock
+       |SELECT b.doc_id, n_before, n_after,
+       |       round(CAST(n_after AS DOUBLE) / n_before, 6) AS ratio
+       |FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_before
+       |      FROM toks1 GROUP BY doc_id) b
+       |JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after
+       |      FROM toks${Rounds + 1} GROUP BY doc_id) a ON b.doc_id = a.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   def qs: Seq[Q] = Seq(
-    Q("text_bpe_merges", merges, Some(mergesSql))
+    Q("text_bpe_merges", merges, Some(mergesSql)),
+    Q("text_bpe_encode", encode, Some(encodeSql))
   )
 }
