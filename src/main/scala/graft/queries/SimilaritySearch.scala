@@ -254,6 +254,47 @@ ${p}_asg AS (SELECT vec_id, cent_id AS cell FROM (
     FROM $e CROSS JOIN ${p}_cent)
   WHERE rnc = 1)"""
 
+  /** IVF nprobe=1 top-5 oracle text — also the approximate arm of
+    * simsearch_recall_report.
+    */
+  private def ivfNprobe1Sql: String = s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
+asg AS (
+  SELECT vec_id, v, nrm, cent_id AS cell FROM (
+    SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                        i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
+             cent.cent_id ASC) AS rnc
+    FROM e CROSS JOIN cent)
+  WHERE rnc = 1),
+q AS (SELECT vec_id AS q_id, v, nrm, cell FROM asg WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, v, nrm, cell FROM asg WHERE vec_id >= 10),
+p AS (SELECT q.q_id, c.c_id, q.cell,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+      FROM q JOIN c ON q.cell = c.cell),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
+
+  /** Brute-force top-5 oracle text — also the ground-truth arm of
+    * simsearch_recall_report.
+    */
+  private val bruteTopkSql: String = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+           FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+      FROM embeddings WHERE vec_id >= 10),
+p AS (SELECT q.q_id, c.c_id,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+      FROM q CROSS JOIN c),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
+SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn"""
+
   def qs: Seq[Q] = Seq(
     // Brute-force cosine top-k: exact kNN baseline
     Q("simsearch_bruteforce_topk",
@@ -277,19 +318,7 @@ ${p}_asg AS (SELECT vec_id, cent_id AS cell FROM (
             col("rn").cast("long").as("rn"))
           .orderBy("q_id", "rn")
       },
-      Some("""
-WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS v,
-                  sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
-           FROM embeddings WHERE vec_id < 10),
-c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS v,
-             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
-      FROM embeddings WHERE vec_id >= 10),
-p AS (SELECT q.q_id, c.c_id,
-             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
-                   (q.nrm * c.nrm), 6) AS cos
-      FROM q CROSS JOIN c),
-r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
-SELECT q_id, c_id, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
+      Some(bruteTopkSql)),
 
     // LSH-bucketed ANN: candidates restricted to the query's bucket,
     // exact cosine re-rank inside it
@@ -377,26 +406,7 @@ SELECT q_id, c_id, bkt, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
             col("rn").cast("long").as("rn"))
           .orderBy("q_id", "rn")
       },
-      Some(s"""
-WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
-asg AS (
-  SELECT vec_id, v, nrm, cent_id AS cell FROM (
-    SELECT e.vec_id, e.v, e.nrm, cent.cent_id,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
-                        i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
-             cent.cent_id ASC) AS rnc
-    FROM e CROSS JOIN cent)
-  WHERE rnc = 1),
-q AS (SELECT vec_id AS q_id, v, nrm, cell FROM asg WHERE vec_id < 10),
-c AS (SELECT vec_id AS c_id, v, nrm, cell FROM asg WHERE vec_id >= 10),
-p AS (SELECT q.q_id, c.c_id, q.cell,
-             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
-                   (q.nrm * c.nrm), 6) AS cos
-      FROM q JOIN c ON q.cell = c.cell),
-r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn FROM p)
-SELECT q_id, c_id, cell, cos, rn FROM r WHERE rn <= 5 ORDER BY q_id, rn""")),
+      Some(ivfNprobe1Sql)),
 
     // IVF multi-probe: same index, nprobe=2 — queries search their TWO
     // nearest cells while the candidate side stays assigned to one.
@@ -693,7 +703,42 @@ fused AS (
   FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
 SELECT doc_id, lex_rn, sem_rn, rrf, rn FROM (
   SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused)
-WHERE rn <= 10 ORDER BY rn"""))
+WHERE rn <= 10 ORDER BY rn""")),
+
+    // ANN evaluation as a first-class data op: recall@5 of the IVF
+    // nprobe=1 arm against the brute-force ground truth, per query.
+    // The quality dial of every approximate index (nprobe, bands,
+    // quantizer) needs a continuously-computable recall number — at
+    // scale this runs on a sampled query set right after index build,
+    // the same shape as here. Both arms are the registered queries
+    // themselves (one k-row list each), so the report joins 2×k rows
+    // per query; recall is an exact integer count over k with one
+    // final division. The spec-level recall FLOORS stay in
+    // SimilaritySearchSpec; this query makes the measurement itself
+    // reproducible and oracle-checked.
+    Q("simsearch_recall_report",
+      (s, d) => {
+        def arm(n: String) = qs.find(_.name == n).get.fn(s, d)
+        val brute = arm("simsearch_bruteforce_topk")
+          .select(col("q_id"), col("c_id"))
+        val ivf = arm("simsearch_ivf_bucketed")
+          .select(col("q_id").as("iq"), col("c_id").as("ic"))
+        brute.join(ivf,
+          col("q_id") === col("iq") && col("c_id") === col("ic"), "left")
+          .groupBy("q_id")
+          .agg(count(col("ic")).as("n_match"))
+          .select(col("q_id"), col("n_match"),
+            (col("n_match").cast("double") / lit(5.0)).as("recall_at_5"))
+          .orderBy("q_id")
+      },
+      Some(s"""
+WITH brute AS ($bruteTopkSql),
+ivf AS ($ivfNprobe1Sql)
+SELECT brute.q_id, CAST(count(ivf.c_id) AS BIGINT) AS n_match,
+       CAST(count(ivf.c_id) AS DOUBLE) / 5.0 AS recall_at_5
+FROM brute LEFT JOIN ivf
+  ON brute.q_id = ivf.q_id AND brute.c_id = ivf.c_id
+GROUP BY brute.q_id ORDER BY brute.q_id"""))
   )
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe and
