@@ -92,6 +92,11 @@ object Bpe {
         .select(col("doc_id"), col("pos"),
           when(col("merged"), concat(col("a"), expr(sep), col("b")))
             .otherwise(col("tok")).as("tok"))
+      // checkpoint the round output: round r's argmax materialization
+      // must otherwise re-execute every earlier round's window chain
+      // (O(R^2) chain executions across the loop)
+      toks = graft.Caching.materialize(s, toks)
+      mats += toks
     }
     (rules.toSeq, toks, mats.toSeq)
   }
