@@ -323,6 +323,55 @@ ORDER BY p_id""")),
     // The final estimate applies the SAME expression as the batch
     // operator (a15) to the drained state, and the oracle is the batch
     // KMV over (event_type, user_id) — stream must equal batch.
+    // Streaming heavy hitters by the a20 pattern, across micro-batches:
+    // bounded Misra-Gries state per event_type nominates candidates
+    // while the stream runs (state = 128 counters per key, any stream
+    // length); ONE batch verification pass then computes exact counts
+    // for just the candidates, so the final answer is exact and
+    // independent of arrival order, partitioning, AND the redelivery
+    // the fixture deliberately replays (MG is duplicate-sensitive, but
+    // uniform redelivery scales both sides of the absence bound — the
+    // candidate superset guarantee survives; the scaladoc on
+    // heavyHitterCandidates carries the arithmetic).
+    Q("st10_streaming_heavy_hitters",
+      (s, d) => graft.Scratch.withDir(s, "sthh") { root =>
+        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(d, s"$root/in", "b.parquet") // redelivery
+        val itemOf = "cast(floor(sqrt(pmod(user_id, 10000))) as long)"
+        val src = EventsStream.readEvents(s, s"$root/in")
+          .withColumn("item", expr(itemOf))
+        val cands = EventsStream.heavyHitterCandidates(s, src)
+        withStatePartitions(s, 8)(
+          EventsStream.drainToMemory(cands, "st10_hh", s"$root/ck",
+            org.apache.spark.sql.streaming.OutputMode.Update()))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy(col("updates").desc)
+        val last = s.table("st10_hh")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("grp").as("event_type"),
+            explode(col("candidates")).as("item"))
+        val ev = graft.Tables.events(s, d)
+          .select(col("event_type"), expr(itemOf).as("item"))
+        val tot = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        ev.join(broadcast(last), Seq("event_type", "item"))
+          .groupBy("event_type", "item").agg(count(lit(1)).as("cnt"))
+          .join(broadcast(tot), Seq("event_type"))
+          .filter(col("cnt") * 64 > col("n"))
+          .select("event_type", "item", "cnt")
+          .orderBy("event_type", "item")
+      },
+      Some("""
+WITH it AS (
+  SELECT event_type, CAST(floor(sqrt(user_id % 10000)) AS BIGINT) AS item
+  FROM events),
+tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM it GROUP BY event_type)
+SELECT it.event_type, item, CAST(count(*) AS BIGINT) AS cnt
+FROM it JOIN tot ON it.event_type = tot.event_type
+GROUP BY it.event_type, item, tot.n
+HAVING CAST(count(*) AS BIGINT) * 64 > tot.n
+ORDER BY it.event_type, item""")),
+
     Q("st8_streaming_kmv",
       (s, d) => graft.Scratch.withDir(s, "stkmv") { root =>
         copyEvents(d, s"$root/in", "a.parquet")

@@ -218,6 +218,53 @@ object EventsStream extends Serializable {
       .toDF("grp", "updates", "n_kept", "hk")
   }
 
+  /** Streaming heavy-hitter CANDIDATES per event type — bounded
+    * Misra-Gries state in mapGroupsWithState (the streaming member of
+    * the a20 family): each batch folds its items into a ≤[[HhK]]-entry
+    * counter map; survivors are emitted as the candidate list. The
+    * summary itself is arrival-order-dependent and duplicate-SENSITIVE
+    * (unlike KMV), but the frequent-items guarantee survives both:
+    * an item absent from the final state has (possibly redelivered)
+    * stream frequency ≤ n/(k+1), and uniform redelivery scales both
+    * sides of that bound — so the candidate list stays a PROVEN
+    * superset of the true heavy hitters and the consumer's exact
+    * verification pass (st10) yields an answer independent of
+    * ordering, partitioning, and redelivery. State per key is k
+    * counters at any stream length.
+    */
+  def heavyHitterCandidates(spark: SparkSession, events: DataFrame)
+      : DataFrame = {
+    import spark.implicits._
+    val k = HhK
+    val typed = events.select(col("event_type"), col("item"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Map[Long, Long]), (String, Long, Seq[Long])](
+        GroupStateTimeout.NoTimeout) {
+        case (grp, rows, state) =>
+          val (updates, prev) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
+          val m = scala.collection.mutable.HashMap.from(prev)
+          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
+          rows.foreach { case (_, item) =>
+            m.get(item) match {
+              case Some(c) => m.update(item, c + 1)
+              case None if m.size < k => m.update(item, 1L)
+              case None =>
+                dead.clear()
+                for ((key, c) <- m)
+                  if (c == 1L) dead += key else m.update(key, c - 1)
+                dead.foreach(m.remove)
+            }
+          }
+          val next = m.toMap
+          state.update((updates + 1, next))
+          (grp, updates + 1, next.keys.toSeq.sorted)
+      }
+      .toDF("grp", "updates", "candidates")
+  }
+
+  val HhK = 128 // MG capacity: 2x the 1/64 verification bar
+
   /** Streaming duplicate suppression — the streaming twin of the batch
     * dedup family (north-star) and of the reference's "skip what was
     * already ingested" semantics: redeliveries of an event inside the
