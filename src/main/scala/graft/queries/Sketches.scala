@@ -246,18 +246,22 @@ ORDER BY cnt DESC, token"""))
 
   private[graft] val MgK = 256 // Misra-Gries capacity: 4x the 1/64 bar
 
-  /** Misra-Gries frequent-items summary of one partition: at most `k`
-    * counters; when a new item arrives at capacity, ALL counters drop
-    * by one (each decrement cancels one prior increment, so the scan
-    * is amortized O(1) per item) and zeroed entries free their slot.
-    * Survivors satisfy count(t) >= freq(t) - n/(k+1); contrapositive:
-    * anything frequent enough survives. Memory is <= k entries no
-    * matter the partition size.
+  /** Misra-Gries frequent-items fold: at most `k` counters; when a new
+    * item arrives at capacity, ALL counters drop by one (each decrement
+    * cancels one prior increment, so the scan is amortized O(1) per
+    * item) and zeroed entries free their slot. Survivors satisfy
+    * count(t) >= freq(t) - n/(k+1); contrapositive: anything frequent
+    * enough survives. Memory is <= k entries no matter the input size.
+    * Taking `init` makes the fold RESUMABLE — folding batch-by-batch
+    * with carried state equals one fold over the concatenation
+    * (SketchSpec pins it), which is exactly what the streaming twin
+    * (EventsStream.heavyHitterCandidates) relies on across
+    * micro-batches.
     */
-  private[graft] def misraGries(it: Iterator[String], k: Int)
-      : Iterator[String] = {
-    val m = scala.collection.mutable.HashMap.empty[String, Long]
-    val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+  private[graft] def misraGriesFold[T](init: Map[T, Long],
+      it: Iterator[T], k: Int): Map[T, Long] = {
+    val m = scala.collection.mutable.HashMap.from(init)
+    val dead = scala.collection.mutable.ArrayBuffer.empty[T]
     for (t <- it) {
       m.get(t) match {
         case Some(c) => m.update(t, c + 1)
@@ -269,6 +273,11 @@ ORDER BY cnt DESC, token"""))
           dead.foreach(m.remove)
       }
     }
-    m.keysIterator
+    m.toMap
   }
+
+  /** One-partition candidate summary over string tokens (a20). */
+  private[graft] def misraGries(it: Iterator[String], k: Int)
+      : Iterator[String] =
+    misraGriesFold(Map.empty[String, Long], it, k).keysIterator
 }

@@ -243,20 +243,8 @@ object EventsStream extends Serializable {
         GroupStateTimeout.NoTimeout) {
         case (grp, rows, state) =>
           val (updates, prev) = state.getOption.getOrElse((0L, Map.empty[Long, Long]))
-          val m = scala.collection.mutable.HashMap.from(prev)
-          val dead = scala.collection.mutable.ArrayBuffer.empty[Long]
-          rows.foreach { case (_, item) =>
-            m.get(item) match {
-              case Some(c) => m.update(item, c + 1)
-              case None if m.size < k => m.update(item, 1L)
-              case None =>
-                dead.clear()
-                for ((key, c) <- m)
-                  if (c == 1L) dead += key else m.update(key, c - 1)
-                dead.foreach(m.remove)
-            }
-          }
-          val next = m.toMap
+          val next = graft.queries.Sketches.misraGriesFold(
+            prev, rows.map(_._2), k)
           state.update((updates + 1, next))
           (grp, updates + 1, next.keys.toSeq.sorted)
       }

@@ -154,6 +154,20 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("Misra-Gries fold is resumable: batch-wise state == one pass") {
+    // the law the streaming twin depends on across micro-batches
+    val rnd = new scala.util.Random(11)
+    val stream = Seq.fill(5000)(rnd.nextInt(300).toLong)
+    for (k <- Seq(16, 64)) {
+      val onePass =
+        Sketches.misraGriesFold(Map.empty[Long, Long], stream.iterator, k)
+      val batched = stream.grouped(137).foldLeft(Map.empty[Long, Long]) {
+        (st, batch) => Sketches.misraGriesFold(st, batch.iterator, k)
+      }
+      assert(batched == onePass, s"k=$k resume diverged")
+    }
+  }
+
   test("heavy-hitter candidates make the approximate stage invisible") {
     // the declared query's answer must equal plain exact GROUP BY —
     // the sketch may only ever ADD candidates, never lose a true hit
