@@ -316,4 +316,32 @@ class PlanQualitySpec extends AnyFunSuite {
       q.limit(1)
     }
   }
+
+  test("shuffle budgets: headline plans keep their exchange count") {
+    // Wall-clock noise can hide a plan regression; a shuffle COUNT
+    // cannot. Budgets are the measured counts of the current plans
+    // (hash + range + single-partition exchanges; broadcast/reused
+    // excluded) — a query that suddenly needs one more shuffle fails
+    // here before it shows up in any benchmark.
+    val budgets = Map(
+      "a20_heavy_hitters" -> 4, // tot 1-row, candidate distinct, count, sort
+      "text_rarity_score" -> 5,
+      "curation_url_domain" -> 2, // host rollup + presentation sort
+      "w11_linear_interpolate" -> 3,
+      "a21_activity_bitmap" -> 2, // bit_or rollup + sort
+      "simsearch_hybrid_rrf" -> 1, // arms are TakeOrdered; one fuse sort
+      "mm_bmp_boxblur" -> 3,
+      "curation_weighted_sample" -> 1, // map-only + presentation sort
+      "emb_matryoshka_truncate" -> 1)
+    budgets.foreach { case (name, budget) =>
+      val p = Registry.queries(name)(spark, TestSpark.Sf001)
+        .queryExecution.executedPlan.toString
+      val shuffles = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") ||
+          l.contains("Exchange rangepartitioning") ||
+          l.contains("Exchange SinglePartition"))
+      assert(shuffles <= budget,
+        s"$name grew to $shuffles shuffles (budget $budget):\n${p.take(3000)}")
+    }
+  }
 }
