@@ -667,6 +667,66 @@ WHERE rn > 1 ORDER BY dup_id""")),
       Some("WITH " + minhashCtesBody + """
 SELECT i, j, jac FROM verified ORDER BY i, j""")),
 
+    // Dedup recall report — the dedup-side twin of
+    // simsearch_recall_report: on a bounded doc subset, compare the
+    // LSH+verify pipeline's pairs against the COMPLETE exact truth.
+    // The exact side needs no N² pass: any pair with Jaccard > 0 shares
+    // a shingle, so the uncapped inverted-index join enumerates every
+    // qualifying pair exactly (cap-free — the pipeline's df-cap and
+    // band misses are precisely what's being measured). One row out:
+    // pair counts plus recall as a single rounded division. At scale
+    // this runs on a sampled subset next to the production job — the
+    // continuously-computable quality dial for banding/cap tuning.
+    Q("dedup_recall_report",
+      (s, d) => {
+        val lim = 300L
+        val pipe = minhashVerifiedPairs(s, d,
+          c => c.filter(col("i") < lim && col("j") < lim))
+          .select("i", "j")
+        val dd = docShingles(s, d).filter(col("doc_id") < lim)
+        val post = dd.select(col("doc_id"), explode(col("shs")).as("sh"))
+        val sizes = dd.select(col("doc_id"), size(col("shs")).cast("long").as("n"))
+        val shared = post.as("a")
+          .join(post.as("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("common"))
+        val exact = shared
+          .join(sizes.select(col("doc_id").as("i"), col("n").as("na")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("n").as("nb")), "j")
+          .filter(round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6) >= 0.5)
+          .select("i", "j")
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val np = pipe.agg(count(lit(1)).as("n_pipeline"))
+        val nm = exact.join(pipe, Seq("i", "j"))
+          .agg(count(lit(1)).as("n_matched"))
+        ne.crossJoin(np).crossJoin(nm)
+          .select(col("n_exact"), col("n_pipeline"), col("n_matched"),
+            round(col("n_matched").cast("double") / col("n_exact"), 6)
+              .as("recall"))
+      },
+      Some("WITH " + minhashCtesBody + """,
+exsz AS (SELECT doc_id, len(shs) AS n FROM d0 WHERE doc_id < 300),
+exshared AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS common
+  FROM p0 a JOIN p0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  WHERE a.doc_id < 300 AND b.doc_id < 300
+  GROUP BY 1, 2),
+exact AS (
+  SELECT i, j FROM exshared
+  JOIN exsz sa ON exshared.i = sa.doc_id
+  JOIN exsz sb ON exshared.j = sb.doc_id
+  WHERE round(common::DOUBLE / (sa.n + sb.n - common), 6) >= 0.5),
+pipe AS (SELECT i, j FROM verified WHERE i < 300 AND j < 300)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM pipe) AS BIGINT) AS n_pipeline,
+       CAST((SELECT count(*) FROM exact JOIN pipe
+             ON exact.i = pipe.i AND exact.j = pipe.j) AS BIGINT) AS n_matched,
+       round(CAST((SELECT count(*) FROM exact JOIN pipe
+                   ON exact.i = pipe.i AND exact.j = pipe.j) AS DOUBLE) /
+             (SELECT count(*) FROM exact), 6) AS recall""")),
+
     // Incremental near-dup — the daily-crawl shape, now against a
     // DURABLE index ([[DedupIndex]]): docs with doc_id % 5 = 0 stand in
     // for the new batch. Run 1 bootstraps the parquet state from the
