@@ -56,6 +56,28 @@ object Sketches {
       .withColumn("bucket",
         pmod(h60(concat_ws(":", col("j"), col("key"))), lit(CmsWidth)))
 
+  /** Sparse HLL register table for a (`source`, `key`) input: low 6
+    * hash bits pick one of 64 registers, rho = leading zeros of the
+    * remaining 54 bits + 1 (computed as position of the first '1' in
+    * the zero-padded binary string — bin/lpad/instr behave identically
+    * in DuckDB), register keeps the max rho. Sparse: buckets no key
+    * hashed into are absent (callers scaffold zeros when estimating).
+    * Merge law — regs(A ⊎ B) = per-bucket max of regs(A), regs(B) —
+    * is pinned by SketchSpec.
+    */
+  private[graft] def hllRegs(keyed: DataFrame): DataFrame = {
+    def rho(rest: Column): Column =
+      when(rest === 0, lit(55))
+        .otherwise(instr(lpad(bin(rest), 54, "0"), "1"))
+    keyed
+      .select(col("source"), h60(col("key")).as("h"))
+      .select(col("source"),
+        pmod(col("h"), lit(64L)).as("bucket"),
+        shiftrightunsigned(col("h"), 6).as("rest"))
+      .groupBy("source", "bucket")
+      .agg(max(rho(col("rest"))).cast("long").as("rho"))
+  }
+
   /** KMV state per group: the ≤ K smallest DISTINCT key hashes, ranked.
     * Merging two groups' states = the K smallest of their union
     * (SketchSpec proves it) — state is bounded by K per group at any
@@ -241,7 +263,110 @@ SELECT token, CAST(count(*) AS BIGINT) AS cnt
 FROM toks CROSS JOIN tot
 GROUP BY token, tot.n
 HAVING CAST(count(*) AS BIGINT) * 64 > tot.n
-ORDER BY cnt DESC, token"""))
+ORDER BY cnt DESC, token""")),
+
+    // HyperLogLog register table, built portably: 60-bit md5 hash →
+    // low 6 bits pick one of 64 registers, the remaining 54 bits'
+    // leading-zero count (+1) is the rank, the register keeps the MAX
+    // rank seen. Registers are the canonical mergeable distinct-count
+    // state — merge(A, B) = per-register max, which the ALL row
+    // demonstrates by merging the per-source registers (NOT re-scanning
+    // the input; SketchSpec pins merged == direct). The estimate is the
+    // standard alpha_64 * m^2 / sum(2^-r), carried in exact integer
+    // form (denominator scaled by 2^55) so the oracle gate covers it;
+    // the one double division is a single IEEE op, bit-identical across
+    // engines. Spark's own approx_count_distinct is the production
+    // default (same algorithm, tuned); this makes the state itself
+    // oracle-checkable. At 100 TB the shuffle carries at most
+    // (groups × 64) registers — input-size-independent, like KMV/CMS.
+    Q("a22_hll_registers",
+      (s, d) => {
+        val m = 64
+        val regs = hllRegs(Tables.documents(s, d)
+          .select(col("source"), col("text").as("key")))
+        // scaffold all 64 registers per source (empty register = 0 —
+        // it still contributes 2^0 to the harmonic denominator)
+        val scaffold = Tables.documents(s, d).select("source").distinct()
+          .select(col("source"),
+            explode(sequence(lit(0L), lit((m - 1).toLong))).as("bucket"))
+        val full = scaffold.join(regs, Seq("source", "bucket"), "left")
+          .withColumn("rho", coalesce(col("rho"), lit(0L)))
+        // merged registers: per-bucket max ACROSS sources — the sketch
+        // merge operation, never a rescan of the input
+        val merged = full.groupBy("bucket")
+          .agg(max("rho").as("rho"))
+          .select(lit("ALL").as("source"), col("bucket"), col("rho"))
+        val est = full.unionByName(merged)
+          .groupBy("source")
+          .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - rho)")).as("denom_scaled"),
+            sum(when(col("rho") > 0, 1L).otherwise(0L)).as("n_filled"))
+          .withColumn("est_raw",
+            expr("CAST(floor(0.709 * 4096 * 36028797018963968 / CAST(denom_scaled AS DOUBLE)) AS BIGINT)"))
+          // small-range (linear counting) correction, per the HLL
+          // paper: when the raw estimate is under 2.5m and empty
+          // registers remain, m * ln(m / V) with V = empty registers
+          // is the better estimator (the raw one overshoots badly for
+          // n << m). ln() is the one libm call — same glibc in both
+          // engines here; floor keeps the output integral.
+          .withColumn("est_distinct", expr(
+            """CASE WHEN est_raw <= 160 AND n_filled < 64
+               THEN CAST(floor(64 * ln(64.0 / (64 - n_filled))) AS BIGINT)
+               ELSE est_raw END"""))
+        val exact = Tables.documents(s, d)
+          .select(col("source"), col("text"))
+          .unionByName(Tables.documents(s, d)
+            .select(lit("ALL").as("source"), col("text")))
+          .groupBy("source").agg(countDistinct("text").as("exact_distinct"))
+        est.join(exact, "source")
+          .select("source", "n_filled", "denom_scaled", "est_distinct",
+            "exact_distinct")
+          .orderBy("source")
+      },
+      Some(s"""
+WITH cells AS (
+  SELECT source, ${h60Sql("text")} % 64 AS bucket,
+         ${h60Sql("text")} >> 6 AS rest
+  FROM documents),
+regs AS (
+  SELECT source, bucket,
+         CAST(max(CASE WHEN rest = 0 THEN 55
+                       ELSE strpos(lpad(bin(rest), 54, '0'), '1')
+                  END) AS BIGINT) AS rho
+  FROM cells GROUP BY source, bucket),
+scaffold AS (
+  SELECT s.source, g.bucket
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bucket) g),
+fullr AS (
+  SELECT scaffold.source, scaffold.bucket, coalesce(regs.rho, 0) AS rho
+  FROM scaffold LEFT JOIN regs
+    ON scaffold.source = regs.source AND scaffold.bucket = regs.bucket),
+withall AS (
+  SELECT source, bucket, rho FROM fullr
+  UNION ALL
+  SELECT 'ALL' AS source, bucket, max(rho) AS rho FROM fullr GROUP BY bucket),
+est AS (
+  SELECT source,
+         CAST(sum(CAST(1 AS BIGINT) << CAST(55 - rho AS INTEGER)) AS BIGINT)
+           AS denom_scaled,
+         CAST(sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+  FROM withall GROUP BY source),
+exact AS (
+  SELECT source, count(DISTINCT text) AS exact_distinct FROM documents
+  GROUP BY source
+  UNION ALL
+  SELECT 'ALL', count(DISTINCT text) FROM documents),
+raw AS (
+  SELECT source, n_filled, denom_scaled,
+         CAST(floor(0.709 * 4096 * 36028797018963968
+                    / CAST(denom_scaled AS DOUBLE)) AS BIGINT) AS est_raw
+  FROM est)
+SELECT raw.source AS source, n_filled, denom_scaled,
+       CASE WHEN est_raw <= 160 AND n_filled < 64
+            THEN CAST(floor(64 * ln(64.0 / (64 - n_filled))) AS BIGINT)
+            ELSE est_raw END AS est_distinct,
+       exact_distinct
+FROM raw JOIN exact ON raw.source = exact.source ORDER BY source"""))
   )
 
   private[graft] val MgK = 256 // Misra-Gries capacity: 4x the 1/64 bar

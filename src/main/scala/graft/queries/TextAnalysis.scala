@@ -340,7 +340,51 @@ SELECT doc_id, score, rn FROM (
   SELECT doc_id, score,
          row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
   FROM sc)
-WHERE rn <= 10 ORDER BY rn"""))
+WHERE rn <= 10 ORDER BY rn""")),
+
+    // Sliding-window chunking — the RAG/context-window prep step every
+    // LLM pipeline runs between curation and embedding: split each
+    // document into 50-token windows advancing by 30 (20-token
+    // overlap). The plan is MAP-ONLY: tokenize once, explode the
+    // window-start sequence, slice the kept token array per start — no
+    // shuffle, no self-join; output order is (doc_id, chunk_idx).
+    // At 100 TB this is the shape you want: chunking parallelizes
+    // per-document, the 1.67x text amplification from overlap is paid
+    // in the map stage, and downstream (embedding, dedup) sees
+    // chunk_id = (doc_id, chunk_idx) as a stable key. Empty docs chunk
+    // to nothing on both engines (the n > 0 guard).
+    Q("text_chunk_sliding",
+      (s, d) => {
+        val win = 50
+        val stride = 30
+        val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+        Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("toks"), col("n"),
+            explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong)))
+              .as("start"))
+          .select(col("doc_id"),
+            expr(s"start div $stride").as("chunk_idx"),
+            least(lit(win.toLong), col("n") - col("start")).as("chunk_tokens"),
+            array_join(slice(col("toks"), col("start") + 1, lit(win)), " ")
+              .as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+s AS (SELECT doc_id, toks, n,
+             unnest(generate_series(0, n - 1, 30)) AS start
+      FROM n)
+SELECT doc_id, start // 30 AS chunk_idx,
+       least(50, n - start) AS chunk_tokens,
+       array_to_string(toks[start + 1:start + 50], ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_idx"""))
   )
 
   /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared

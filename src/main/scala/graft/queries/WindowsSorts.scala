@@ -15,6 +15,24 @@ import graft.Tables
   */
 object WindowsSorts {
 
+  /** 16-bit Morton (Z-order) key: interleave the low 8 bits of `x`
+    * (even positions) and `y` (odd positions). Both builders emit the
+    * same sum-of-terms structure so the two engines compute
+    * bit-identical integers; Spark spells shifts as functions, DuckDB
+    * as operators.
+    */
+  private def zkeySpark(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** DuckDB twin of [[zkeySpark]]. */
+  private def zkeyDuck(x: String, y: String): String =
+    (0 until 8).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
   def qs: Seq[Q] = Seq(
     // W1 per-group top-k by score with explicit tiebreak (datamart.py:28-47)
     Q("w1_topk_per_group",
@@ -534,6 +552,84 @@ SELECT o_orderkey, o_totalprice,
          AS global_rn
 FROM orders
 QUALIFY global_rn <= 500 ORDER BY global_rn""")),
+
+    // Z-order layout — multi-dimensional clustering for data skipping
+    // (the Delta/Iceberg Z-ORDER write pattern, re-derived): quantize
+    // two dimensions to 8 bits each by min-max scaling (integer
+    // arithmetic, engine-portable — NOT ntile, whose tie-break is
+    // engine-private), interleave the bits into a 16-bit Morton key,
+    // and lay rows out in zkey order. The query reports the PAYOFF in
+    // oracle-checkable form: per-file min/max envelopes for BOTH
+    // dimensions after assigning rows to 16 equal files along the
+    // zkey order — every file covers a small rectangle of
+    // (custkey × orderdate), so a reader filtering on EITHER dim
+    // prunes most files; a single-dim sort would give tight envelopes
+    // on one dim and full-range envelopes on the other. At 100 TB the
+    // write is ONE repartitionByRange(zkey) + sortWithinPartitions
+    // shuffle (the ntile here is its oracle-checkable stand-in), and
+    // the stats table is what the format's footer min/max gives
+    // readers for free.
+    Q("o6_zorder_layout",
+      (s, d) => {
+        val bounds = Tables.orders(s, d).agg(
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          min(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+            .as("min_day"),
+          max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+            .as("max_day"))
+        val keyed = Tables.orders(s, d)
+          .withColumn("od_day",
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+          .crossJoin(broadcast(bounds))
+          .withColumn("qx", expr(
+            "CAST((o_custkey - min_ck) * 256 div (max_ck - min_ck + 1) AS INT)"))
+          .withColumn("qy", expr(
+            "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)"))
+          .withColumn("zkey", expr(zkeySpark("qx", "qy")))
+        val w = Window.orderBy(col("zkey").asc, col("o_orderkey").asc)
+        keyed.withColumn("file_id", ntile(16).over(w).cast("long"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+            min("od_day").cast("long").as("min_day"),
+            max("od_day").cast("long").as("max_day"))
+          .withColumn("ck_span", col("max_ck") - col("min_ck") + 1)
+          .withColumn("day_span", col("max_day") - col("min_day") + 1)
+          .orderBy("file_id")
+      },
+      Some(s"""
+WITH b AS (
+  SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+         min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS min_day,
+         max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS max_day
+  FROM orders),
+keyed AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS od_day,
+         CAST((o_custkey - min_ck) * 256 // (max_ck - min_ck + 1) AS INTEGER)
+           AS qx,
+         CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               - min_day) * 256 // (max_day - min_day + 1) AS INTEGER) AS qy
+  FROM orders CROSS JOIN b),
+z AS (
+  SELECT o_orderkey, o_custkey, od_day,
+         ${zkeyDuck("qx", "qy")} AS zkey
+  FROM keyed),
+f AS (
+  SELECT o_custkey, od_day,
+         CAST(ntile(16) OVER (ORDER BY zkey ASC, o_orderkey ASC) AS BIGINT)
+           AS file_id
+  FROM z)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       CAST(min(od_day) AS BIGINT) AS min_day,
+       CAST(max(od_day) AS BIGINT) AS max_day,
+       max(o_custkey) - min(o_custkey) + 1 AS ck_span,
+       CAST(max(od_day) - min(od_day) + 1 AS BIGINT) AS day_span
+FROM f GROUP BY file_id ORDER BY file_id""")),
 
     // U1 UNION ALL of two disjoint slices (mpp.py:136)
     Q("u1_union_all",

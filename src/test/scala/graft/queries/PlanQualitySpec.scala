@@ -332,7 +332,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "simsearch_hybrid_rrf" -> 1, // arms are TakeOrdered; one fuse sort
       "mm_bmp_boxblur" -> 3,
       "curation_weighted_sample" -> 1, // map-only + presentation sort
-      "emb_matryoshka_truncate" -> 1)
+      "emb_matryoshka_truncate" -> 1,
+      "text_chunk_sliding" -> 1, // map-only + presentation sort
+      "o6_zorder_layout" -> 2, // global zkey order + file rollup
+      // regs/scaffold/merge/est/exact aggs — all over <= 64-row state
+      // after the first groupBy
+      "a22_hll_registers" -> 9)
     budgets.foreach { case (name, budget) =>
       val p = Registry.queries(name)(spark, TestSpark.Sf001)
         .queryExecution.executedPlan.toString

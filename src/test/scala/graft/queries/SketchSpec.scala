@@ -80,6 +80,42 @@ class SketchSpec extends AnyFunSuite {
     assert(whole.select("grp", "h").except(merged.select("grp", "h")).isEmpty)
   }
 
+  test("portable HLL registers merge: per-bucket max of halves == registers of the whole") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = (1 to 800).map(i => ("g", s"key-$i")).toDF("source", "key")
+    val a = all.filter(expr("CAST(substr(key, 5) AS INT) % 2 = 0"))
+    val b = all.filter(expr("CAST(substr(key, 5) AS INT) % 2 = 1"))
+    val merged = Sketches.hllRegs(a).withColumnRenamed("rho", "ra")
+      .join(Sketches.hllRegs(b).withColumnRenamed("rho", "rb"),
+        Seq("source", "bucket"), "full_outer")
+      .select(col("source"), col("bucket"),
+        greatest(coalesce(col("ra"), lit(0L)), coalesce(col("rb"), lit(0L)))
+          .as("rho"))
+    val whole = Sketches.hllRegs(all)
+    assert(merged.join(whole, Seq("source", "bucket"))
+      .filter(merged("rho") =!= whole("rho")).isEmpty)
+    assert(merged.count() == whole.count())
+  }
+
+  test("portable HLL estimate lands within sketch error; ALL row merges the sources") {
+    val rows = Registry.queries("a22_hll_registers")(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.length >= 2, "need per-source rows plus the ALL row")
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est_distinct").toDouble
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      // m=64 → 1.04/sqrt(64) = 13% standard error; 40% is ~3 sigma
+      assert(math.abs(est - exact) / exact < 0.4,
+        s"source=${r.getAs[String]("source")} est=$est exact=$exact")
+    }
+    val all = rows.find(_.getAs[String]("source") == "ALL").get
+    val perSource = rows.filter(_.getAs[String]("source") != "ALL")
+    // merged estimate counts the union: >= any single source's exact
+    assert(all.getAs[Long]("exact_distinct") >=
+      perSource.map(_.getAs[Long]("exact_distinct")).max)
+  }
+
   test("substring spans: per-doc mass is consistent with the span count and doc length") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
