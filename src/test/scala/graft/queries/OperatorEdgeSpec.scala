@@ -115,6 +115,59 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(grams.count() == 6) // two docs x three 8-gram starts
   }
 
+  test("chunking is a faithful re-tiling: every chunk equals the source token slice") {
+    // differential check against an independent Scala tokenizer — the
+    // oracle proves Spark==DuckDB; this proves both match the intended
+    // (window, stride) = (50, 30) tiling of the ORIGINAL text
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val chunks = Registry.queries("text_chunk_sliding")(spark, TestSpark.Sf0001)
+      .collect()
+    assert(chunks.nonEmpty)
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val toks = text.split("\\s+").filter(_.nonEmpty)
+      (0 until toks.length by 30).zipWithIndex.map { case (start, idx) =>
+        (id, idx.toLong) ->
+          (math.min(50, toks.length - start).toLong,
+            toks.slice(start, start + 50).mkString(" "))
+      }
+    }.toMap
+    assert(chunks.length == expected.size,
+      s"${chunks.length} chunks vs ${expected.size} expected tilings")
+    chunks.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"))
+      val exp = expected(key)
+      assert(r.getAs[Long]("chunk_tokens") == exp._1, s"token count at $key")
+      assert(r.getAs[String]("chunk_text") == exp._2, s"chunk text at $key")
+    }
+  }
+
+  test("z-order files bound BOTH dims: custkey locality a date-sorted layout lacks") {
+    import org.apache.spark.sql.expressions.Window
+    val z = Registry.queries("o6_zorder_layout")(spark, TestSpark.Sf001)
+      .collect()
+    val fullCk = (z.map(_.getAs[Long]("max_ck")).max
+      - z.map(_.getAs[Long]("min_ck")).min + 1).toDouble
+    val zAvgCk = z.map(_.getAs[Long]("ck_span")).sum.toDouble / z.length
+    // the SAME file assignment discipline, but ordered by date alone —
+    // the layout z-order competes against
+    val dateSorted = graft.Tables.orders(spark, TestSpark.Sf001)
+      .withColumn("file_id", ntile(16).over(
+        Window.orderBy(col("o_orderdate").asc, col("o_orderkey").asc)))
+      .groupBy("file_id")
+      .agg((max("o_custkey") - min("o_custkey") + 1).as("ck_span"))
+      .collect()
+    val dAvgCk = dateSorted.map(_.getAs[Long]("ck_span")).sum.toDouble /
+      dateSorted.length
+    // date-sorted files span ~the full custkey domain; z-order files
+    // must do much better on the dimension the sort ignores
+    assert(dAvgCk > 0.9 * fullCk,
+      s"baseline unexpectedly clustered: $dAvgCk vs domain $fullCk")
+    assert(zAvgCk < 0.6 * dAvgCk,
+      s"z-order avg ck span $zAvgCk not < 0.6x date-sorted $dAvgCk")
+  }
+
   test("k8 snapshot isolation: v1 read is unchanged by the v2 publish") {
     val out = Registry.queries("k8_snapshot_versioned_sink")(
       spark, TestSpark.Sf0001).collect()
