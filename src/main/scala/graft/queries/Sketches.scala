@@ -312,11 +312,13 @@ ORDER BY cnt DESC, token""")),
             """CASE WHEN est_raw <= 160 AND n_filled < 64
                THEN CAST(floor(64 * ln(64.0 / (64 - n_filled))) AS BIGINT)
                ELSE est_raw END"""))
+        // exact comparison side: ONE scan (source and ALL rows via a
+        // 2-element explode), and distinct over the md5 digest — the
+        // distinct shuffle carries 32-hex keys, not document bodies
         val exact = Tables.documents(s, d)
-          .select(col("source"), col("text"))
-          .unionByName(Tables.documents(s, d)
-            .select(lit("ALL").as("source"), col("text")))
-          .groupBy("source").agg(countDistinct("text").as("exact_distinct"))
+          .select(explode(array(col("source"), lit("ALL"))).as("source"),
+            md5(col("text")).as("k"))
+          .groupBy("source").agg(countDistinct("k").as("exact_distinct"))
         est.join(exact, "source")
           .select("source", "n_filled", "denom_scaled", "est_distinct",
             "exact_distinct")
@@ -352,10 +354,9 @@ est AS (
          CAST(sum(CASE WHEN rho > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
   FROM withall GROUP BY source),
 exact AS (
-  SELECT source, count(DISTINCT text) AS exact_distinct FROM documents
-  GROUP BY source
-  UNION ALL
-  SELECT 'ALL', count(DISTINCT text) FROM documents),
+  SELECT s.source, count(DISTINCT md5(text)) AS exact_distinct
+  FROM documents, UNNEST([documents.source, 'ALL']) AS s(source)
+  GROUP BY s.source),
 raw AS (
   SELECT source, n_filled, denom_scaled,
          CAST(floor(0.709 * 4096 * 36028797018963968
