@@ -21,7 +21,7 @@ object WindowsSorts {
     * bit-identical integers; Spark spells shifts as functions, DuckDB
     * as operators.
     */
-  private def zkeySpark(x: String, y: String): String =
+  private[queries] def zkeySpark(x: String, y: String): String =
     (0 until 8).map(i =>
       s"shiftleft(shiftright($x, $i) & 1, ${2 * i}) + " +
         s"shiftleft(shiftright($y, $i) & 1, ${2 * i + 1})")

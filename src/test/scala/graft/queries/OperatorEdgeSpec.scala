@@ -168,6 +168,18 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"z-order avg ck span $zAvgCk not < 0.6x date-sorted $dAvgCk")
   }
 
+  test("Morton key is a bijection on the 8-bit x 8-bit grid") {
+    // 65536 (qx, qy) pairs must map to 65536 distinct zkeys covering
+    // exactly 0..65535 — any dropped/duplicated bit in the generated
+    // interleave expression breaks this immediately
+    val grid = spark.range(0, 65536)
+      .selectExpr("CAST(id % 256 AS INT) AS qx", "CAST(id div 256 AS INT) AS qy")
+      .selectExpr(s"${WindowsSorts.zkeySpark("qx", "qy")} AS zkey")
+    assert(grid.distinct().count() == 65536L)
+    val mm = grid.agg(min("zkey"), max("zkey")).head()
+    assert(mm.getInt(0) == 0 && mm.getInt(1) == 65535)
+  }
+
   test("k8 snapshot isolation: v1 read is unchanged by the v2 publish") {
     val out = Registry.queries("k8_snapshot_versioned_sink")(
       spark, TestSpark.Sf0001).collect()
