@@ -738,7 +738,61 @@ SELECT brute.q_id, CAST(count(ivf.c_id) AS BIGINT) AS n_match,
        CAST(count(ivf.c_id) AS DOUBLE) / 5.0 AS recall_at_5
 FROM brute LEFT JOIN ivf
   ON brute.q_id = ivf.q_id AND brute.c_id = ivf.c_id
-GROUP BY brute.q_id ORDER BY brute.q_id"""))
+GROUP BY brute.q_id ORDER BY brute.q_id""")),
+
+    // IVF index-health report — the operational twin of the recall
+    // report: per cell, how many vectors it holds (balance — probe
+    // cost variance at serve time) and how coherent they are (avg /
+    // worst cosine to the assigned centroid — when coherence drops,
+    // the corpus has drifted from the quantizer and it's time to
+    // retrain, the trigger AnnIndex's scaladoc points at). One
+    // broadcast-assign pass + one 〈cells〉-row aggregate; the per-member
+    // cosines are fixed to 6 dp and summed as exact bigint micro-units
+    // (the w11 lesson: cross-row double accumulation is
+    // partition-order-dependent, integers are not), with one final
+    // deterministic division.
+    Q("simsearch_cell_quality",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        val cents = kmeansCents(emb)
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_c").desc, col("cent_id").asc)
+        emb.crossJoin(broadcast(cents))
+          .withColumn("cos_c",
+            round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
+          .withColumn("rnc", row_number().over(w))
+          .filter(col("rnc") === 1)
+          .withColumn("micro",
+            expr("CAST(round(cos_c * 1000000) AS BIGINT)"))
+          .groupBy(col("cent_id").as("cell"))
+          .agg(count(lit(1)).as("n_members"),
+            expr("round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000), 6)")
+              .as("avg_cos"),
+            min("cos_c").as("min_cos"))
+          .orderBy("cell")
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
+asgc AS (
+  SELECT cell, cos FROM (
+    SELECT e.vec_id, cent.cent_id AS cell,
+           round(list_sum(list_transform(range(1, len(e.v)+1),
+                    i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) AS cos,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                        i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
+             cent.cent_id ASC) AS rnc
+    FROM e CROSS JOIN cent)
+  WHERE rnc = 1)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+       round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+             / (count(*) * 1000000), 6) AS avg_cos,
+       min(cos) AS min_cos
+FROM asgc GROUP BY cell ORDER BY cell"""))
   )
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe and

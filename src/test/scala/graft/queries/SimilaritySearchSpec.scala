@@ -196,6 +196,23 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("cell-quality report: members partition the corpus, coherence ordered sanely") {
+    val rows = Registry.queries("simsearch_cell_quality")(spark, TestSpark.Sf001)
+      .collect()
+    assert(rows.nonEmpty)
+    val corpus = graft.Tables.embeddings(spark, TestSpark.Sf001).count()
+    // top-1 assignment is a partition of the corpus: every vector in
+    // exactly one cell
+    assert(rows.map(_.getAs[Long]("n_members")).sum == corpus)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos")
+      val min = r.getAs[Double]("min_cos")
+      assert(r.getAs[Long]("n_members") > 0)
+      assert(min <= avg + 1e-9, s"cell ${r.getAs[Long]("cell")}: min $min > avg $avg")
+      assert(avg <= 1.000001 && min >= -1.000001)
+    }
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
