@@ -345,9 +345,13 @@ WHERE rn <= 10 ORDER BY rn""")),
     // Sliding-window chunking — the RAG/context-window prep step every
     // LLM pipeline runs between curation and embedding: split each
     // document into 50-token windows advancing by 30 (20-token
-    // overlap). The plan is MAP-ONLY: tokenize once, explode the
-    // window-start sequence, slice the kept token array per start — no
-    // shuffle, no self-join; output order is (doc_id, chunk_idx).
+    // overlap). This MATERIALIZES chunk text for the embedding/serving
+    // stage; curation_chunk_overlap is the content-addressed twin
+    // (hash-only, stride 40) feeding chunk-level dedup — same grid
+    // family, opposite consumer. The plan is MAP-ONLY: tokenize once,
+    // explode the window-start sequence, slice the kept token array
+    // per start — no shuffle, no self-join; output order is
+    // (doc_id, chunk_idx).
     // At 100 TB this is the shape you want: chunking parallelizes
     // per-document, the 1.67x text amplification from overlap is paid
     // in the map stage, and downstream (embedding, dedup) sees
@@ -384,7 +388,64 @@ s AS (SELECT doc_id, toks, n,
 SELECT doc_id, start // 30 AS chunk_idx,
        least(50, n - start) AS chunk_tokens,
        array_to_string(toks[start + 1:start + 50], ' ') AS chunk_text
-FROM s ORDER BY doc_id, chunk_idx"""))
+FROM s ORDER BY doc_id, chunk_idx""")),
+
+    // Sentence-aligned chunking — the other standard RAG splitter: a
+    // chunk never cuts a sentence in half. Sentences are split on the
+    // '. ' delimiter (plain string: RE2-family engines lack lookbehind,
+    // so a portable oracle rules out fancier boundary regexes), each
+    // sentence is assigned to the ~100-token chunk where it STARTS
+    // (chunk = cum-tokens-before div 100 — boundaries live on the
+    // token grid, so a chunk can overrun by at most one sentence;
+    // TRUE greedy reset-at-boundary is a sequential recurrence that
+    // neither engine can express as a window, and the overrun-bounded
+    // grid is the standard declarative compromise). Reassembly is
+    // order-pinned: sort_array over (idx, sentence) structs here,
+    // string_agg ORDER BY idx in DuckDB. One doc-keyed window + one
+    // (doc, chunk) aggregate — two narrow shuffles at any corpus size.
+    Q("text_chunk_sentences",
+      (s, d) => {
+        val budget = 100
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("doc_id").orderBy("idx")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), "\\. ")).as(Seq("idx", "sentence")))
+          .withColumn("n_tok", size(split(col("sentence"), " ")).cast("long"))
+          .withColumn("cum_before",
+            coalesce(sum("n_tok").over(w), lit(0L)))
+          .withColumn("chunk_idx", expr(s"cum_before div $budget"))
+          .groupBy("doc_id", "chunk_idx")
+          .agg(count(lit(1)).as("n_sentences"),
+            sum("n_tok").as("chunk_tokens"),
+            array_join(transform(
+              sort_array(collect_list(struct(col("idx"), col("sentence")))),
+              x => x.getField("sentence")), ". ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some("""
+WITH sl AS (SELECT doc_id, string_split(text, '. ') AS sents FROM documents),
+sen0 AS (
+  SELECT doc_id, generate_subscripts(sents, 1) - 1 AS idx,
+         unnest(sents) AS sentence
+  FROM sl),
+sen AS (
+  SELECT doc_id, idx, sentence,
+         len(string_split(sentence, ' '))::BIGINT AS n_tok
+  FROM sen0),
+c AS (
+  SELECT doc_id, idx, sentence, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (PARTITION BY doc_id ORDER BY idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cum_before
+  FROM sen)
+SELECT doc_id, cum_before // 100 AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+       string_agg(sentence, '. ' ORDER BY idx) AS chunk_text
+FROM c GROUP BY doc_id, cum_before // 100
+ORDER BY doc_id, chunk_idx"""))
   )
 
   /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared

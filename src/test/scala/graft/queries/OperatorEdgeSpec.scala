@@ -168,6 +168,28 @@ class OperatorEdgeSpec extends AnyFunSuite {
       s"z-order avg ck span $zAvgCk not < 0.6x date-sorted $dAvgCk")
   }
 
+  test("sentence chunking is lossless: chunks joined in order reconstruct each doc") {
+    // split on '. ' then string_agg with '. ' is an exact inverse, so
+    // concatenating a doc's chunk_texts in chunk order must reproduce
+    // the original text byte-for-byte — this pins both the sentence
+    // assignment (no sentence lost/duplicated across chunk boundaries)
+    // and the order-pinned reassembly inside each chunk
+    val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rebuilt = Registry.queries("text_chunk_sentences")(spark, TestSpark.Sf0001)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getAs[Long]("chunk_idx"))
+          .map(_.getAs[String]("chunk_text")).mkString(". ")
+      }
+    assert(rebuilt.keySet == docs.keySet)
+    rebuilt.foreach { case (id, txt) =>
+      assert(txt == docs(id), s"doc $id not reconstructed")
+    }
+  }
+
   test("Morton key is a bijection on the 8-bit x 8-bit grid") {
     // 65536 (qx, qy) pairs must map to 65536 distinct zkeys covering
     // exactly 0..65535 — any dropped/duplicated bit in the generated

@@ -334,6 +334,8 @@ class PlanQualitySpec extends AnyFunSuite {
       "curation_weighted_sample" -> 1, // map-only + presentation sort
       "emb_matryoshka_truncate" -> 1,
       "text_chunk_sliding" -> 1, // map-only + presentation sort
+      "text_chunk_sentences" -> 2, // doc window + chunk rollup/sort
+      "simsearch_cell_quality" -> 6, // quantizer train + assign + rollup
       "o6_zorder_layout" -> 2, // global zkey order + file rollup
       // regs/scaffold/merge/est/exact aggs — all over <= 64-row state
       // after the first groupBy
