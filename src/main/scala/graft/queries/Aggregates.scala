@@ -642,6 +642,57 @@ SELECT event_type,
        min(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN value END) AS p50,
        min(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN value END) AS p90,
        max(value) AS p100
-FROM r GROUP BY event_type ORDER BY event_type"""))
+FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // Robust outlier detection via median / MAD (beyond §2 — the
+    // data-quality gate that, unlike a18's z-score, a few huge
+    // outliers cannot drag: mean and stddev move with the outlier,
+    // the median and the median-absolute-deviation do not). All
+    // arithmetic is exact integers: prices become cents (bigint), and
+    // because the exact 0.5-quantile of integers is either a value or
+    // a midpoint, carrying 2×median and 4×MAD as scaled bigints keeps
+    // every comparison integral — `dev > 3·MAD` is `2·dev2 > 3·mad4`
+    // with dev2 = |2c − med2|. The interpolating percentile IS safe
+    // here (contrast a13's caveat) precisely because its inputs are
+    // integers: a+(b−a)/2 is exact in doubles below 2^52, so both
+    // engines agree bit-for-bit. Two grouped aggregates + two
+    // broadcast-sized joins (one row per group); the per-row pass is
+    // map-only, so at 100 TB this costs two shuffles on the group key.
+    Q("a23_mad_outliers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+        val med = li.groupBy("g").agg(
+          expr("CAST(round(2 * percentile(c, 0.5D)) AS BIGINT)").as("m2"))
+        val dev = li.join(med, "g")
+          .withColumn("dev2", abs(col("c") * 2 - col("m2")))
+        val mad = dev.groupBy("g").agg(
+          expr("CAST(round(2 * percentile(dev2, 0.5D)) AS BIGINT)").as("mad4"))
+        dev.join(mad, "g").groupBy("g").agg(
+            count(lit(1)).as("n"),
+            max("m2").as("med2"),
+            max("mad4").as("mad4"),
+            sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+              .as("n_outliers"),
+            max("dev2").as("max_dev2"))
+          .orderBy("g")
+      },
+      Some("""
+WITH li AS (SELECT l_returnflag AS g,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+            FROM lineitem),
+med AS (SELECT g, CAST(round(2 * quantile_cont(c, 0.5)) AS BIGINT) AS m2
+        FROM li GROUP BY g),
+dev AS (SELECT li.g, c, m2, abs(2 * c - m2) AS dev2
+        FROM li JOIN med ON li.g = med.g),
+mad AS (SELECT g, CAST(round(2 * quantile_cont(dev2, 0.5)) AS BIGINT) AS mad4
+        FROM dev GROUP BY g)
+SELECT dev.g AS g, count(*) AS n, max(m2) AS med2, max(mad4) AS mad4,
+       CAST(sum(CASE WHEN 2 * dev2 > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       max(dev2) AS max_dev2
+FROM dev JOIN mad ON dev.g = mad.g
+GROUP BY dev.g ORDER BY g"""))
   )
 }

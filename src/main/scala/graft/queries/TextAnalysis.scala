@@ -445,7 +445,75 @@ SELECT doc_id, cum_before // 100 AS chunk_idx,
        CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
        string_agg(sentence, '. ' ORDER BY idx) AS chunk_text
 FROM c GROUP BY doc_id, cum_before // 100
-ORDER BY doc_id, chunk_idx"""))
+ORDER BY doc_id, chunk_idx""")),
+
+    // HTML boilerplate strip — the first stage of every web-crawl
+    // curation pipeline (WET-file extraction): drop script/style/
+    // comment blocks WHOLE (their text is not content — a '<' inside
+    // javascript must not derail tag parsing), strip remaining tags to
+    // whitespace, decode entities AFTER tag-stripping (the order is
+    // the correctness point: decoding first would turn '&lt;eof&gt;'
+    // into a tag and eat it), then collapse whitespace. Map-only,
+    // codegen regexp chain — no shuffle before the presentation sort;
+    // at 100 TB this runs at scan speed on the raw crawl. The fixture
+    // wraps each document in deterministic HTML (attributes, nested
+    // tags, a comment, entities, a hostile script with '<' and quotes)
+    // so the oracle re-derives the strip from the ORIGINAL text —
+    // every regex and the decode order are differentially checked.
+    Q("text_html_strip",
+      (s, d) => {
+        val html = Tables.documents(s, d).withColumn("html", concat(
+          lit("<html><head><title>"), col("source"), lit("</title>"),
+          lit("<style type=\"text/css\">body{margin:0} p{color:red}</style></head>"),
+          lit("<body><h1 class=\"hd\">"), col("source"), lit("</h1>"),
+          lit("<!-- doc "), col("doc_id").cast("string"), lit(" -->"),
+          lit("<p>"), expr("substring(text, 1, n_chars div 2)"), lit("</p>"),
+          lit("<p>"), expr("substring(text, n_chars div 2 + 1)"),
+          lit(" &amp; tail &lt;eof&gt;</p>"),
+          lit("<script>if (1 < 2) { var x = \"&amp;\"; }</script></body></html>")))
+        val stripped = Seq(
+          "(?s)<script[^>]*>.*?</script>",
+          "(?s)<style[^>]*>.*?</style>",
+          "(?s)<!--.*?-->",
+          "<[^>]*>"
+        ).foldLeft(col("html"))((c, p) => regexp_replace(c, p, " "))
+        val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+          "&#39;" -> "'", "&amp;" -> "&")
+          .foldLeft(stripped) { case (c, (from, to)) =>
+            replace(c, lit(from), lit(to)) }
+        html
+          .withColumn("clean", trim(regexp_replace(decoded, "\\s+", " ")))
+          .select(col("doc_id"),
+            length(col("clean")).cast("long").as("clean_len"),
+            substring(col("clean"), 1, 60).as("prefix"),
+            expr("right(clean, 30)").as("suffix"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH h AS (
+  SELECT doc_id,
+    '<html><head><title>' || source || '</title>' ||
+    '<style type="text/css">body{margin:0} p{color:red}</style></head>' ||
+    '<body><h1 class="hd">' || source || '</h1>' ||
+    '<!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+    '<p>' || substring(text, 1, n_chars // 2) || '</p>' ||
+    '<p>' || substring(text, n_chars // 2 + 1) || ' &amp; tail &lt;eof&gt;</p>' ||
+    '<script>if (1 < 2) { var x = "&amp;"; }</script></body></html>' AS html
+  FROM documents),
+c AS (
+  SELECT doc_id, trim(regexp_replace(
+    replace(replace(replace(replace(replace(
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        '(?s)<!--.*?-->', ' ', 'g'),
+        '<[^>]*>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS clean
+  FROM h)
+SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
+       substring(clean, 1, 60) AS prefix, right(clean, 30) AS suffix
+FROM c ORDER BY doc_id"""))
   )
 
   /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared
