@@ -614,6 +614,61 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM r ORDER BY doc_id""")),
 
+    // Leakage-safe split — the eval-integrity fix the plain split
+    // cannot provide: if two near-duplicate documents land on opposite
+    // sides of a train/test boundary, the model is scored on its own
+    // training data. Assignment is therefore per NEAR-DUP CLUSTER, not
+    // per document: verified MinHash pairs → connected components →
+    // one md5-hash draw per cluster id decides the whole cluster's
+    // split (8/1/1), so a cluster cannot straddle splits BY
+    // CONSTRUCTION. The draw is the same salted-md5 uniform hash the
+    // weighted sampler uses (mod-hash, not a global rank — at corpus
+    // scale a rank over every cluster is a global sort for proportions
+    // that concentrate anyway; singleton clusters dominate, so doc
+    // proportions track cluster proportions). Cost on top of the
+    // clustering: one distinct + map-side hash + one join back on the
+    // cluster key. The oracle recomputes the identical clustering via
+    // recursive CTE and the identical draw in DuckDB's md5.
+    Q("curation_leakage_safe_split",
+      (s, d) => {
+        val clusters = Dedup.labelPropagation(s,
+          Dedup.minhashVerifiedPairs(s, d).select("i", "j"),
+          Tables.documents(s, d))
+        val assign = clusters.select("cluster").distinct()
+          .withColumn("draw",
+            pmod(Sketches.h60(
+              concat(lit("lsplit_"), col("cluster").cast("string"))),
+              lit(10L)))
+          .withColumn("split",
+            when(col("draw") < 8, "train")
+              .when(col("draw") === 8, "val")
+              .otherwise("test"))
+          .select("cluster", "split")
+        clusters.join(assign, "cluster")
+          .select("doc_id", "cluster", "split")
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + Dedup.minhashCtesBody + """,
+und AS (SELECT i AS a, j AS b FROM verified
+        UNION ALL SELECT j AS a, i AS b FROM verified),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+assign AS (
+  SELECT cluster,
+         CAST(('0x' || substr(md5('lsplit_' || cluster::VARCHAR), 1, 15))
+              AS BIGINT) % 10 AS draw
+  FROM (SELECT DISTINCT cluster FROM clusters))
+SELECT c.doc_id, c.cluster,
+       CASE WHEN a.draw < 8 THEN 'train'
+            WHEN a.draw = 8 THEN 'val'
+            ELSE 'test' END AS split
+FROM clusters c JOIN assign a ON c.cluster = a.cluster
+ORDER BY c.doc_id""")),
+
     // Normalization-aware exact dedup: lowercase, strip punctuation,
     // collapse whitespace, THEN group — catches the trivially-
     // obfuscated exact dups (case flips, punctuation edits, double

@@ -246,4 +246,27 @@ class CurationSpec extends AnyFunSuite {
       s"kept $kept, expected ~$expected (n=$n, 4sd=${4 * sd})")
   }
 
+  test("leakage-safe split covers every doc and never splits a cluster") {
+    val out = Registry.queries("curation_leakage_safe_split")(
+      spark, TestSpark.Sf0001).collect()
+    val total = Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(out.length == total) // a partition of the corpus
+    assert(out.map(_.getLong(0)).distinct.length == total)
+    // one split label per cluster — the defining property
+    out.groupBy(_.getLong(1)).foreach { case (cl, rows) =>
+      assert(rows.map(_.getString(2)).distinct.length == 1,
+        s"cluster $cl straddles splits")
+    }
+    // and concretely: every verified near-dup pair lands on one side
+    val splitOf = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.minhashVerifiedPairs(spark, TestSpark.Sf0001)
+      .select("i", "j").collect()
+    pairs.foreach { p =>
+      assert(splitOf(p.getLong(0)) == splitOf(p.getLong(1)),
+        s"pair ${p.getLong(0)}/${p.getLong(1)} split across sides")
+    }
+    // the split is usable: train holds the bulk of the corpus
+    assert(out.count(_.getString(2) == "train") > out.length / 2)
+  }
+
 }
