@@ -38,6 +38,7 @@ object Registry {
     Views.qs,
     Incremental.qs,
     TextAnalysis.qs,
+    TextIndex.qs,
     Curation.qs,
     Dedup.qs,
     SimilaritySearch.qs,
