@@ -880,6 +880,45 @@ reach(id, r) AS (
 SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
 FROM reach GROUP BY id ORDER BY doc_id""")),
 
+    // Quality-aware survivor selection — what a curation pipeline
+    // actually ships: inside each near-dup cluster keep the HIGHEST
+    // QUALITY member (ties broken by min doc_id), not the first-seen
+    // one. Same clustering as dedup_survivors; the canonical rule
+    // changes from min-id to argmax-quality, which is one per-cluster
+    // window over the cluster-keyed shuffle the join already paid.
+    // The quality score is the shared text_quality formula
+    // (TextAnalysis.qualityScored), so the two operators cannot drift
+    // apart; the oracle recomputes clustering AND score independently.
+    Q("dedup_survivors_quality",
+      (s, d) => {
+        val clusters = labelPropagation(s,
+          minhashVerifiedPairs(s, d).select("i", "j"),
+          Tables.documents(s, d))
+        val q = TextAnalysis.qualityScored(s, d).select("doc_id", "quality")
+        val w = Window.partitionBy("cluster")
+          .orderBy(col("quality").desc, col("doc_id").asc)
+        clusters.join(q, "doc_id")
+          .withColumn("keep", row_number().over(w) === 1)
+          .select("doc_id", "cluster", "quality", "keep")
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + minhashCtesBody + s""",
+und AS (SELECT i AS a, j AS b FROM verified
+        UNION ALL SELECT j AS a, i AS b FROM verified),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+sc AS (${TextAnalysis.sqlQualityScored})
+SELECT doc_id, cluster, quality, (rnk = 1) AS keep FROM (
+  SELECT c.doc_id, c.cluster, sc.quality,
+         row_number() OVER (PARTITION BY c.cluster
+                            ORDER BY sc.quality DESC, c.doc_id ASC) AS rnk
+  FROM clusters c JOIN sc ON c.doc_id = sc.doc_id)
+ORDER BY doc_id""")),
+
     // Blocked n-gram Jaccard via an inverted shingle index: explode to
     // (doc, shingle) postings, cut hot shingles (df > DfCap within the
     // source block), equi-join postings on (source, shingle) to count

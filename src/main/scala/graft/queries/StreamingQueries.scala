@@ -483,6 +483,114 @@ UNION ALL
 SELECT 'revenue', count(*),
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
 FROM events WHERE event_type = 'purchase'
-ORDER BY sink"""))
+ORDER BY sink""")),
+
+    // Streaming CDC apply — i7's log-compaction kernel fed by a STREAM:
+    // the ordered I/U/D log arrives as files over two ticks (tick 1:
+    // base snapshot + balance updates; tick 2: late inserts + takedown
+    // deletes), and each micro-batch folds into a VERSIONED durable
+    // table state inside foreachBatch — per-batch last-writer-wins by
+    // seq, untouched keys carried from the previous version, deletes
+    // erased. Each version is written whole (never overwriting the one
+    // being read), so a crash mid-write leaves the prior version
+    // intact — the snapshot-versioned-sink discipline (k8) applied to
+    // CDC state. A third drain on the same checkpoint proves
+    // redelivery-idempotence: no new files, no batch, same version.
+    // The oracle is the SAME closed form as batch i7 — streaming
+    // apply, batch apply, and the declarative final state all agree.
+    Q("st11_streaming_cdc",
+      (s, d) => graft.Scratch.withDir(s, "stcdc") { root =>
+        val cust = graft.Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        val tick1 = cust
+          .withColumn("op", lit("I")).withColumn("seq", lit(0L))
+          .unionByName(cust.filter(col("c_custkey") % 5 === 0)
+            .withColumn("c_acctbal", round(col("c_acctbal") + 50.0, 2))
+            .withColumn("op", lit("U")).withColumn("seq", lit(1L)))
+        val tick2 = cust.filter(col("c_custkey") % 11 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L)
+          .withColumn("op", lit("I")).withColumn("seq", lit(2L))
+          .unionByName(cust.filter(col("c_custkey") % 7 === 0)
+            .select(col("c_custkey"),
+              lit(null).cast("string").as("c_name"),
+              lit(null).cast("double").as("c_acctbal"),
+              lit(null).cast("string").as("c_mktsegment"))
+            .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = new java.io.File(stageDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.createDirectories(Paths.get(s"$root/in"))
+          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        val logSchema = "c_custkey BIGINT, c_name STRING, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING, op STRING, seq BIGINT"
+        def drain(): Unit = {
+          val q = s.readStream.schema(logSchema).parquet(s"$root/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+              applyCdcBatch(batch, s"$root/state"); ()
+            }
+            .option("checkpointLocation", s"$root/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        stage(tick1, "t1"); drain()
+        stage(tick2, "t2"); drain()
+        val vAfter2 = latestCdcVersion(s"$root/state").map(_._1)
+        drain() // redelivery: same checkpoint, no new files -> no-op
+        val (v, path) = latestCdcVersion(s"$root/state").get
+        require(vAfter2.contains(v),
+          s"empty redelivery advanced state to v$v — drain is not idempotent")
+        s.read.parquet(path).orderBy("c_custkey")
+      },
+      Some("""
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 5 = 0 THEN round(c_acctbal + 50.0, 2)
+            ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+FROM customer WHERE c_custkey % 7 <> 0
+UNION ALL
+SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey % 11 = 0
+ORDER BY c_custkey"""))
   )
+
+  /** Latest (version, path) under a versioned CDC state root, if any. */
+  private def latestCdcVersion(stateRoot: String): Option[(Long, String)] = {
+    val dir = new java.io.File(stateRoot)
+    Option(dir.listFiles()).toSeq.flatten
+      .flatMap(f => "v(\\d+)".r.findFirstMatchIn(f.getName)
+        .map(m => (m.group(1).toLong, f.getPath)))
+      .sortBy(_._1).lastOption
+  }
+
+  /** Fold one CDC micro-batch into the versioned state: batch winners
+    * by (key, max seq), prior version's untouched keys carried over,
+    * winners with op = D erased. Writes version N+1 whole; the version
+    * being read is never touched, so the fold is crash-safe and
+    * re-runnable. Seq monotonicity across batches is the source's
+    * contract (same as any CDC feed).
+    */
+  private def applyCdcBatch(batch: org.apache.spark.sql.DataFrame,
+      stateRoot: String): Unit = {
+    val spark = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_custkey").orderBy(col("seq").desc)
+    val winners = batch.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val applied = winners.filter(col("op") =!= "D").drop("rn", "op", "seq")
+    val next = latestCdcVersion(stateRoot) match {
+      case None => applied
+      case Some((_, path)) =>
+        spark.read.parquet(path)
+          .join(winners.select("c_custkey"), Seq("c_custkey"), "left_anti")
+          .unionByName(applied)
+    }
+    val v = latestCdcVersion(stateRoot).map(_._1 + 1).getOrElse(1L)
+    next.write.mode("overwrite").parquet(s"$stateRoot/v$v")
+  }
 }
