@@ -669,6 +669,57 @@ SELECT c.doc_id, c.cluster,
 FROM clusters c JOIN assign a ON c.cluster = a.cluster
 ORDER BY c.doc_id""")),
 
+    // Negative sampling for contrastive training — every embedding
+    // model's data prep needs (anchor, negative) pairs that are
+    // deterministic (reproducible epochs), collision-free (a doc never
+    // draws itself), and cheap at corpus scale. The classic trick,
+    // re-expressed declaratively: arrange the corpus on a salted-hash
+    // RING (random order, but a fixed permutation), and give each
+    // anchor its j·17-th ring successors — one equi-join on ring
+    // position, no rand(), no rejection loop. Distinct strides mod n
+    // make the 4 draws distinct; the hash ring makes them
+    // pseudo-random. cross_source flags the (majority) draws that
+    // cross provenance — the consumer's hard/easy negative split.
+    // At 100 TB the ring is a repartitionByRange global rank (the o5
+    // technique) and the join co-partitions on position.
+    Q("curation_negative_pairs",
+      (s, d) => {
+        val wPos = Window.orderBy(col("hkey").asc, col("doc_id").asc)
+        val ring = Tables.documents(s, d)
+          .withColumn("hkey", Sketches.h60(
+            concat(lit("ring_"), col("doc_id").cast("string"))))
+          .withColumn("pos", row_number().over(wPos).cast("long") - 1)
+          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+          .select("doc_id", "source", "pos", "n")
+        val anchors = ring.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("anchor_id"),
+            col("source").as("a_source"), col("pos"), col("n"))
+          .withColumn("j0", explode(expr("sequence(1, 4)")))
+          .withColumn("j", col("j0").cast("long")).drop("j0")
+          .withColumn("npos", (col("pos") + col("j") * 17) % col("n"))
+        val negs = ring.select(col("pos").as("npos"),
+          col("doc_id").as("neg_id"), col("source").as("n_source"))
+        anchors.join(negs, "npos")
+          .select(col("anchor_id"), col("j"), col("neg_id"),
+            (col("a_source") =!= col("n_source")).as("cross_source"))
+          .orderBy("anchor_id", "j")
+      },
+      Some("""
+WITH ring AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           ORDER BY CAST(('0x' || substr(md5('ring_' || doc_id::VARCHAR), 1, 15))
+                         AS BIGINT) ASC, doc_id ASC) - 1 AS pos,
+         count(*) OVER () AS n
+  FROM documents),
+a AS (SELECT doc_id AS anchor_id, source AS a_source, pos, n, j
+      FROM ring CROSS JOIN generate_series(1, 4) AS t(j)
+      WHERE doc_id % 20 = 0)
+SELECT a.anchor_id, a.j, r2.doc_id AS neg_id,
+       (a.a_source <> r2.source) AS cross_source
+FROM a JOIN ring r2 ON (a.pos + a.j * 17) % a.n = r2.pos
+ORDER BY anchor_id, j""")),
+
     // Normalization-aware exact dedup: lowercase, strip punctuation,
     // collapse whitespace, THEN group — catches the trivially-
     // obfuscated exact dups (case flips, punctuation edits, double

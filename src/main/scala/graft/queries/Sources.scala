@@ -551,6 +551,39 @@ SELECT key_col, count(*) AS n_keys, max(f) AS max_f,
        round(CAST(max(f) AS DOUBLE) / sum(f), 6) AS hot_share
 FROM f GROUP BY key_col ORDER BY key_col""")),
 
+    // M6 equi-depth histogram — the ANALYZE-style column statistic a
+    // cost-based optimizer and a data-skipping layout both feed on:
+    // 8 buckets over o_totalprice, each holding (almost) the same row
+    // count, with exact [lo, hi] envelopes. Built WITHOUT interpolating
+    // percentiles (engine float drift): a deterministic global rank
+    // assigns bucket = (rn-1)*8/n in integer arithmetic, so boundaries
+    // fall on actual data values and both engines agree bit-for-bit.
+    // One global sort (the rank) + one group-by — at corpus scale the
+    // rank becomes repartitionByRange + per-partition offsets (the o5
+    // technique); the statistic itself is a 8-row broadcastable table.
+    Q("m6_equidepth_histogram",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+          .withColumn("bucket", expr("(rn - 1) * 8 div n"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+WITH r AS (SELECT o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+             count(*) OVER () AS n
+           FROM orders)
+SELECT (rn - 1) * 8 // n AS bucket, count(*) AS n_rows,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM r GROUP BY 1 ORDER BY bucket""")),
+
     // S10 ORC source/sink — the other columnar warehouse format
     // (closing a marked-absent row in SURVEY §2.1's ∅ list; Avro stays
     // absent — its SQL connector jar is not in this distribution). The
