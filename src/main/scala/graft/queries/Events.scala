@@ -226,5 +226,37 @@ SELECT event_id,
        json_extract_string(doc, '$.m.t') AS t,
        CAST(json_extract(doc, '$.m.k') AS BIGINT) AS k
 FROM j ORDER BY event_id"""))
+  ,
+
+    // Retention cohort matrix — the product-analytics staple: users
+    // grouped by first-seen week, activity counted at each week
+    // offset. Week index = epoch-micros div one week (pure integer;
+    // date_trunc's locale-sensitive week boundary never enters). Two
+    // shuffles by construction — min(wk) per user, then the
+    // (cohort, offset) rollup — and the first reuses the user_id
+    // partitioning a real deployment would already have; output is
+    // cohorts × offsets regardless of event count, so the matrix
+    // stays tiny at any scale.
+    Q("e8_retention_cohorts",
+      (s, d) => {
+        val wUser = Window.partitionBy("user_id")
+        Tables.events(s, d)
+          .withColumn("wk", expr("unix_micros(ts) div 604800000000"))
+          .withColumn("cohort_wk", min("wk").over(wUser))
+          .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_events"))
+          .orderBy("cohort_wk", "wk_offset")
+      },
+      Some("""
+WITH wks AS (
+  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+  FROM events),
+coh AS (
+  SELECT *, min(wk) OVER (PARTITION BY user_id) AS cohort_wk FROM wks)
+SELECT cohort_wk, wk - cohort_wk AS wk_offset,
+       count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM coh GROUP BY cohort_wk, wk - cohort_wk
+ORDER BY cohort_wk, wk_offset"""))
   )
 }

@@ -754,6 +754,108 @@ ORDER BY op, id""")),
 SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 0
 UNION ALL
 SELECT c_custkey, NULL AS c_name, c_acctbal FROM customer WHERE c_custkey % 2 = 1
-ORDER BY c_custkey"""))
+ORDER BY c_custkey""")),
+
+    // Exponentially-weighted moving average (trend smoothing, the
+    // time-series companion of w3's flat moving average). A true EWMA
+    // is a sequential recurrence; the windowable form is the 8-term
+    // truncated expansion ewma_t = Σ_k w_k·x_{t-k} / Σ_k w_k with
+    // w_k = 2^-k — α = 1/2 is chosen deliberately: every weight is a
+    // power of two, so each product is an exact double scaling and the
+    // left-associated sum chain (both engines parse `a+b+c` the same
+    // way) is bit-identical — no rounding needed, the hash gate checks
+    // raw doubles. Truncation error is bounded by 2^-8 of the running
+    // scale. One shuffle on user_id; lags reuse one sorted frame.
+    Q("w12_ewma",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val terms = (0 until 8).map { k =>
+          val c = if (k == 0) col("value") else lag(col("value"), k).over(w)
+          (c, math.pow(0.5, k))
+        }
+        val num = terms.map { case (c, wt) =>
+          coalesce(c, lit(0.0)) * lit(wt) }.reduce(_ + _)
+        val den = terms.map { case (c, wt) =>
+          when(c.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+        Tables.events(s, d)
+          .withColumn("ewma", num / den)
+          .filter(col("event_id") % 5 === 0)
+          .select("event_id", "user_id", "value", "ewma")
+          .orderBy("event_id")
+      },
+      Some {
+        val nums = (0 until 8).map { k =>
+          val c = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          s"coalesce($c, 0.0) * ${math.pow(0.5, k)}"
+        }.mkString(" + ")
+        val dens = (0 until 8).map { k =>
+          val c = if (k == 0) "value" else s"lag(value, $k) OVER w"
+          s"(CASE WHEN $c IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END)"
+        }.mkString(" + ")
+        s"""
+SELECT event_id, user_id, value, ($nums) / ($dens) AS ewma
+FROM (SELECT event_id, user_id, value, CAST(ts AS TIMESTAMP) AS ts FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+QUALIFY event_id % 5 = 0 ORDER BY event_id"""
+      }),
+
+    // Interval union / flatten (gaps-and-islands over OVERLAPPING
+    // ranges — distinct from e3's gap-based sessions: intervals carry
+    // explicit, varying ends, and merging needs the running max of all
+    // PRIOR ends, not just the previous row's). Each event opens a
+    // 1–7-minute interval; an island breaks where a start clears every
+    // end seen so far. All arithmetic in integer epoch-micros. One
+    // shuffle on user_id; the running max and the island id share one
+    // sorted frame — the coverage/dead-air analysis shape (uptime
+    // stitching, span coverage) that row-local ops can't express.
+    Q("w13_interval_islands",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("start_us").asc, col("event_id").asc)
+        Tables.events(s, d)
+          .withColumn("start_us", unix_micros(col("ts")))
+          .withColumn("end_us",
+            col("start_us") + (col("event_id") % 7 + 1) * 60000000L)
+          .withColumn("prev_max_end",
+            max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("prev_max_end").isNull ||
+              col("start_us") > col("prev_max_end"), 1).otherwise(0))
+          .withColumn("island", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"))
+          .groupBy("user_id", "island")
+          .agg(min("start_us").as("island_start_us"),
+            max("end_us").as("island_end_us"),
+            count(lit(1)).as("n_events"))
+          .withColumn("covered_us",
+            col("island_end_us") - col("island_start_us"))
+          .orderBy("user_id", "island")
+      },
+      Some("""
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+         epoch_us(CAST(ts AS TIMESTAMP)) + (event_id % 7 + 1) * 60000000 AS end_us
+  FROM events),
+mx AS (
+  SELECT *, max(end_us) OVER (PARTITION BY user_id
+             ORDER BY start_us ASC, event_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+  FROM iv),
+br AS (
+  SELECT *, CASE WHEN prev_max_end IS NULL OR start_us > prev_max_end
+                 THEN 1 ELSE 0 END AS brk
+  FROM mx),
+isl AS (
+  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+              ORDER BY start_us ASC, event_id ASC
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+  FROM br)
+SELECT user_id, island, min(start_us) AS island_start_us,
+       max(end_us) AS island_end_us, count(*) AS n_events,
+       max(end_us) - min(start_us) AS covered_us
+FROM isl GROUP BY user_id, island ORDER BY user_id, island"""))
   )
 }

@@ -211,4 +211,51 @@ class OperatorEdgeSpec extends AnyFunSuite {
     assert(out("latest") == out("v2_asof"))
     assert(out("v1_asof")._1 < out("v2_asof")._1)
   }
+
+  test("w12 ewma is a convex combination: bounded by the 8-row trailing envelope") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc).rowsBetween(-7, 0)
+    val env = graft.Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("lo", min("value").over(w))
+      .withColumn("hi", max("value").over(w))
+      .select("event_id", "lo", "hi")
+    val bad = Registry.queries("w12_ewma")(spark, TestSpark.Sf0001)
+      .join(env, "event_id")
+      // weights are positive and normalized over present lags, so the
+      // smoothed value can never leave the window's [min, max]
+      .filter(col("ewma") < col("lo") - lit(1e-9) ||
+        col("ewma") > col("hi") + lit(1e-9))
+    assert(bad.isEmpty)
+  }
+
+  test("w13 islands partition the events: disjoint, gap-separated, counts add up") {
+    val isl = Registry.queries("w13_interval_islands")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // consecutive islands of one user never touch: the next start is
+    // strictly past the previous merged end (else they'd be one island)
+    isl.groupBy(_._1).foreach { case (_, rows) =>
+      rows.sortBy(_._2).sliding(2).foreach {
+        case Array((_, _, _, prevEnd, _), (_, _, nextStart, _, _)) =>
+          assert(nextStart > prevEnd)
+        case _ => ()
+      }
+    }
+    val total = graft.Tables.events(spark, TestSpark.Sf0001).count()
+    assert(isl.map(_._5).sum == total) // every event in exactly one island
+  }
+
+  test("e8 retention can't exceed cohort size; matrix accounts for every event") {
+    val m = Registry.queries("e8_retention_cohorts")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val size0 = m.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    m.foreach { case (cohort, _, nUsers, _) =>
+      // offset 0 holds the whole cohort (min-week membership), later
+      // offsets count subsets of it
+      assert(size0.contains(cohort) && nUsers <= size0(cohort))
+    }
+    val total = graft.Tables.events(spark, TestSpark.Sf0001).count()
+    assert(m.map(_._4).sum == total)
+  }
 }
