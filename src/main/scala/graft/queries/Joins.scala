@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -450,7 +450,59 @@ j AS (SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
 SELECT status, count(*) AS n,
        CAST(sum(coalesce(total_a, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_a,
        CAST(sum(coalesce(total_b, CAST(0 AS DECIMAL(18,2)))) AS DOUBLE) AS sum_b
-FROM j GROUP BY status ORDER BY status"""))
+FROM j GROUP BY status ORDER BY status""")),
+
+    // Runtime-filter join reduction: the build side's key set is
+    // compressed to Bloom bits (k=3, m=4096 — a ≤m-row broadcast, the
+    // curation_bloom_decontam trick aimed at a join) and the probe
+    // side is prefiltered BEFORE its shuffle — false positives are
+    // swept out by the exact join that follows, so the answer is
+    // IDENTICAL to the plain join, which is exactly what the oracle
+    // runs (no Bloom on the DuckDB side: the filter is a plan
+    // optimization, not a semantics change — the hash gate proves it).
+    // This is Spark's own runtime-filter/DPP idea made explicit and
+    // portable: at 100 TB the probe shuffle carries only rows whose
+    // key survives the bits, a ~selectivity-sized fraction, and the
+    // bits build is one distinct + broadcast off the (already small)
+    // filtered build side. `BloomJoinSpec` pins the mechanics: the
+    // prefilter passes every true match and actually shrinks the
+    // probe side.
+    Q("j18_bloom_filter_join",
+      (s, d) => {
+        val m = 4096L
+        val seeds = 0 until 3
+        def bitsOf(c: Column) = seeds.map(k =>
+          pmod(Sketches.h60(concat(lit(s"bj${k}_"), c)), lit(m)))
+        val cust = Tables.customer(s, d)
+          .filter(col("c_acctbal") > 9000)
+          .select("c_custkey", "c_nationkey")
+        val bits = cust
+          .select(explode(array(bitsOf(col("c_custkey")): _*)).as("bit"))
+          .distinct()
+        val probes = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            explode(array(seeds.zip(bitsOf(col("o_custkey"))).map {
+              case (k, b) => struct(lit(k).as("k"), b.as("bit"))
+            }: _*)).as("kb"))
+        val reduced = probes
+          .join(broadcast(bits), probes("kb.bit") === bits("bit"), "left_semi")
+          .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+          .agg(count(lit(1)).as("n_set"))
+          .filter(col("n_set") === seeds.size)
+        reduced
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("double").as("revenue"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+SELECT c_nationkey, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 9000
+GROUP BY c_nationkey ORDER BY c_nationkey"""))
   )
 
   /** J11's body: catalog-managed cleanup (DROP the entries), then

@@ -367,7 +367,49 @@ SELECT raw.source AS source, n_filled, denom_scaled,
             THEN CAST(floor(64 * ln(64.0 / (64 - n_filled))) AS BIGINT)
             ELSE est_raw END AS est_distinct,
        exact_distinct
-FROM raw JOIN exact ON raw.source = exact.source ORDER BY source"""))
+FROM raw JOIN exact ON raw.source = exact.source ORDER BY source""")),
+
+    // Join-size estimation from the count-min sketch — the optimizer's
+    // cardinality estimator surfaced as a query. |A ⋈_k A| = Σ_k n_k²
+    // (the F2 moment / self-join size on o_custkey here), estimated
+    // WITHOUT grouping the keys: for each of the 4 sketch rows, sum
+    // the squared cell counts; take the min across rows. Collisions
+    // only ADD cross terms, so every row's estimate is an upper bound
+    // and the min is still ≥ truth — `overcount >= 0` is a theorem,
+    // spec'd in SketchSpec and visible in the output next to the exact
+    // value. At 100 TB the sketch is a map-side fold to 4×256 cells
+    // (merge = cell-wise add, same law as a16): the join's size is
+    // known from one narrow pass long before any join runs — the
+    // broadcast-vs-shuffle planning input, never a wrong empty-ish
+    // estimate from stale table stats.
+    Q("a24_cm_selfjoin_size",
+      (s, d) => {
+        val keys = Tables.orders(s, d).select(col("o_custkey").as("key"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val cells = cmsCells(keys)
+        val est = cells.groupBy("j", "bucket").agg(count(lit(1)).as("cnt"))
+          .groupBy("j").agg(sum(col("cnt") * col("cnt")).as("row_est"))
+          .agg(min("row_est").as("cm_est"))
+        val exact = keys.groupBy("key").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * col("n")).as("exact_sjs"))
+        est.crossJoin(exact)
+          .select(col("cm_est"), col("exact_sjs"),
+            (col("cm_est") - col("exact_sjs")).as("overcount"))
+      },
+      Some(s"""
+WITH items AS (SELECT o_custkey AS key FROM orders),
+cells AS (
+  SELECT key, j,
+         ${h60Sql("j || ':' || key")} % 256 AS bucket
+  FROM items, UNNEST(range(0, 4)) AS t(j)),
+sketch AS (SELECT j, bucket, count(*) AS cnt FROM cells GROUP BY j, bucket),
+est AS (SELECT min(row_est) AS cm_est FROM (
+          SELECT j, CAST(sum(cnt * cnt) AS BIGINT) AS row_est
+          FROM sketch GROUP BY j)),
+exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_sjs FROM (
+            SELECT key, count(*) AS n FROM items GROUP BY key))
+SELECT cm_est, exact_sjs, cm_est - exact_sjs AS overcount
+FROM est, exact"""))
   )
 
   private[graft] val MgK = 256 // Misra-Gries capacity: 4x the 1/64 bar

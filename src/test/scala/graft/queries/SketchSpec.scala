@@ -220,4 +220,17 @@ class SketchSpec extends AnyFunSuite {
       s"${exact.diff(got)} missing")
   }
 
+  test("CM self-join-size estimate is a one-sided upper bound on the F2 moment") {
+    val r = Registry.queries("a24_cm_selfjoin_size")(spark, TestSpark.Sf0001)
+      .head()
+    val est = r.getAs[Long]("cm_est")
+    val exact = r.getAs[Long]("exact_sjs")
+    // collisions can only ADD cross terms: every sketch row's Σcnt² is
+    // ≥ Σn², so the min across rows still is
+    assert(r.getAs[Long]("overcount") >= 0L && est >= exact)
+    // and at d=4 × w=256 against ~hundreds of keys the bound should be
+    // tight enough to plan with, not a vacuous 10× blow-up
+    assert(est <= exact * 2, s"estimate $est vs exact $exact — too loose to use")
+  }
+
 }
