@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -271,7 +272,53 @@ SELECT * FROM (
          o.c_acctbal AS old_acctbal, n.c_acctbal AS new_acctbal
   FROM customer o FULL OUTER JOIN newv n ON o.c_custkey = n.c_custkey)
 WHERE change_type <> 'unchanged'
-ORDER BY c_custkey"""))
+ORDER BY c_custkey""")),
+
+    // Small-file compaction planning — the OPTIMIZE/bin-packing step
+    // of a lakehouse maintenance loop as a declarative plan. "Files"
+    // are doc_id-bucketed groups with byte sizes; the planner assigns
+    // them to target-sized output bins by exclusive-prefix-sum
+    // division: bin = floor(bytes_before / target), target = ⌈total/8⌉.
+    // Pure integer window arithmetic — no sequential first-fit loop,
+    // so the plan itself scales (one sort by file id, one 1-row total
+    // broadcast back); bins are contiguous file runs, within 1 file of
+    // target bytes each (the FFD quality that matters for file sizing,
+    // without FFD's inherently sequential state). The planner only
+    // READS the listing — at 100 TB the rewrite it feeds is per-bin
+    // parallel and this plan stays proportional to file count, not
+    // data size.
+    Q("i9_compaction_plan",
+      (s, d) => {
+        val wOrd = Window.orderBy("file_id")
+        val wAll = Window.partitionBy()
+        Tables.documents(s, d)
+          .groupBy((col("doc_id") % 64).as("file_id"))
+          .agg(sum("n_chars").as("size_bytes"))
+          .withColumn("bytes_before", coalesce(
+            sum("size_bytes").over(wOrd.rowsBetween(
+              Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("target",
+            ceil(sum("size_bytes").over(wAll) / lit(8.0)).cast("long"))
+          .withColumn("bin", (col("bytes_before") / col("target"))
+            .cast("long"))
+          .select("file_id", "size_bytes", "bin")
+          .orderBy("file_id")
+      },
+      Some("""
+WITH files AS (
+  SELECT doc_id % 64 AS file_id, sum(n_chars) AS size_bytes
+  FROM documents GROUP BY doc_id % 64),
+pl AS (
+  SELECT file_id, CAST(size_bytes AS BIGINT) AS size_bytes,
+         CAST(coalesce(sum(size_bytes) OVER (ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS bytes_before,
+         CAST(ceil(CAST(sum(size_bytes) OVER () AS DOUBLE) / 8.0) AS BIGINT)
+           AS target
+  FROM files)
+SELECT file_id, size_bytes,
+       CAST(floor(CAST(bytes_before AS DOUBLE) / target) AS BIGINT) AS bin
+FROM pl ORDER BY file_id"""))
   )
 
   /** Compact an ordered CDC log (op ∈ I/U/D, monotonically increasing

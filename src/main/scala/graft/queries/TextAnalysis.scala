@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -513,7 +514,68 @@ c AS (
   FROM h)
 SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len,
        substring(clean, 1, 60) AS prefix, right(clean, 30) AS suffix
-FROM c ORDER BY doc_id"""))
+FROM c ORDER BY doc_id""")),
+
+    // Bigram collocation mining (PMI) — the phrase/multi-word-
+    // expression discovery pass a tokenizer pipeline runs before
+    // vocabulary induction. Bigrams are ADJACENT token pairs in the
+    // raw stream (position-true: the stream is never pre-filtered, so
+    // no false adjacencies appear); stopword-ish short tokens are
+    // dropped from the REPORT, not the stream. PMI = ln(c12·N /
+    // (c1·c2)) over unigram counts, rounded to 4 decimals per the
+    // repo's ln() portability rule; the ratio is built in double space
+    // so the products can't overflow at corpus scale. At 100 TB:
+    // bigram extraction is per-document map-side work (one lead() over
+    // the doc-local position order — doc_id partitions, never a global
+    // sort), then one count shuffle on the pair; unigram counts are a
+    // vocabulary-sized broadcast.
+    Q("text_term_cooccurrence",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val uni = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val nTok = toks.agg(count(lit(1)).as("n_tok"))
+        val pairs = toks
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("tok").as("t1"), col("nxt").as("t2"))
+          .agg(count(lit(1)).as("c12"))
+          .filter(col("c12") >= 5 &&
+            length(col("t1")) >= 3 && length(col("t2")) >= 3)
+        pairs
+          .join(broadcast(uni.select(col("tok").as("t1"),
+            col("cnt").as("c1"))), "t1")
+          .join(broadcast(uni.select(col("tok").as("t2"),
+            col("cnt").as("c2"))), "t2")
+          .crossJoin(broadcast(nTok))
+          .select(col("t1"), col("t2"), col("c12"), col("c1"), col("c2"),
+            round(log(col("c12").cast("double") * col("n_tok") /
+              (col("c1") * col("c2"))), 4).as("pmi"))
+          .orderBy("t1", "t2")
+      },
+      Some("""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS pos
+  FROM sp, UNNEST(range(0, len(ts))) AS t(i)),
+uni AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+nt AS (SELECT count(*) AS n_tok FROM toks),
+big AS (
+  SELECT tok AS t1, lead(tok, 1) OVER (PARTITION BY doc_id
+           ORDER BY pos) AS t2
+  FROM toks),
+pairs AS (
+  SELECT t1, t2, count(*) AS c12 FROM big WHERE t2 IS NOT NULL
+  GROUP BY t1, t2
+  HAVING count(*) >= 5 AND length(t1) >= 3 AND length(t2) >= 3)
+SELECT t1, t2, c12, u1.cnt AS c1, u2.cnt AS c2,
+       round(ln(CAST(c12 AS DOUBLE) * n_tok / (u1.cnt * u2.cnt)), 4) AS pmi
+FROM pairs
+JOIN uni u1 ON pairs.t1 = u1.tok
+JOIN uni u2 ON pairs.t2 = u2.tok
+CROSS JOIN nt ORDER BY t1, t2"""))
   )
 
   /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared

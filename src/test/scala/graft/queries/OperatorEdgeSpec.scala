@@ -258,4 +258,37 @@ class OperatorEdgeSpec extends AnyFunSuite {
     val total = graft.Tables.events(spark, TestSpark.Sf0001).count()
     assert(m.map(_._4).sum == total)
   }
+
+  test("i9 compaction bins: contiguous runs, near-target sizes, all files placed") {
+    val plan = Registry.queries("i9_compaction_plan")(spark, TestSpark.Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val total = plan.map(_._2).sum
+    val target = math.ceil(total / 8.0).toLong
+    // bins follow file order (contiguous runs), never skip backwards
+    assert(plan.sortBy(_._1).map(_._3).sliding(2).forall {
+      case Array(a, b) => b >= a; case _ => true
+    })
+    // exclusive-prefix binning overruns target by at most one file
+    plan.groupBy(_._3).foreach { case (bin, files) =>
+      val bytes = files.map(_._2).sum
+      val maxFile = files.map(_._2).max
+      assert(bytes <= target + maxFile, s"bin $bin holds $bytes > $target + $maxFile")
+    }
+    assert(plan.map(_._1).toSet.size == plan.length) // every file exactly once
+  }
+
+  test("collocation counts are consistent: c12 <= min(c1, c2), pmi from the row") {
+    val rows = Registry.queries("text_term_cooccurrence")(
+      spark, TestSpark.Sf001).collect()
+    assert(rows.nonEmpty)
+    val nTok = graft.Tables.documents(spark, TestSpark.Sf001)
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { r =>
+      val (c12, c1, c2) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(c12 <= math.min(c1, c2)) // a bigram can't outnumber its parts
+      val expect = BigDecimal(math.log(c12.toDouble * nTok / (c1 * c2)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - expect) < 1e-9)
+    }
+  }
 }
