@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet star schema (TESTDATA.md /
   * FIXTURES.md). Every query receives an `sfDir` like
@@ -20,16 +21,61 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * outright. Read nanos as long (legacy conf) and truncate to
-    * microseconds — the same floor the DuckDB oracle applies with
-    * `CAST(ts AS TIMESTAMP)`. `div` keeps the arithmetic in exact
-    * integer space (ns since 2024 overflows double's 2^53).
+  /** The driver has regenerated `events.parquet` with different
+    * physical types for `ts` across rounds — TIMESTAMP(NANOS) through
+    * round 6, timestamp[us] (TIMESTAMP_NTZ) since 2026-08-13 — so the
+    * reader probes the stored type once per directory and adapts
+    * instead of hard-coding either era's contract. Normalized output is
+    * always session-TZ TimestampType at microsecond precision, which
+    * is what the DuckDB oracle's `CAST(ts AS TIMESTAMP)` sees: the
+    * session TZ is pinned to UTC everywhere (Verify/Bench/TestSpark),
+    * so the NTZ→LTZ cast is value-preserving and the ns→µs floor
+    * matches DuckDB's truncation.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private val tsTypeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataType]()
+
+  /** Stored type of `events.ts` for a fixture dir: LongType under the
+    * legacy-probe conf means the file is TIMESTAMP(NANOS) (ns era);
+    * TimestampNTZType/TimestampType mean µs storage. Cached per path —
+    * fixture files are immutable within a round.
+    */
+  def eventsTsType(s: SparkSession, d: String): DataType =
+    tsTypeCache.computeIfAbsent(s"$d/events.parquet", path => {
+      // TIMESTAMP(NANOS) footers fail plain schema inference in Spark 4,
+      // so probe under the legacy conf (ns → LongType, µs unaffected),
+      // restoring the previous session value afterwards.
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try s.read.parquet(path).schema("ts").dataType
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    })
+
+  def events(s: SparkSession, d: String): DataFrame = eventsTsType(s, d) match {
+    case LongType =>
+      // ns era: read the raw int64 under the legacy conf and floor to
+      // micros. `div` keeps the arithmetic in exact integer space (ns
+      // since 2024 overflows double's 2^53). The conf must still be set
+      // at scan planning time, so this branch (and only this branch)
+      // leaves it enabled for the session.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      load(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType =>
+      // µs era, no-tz annotation: NTZ wall time is the UTC instant the
+      // generator wrote; with the session TZ pinned UTC the cast is a
+      // bit-for-bit reinterpretation, not a clock shift.
+      load(s, d, "events").withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType =>
+      load(s, d, "events")
+    case other =>
+      throw new IllegalStateException(
+        s"unsupported storage type for events.ts in $d: $other " +
+          "(expected ns-int64, timestamp[us] NTZ, or timestamp[us] UTC)")
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

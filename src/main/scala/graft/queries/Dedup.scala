@@ -95,6 +95,17 @@ object Dedup {
       dir
     })
 
+  /** Build the process-cached index states eagerly — for callers that
+    * time individual stage queries (Bench): without this, whichever
+    * index stage runs FIRST pays the full-corpus bootstrap+update
+    * build and its bench line mis-attributes a shared once-per-corpus
+    * cost to a delta-proportional stage (r7 verdict: dedup_index_update
+    * charged 22.3 s for a ~3 s stage).
+    */
+  def warmSharedState(s: SparkSession, d: String): Unit = {
+    fullStateDir(s, d); ()
+  }
+
   /** Per-bucket membership cap before pair expansion ([[bucketPairs]]):
     * LSH buckets wider than this are salted into ceil(n/SaltCap) groups
     * and expanded block-pair-wise, so no single task materializes a

@@ -22,10 +22,11 @@ import graft.streaming.EventsStream
   */
 object StreamingQueries {
 
-  private def copyEvents(d: String, inDir: String, name: String): Unit = {
+  private def copyEvents(s: org.apache.spark.sql.SparkSession, d: String,
+      inDir: String, name: String): Unit = {
     Files.createDirectories(Paths.get(inDir))
-    Files.copy(Paths.get(s"$d/events.parquet"), Paths.get(s"$inDir/$name"),
-      StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(EventsStream.canonicalEventsFile(s, d)),
+      Paths.get(s"$inDir/$name"), StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Run `body` (a streaming drain) with spark.sql.shuffle.partitions
@@ -60,7 +61,8 @@ object StreamingQueries {
     val src = sliceCache.computeIfAbsent(d, _ => {
       val dir = graft.Scratch.dir("st_slice")
       graft.Tables.events(s, d).filter(col("event_id") % 10 === 0)
-        .select(col("event_id"), unix_micros(col("ts")).*(1000L).as("ts"),
+        .select(col("event_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
           col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("overwrite").parquet(dir)
       new java.io.File(dir).listFiles()
@@ -89,16 +91,33 @@ object StreamingQueries {
     val src = sentinelCache.computeIfAbsent(d, _ => {
       import s.implicits._
       val dir = graft.Scratch.dir("st_sentinel")
-      val maxNs = graft.Tables.events(s, d)
-        .agg(max(unix_micros(col("ts")) * 1000L)).head().getLong(0)
-      Seq((-1L, maxNs + 4L * 3600L * 1000000000L, -999L, "zz_sentinel", 0.0, ""))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val maxUs = graft.Tables.events(s, d)
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      Seq((-1L, maxUs + 4L * 3600L * 1000000L, -999L, "zz_sentinel", 0.0, ""))
+        .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+        .select(col("event_id"),
+          timestamp_micros(col("us"))
+            .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
         .coalesce(1).write.mode("overwrite").parquet(dir)
       new java.io.File(dir).listFiles()
         .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
     })
     Files.copy(Paths.get(src), Paths.get(s"$inDir/z_sentinel.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Build the process-cached staging fixtures (canonical events file,
+    * redelivery slice, watermark sentinel) eagerly, so a timed st query
+    * that touches them first doesn't get charged their one-off Spark
+    * write jobs — same attribution rule as [[Dedup.warmSharedState]].
+    */
+  def warmStagingCaches(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    val tmp = graft.Scratch.dir("st_warm")
+    EventsStream.canonicalEventsFile(s, d)
+    copyEventSlice(s, d, tmp, "warm_slice.parquet")
+    addSentinel(s, d, tmp)
   }
 
   /** Deterministic roll-up of an exactly-once event sink; the decimal
@@ -119,8 +138,8 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     // on an unbounded stream, unlike a global streaming distinct.
     Q("st1_streaming_dedup",
       (s, d) => graft.Scratch.withDir(s, "stdedup") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
-        copyEvents(d, s"$root/in", "b.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "b.parquet")
         val deduped = EventsStream.dedupStream(
           EventsStream.readEvents(s, s"$root/in"))
         withStatePartitions(s, 8)(
@@ -142,12 +161,12 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     // delivered it twice — end-to-end exactly-once into plain parquet.
     Q("st2_streaming_upsert",
       (s, d) => graft.Scratch.withDir(s, "stupsert") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         def drain(): Unit = withStatePartitions(s, 8)(EventsStream.drainUpsert(
           EventsStream.readEvents(s, s"$root/in"),
           Seq("event_id"), s"$root/out", s"$root/ck"))
         drain() // tick 1: initial load
-        copyEvents(d, s"$root/in", "b.parquet")
+        copyEvents(s, d, s"$root/in", "b.parquet")
         drain() // tick 2: redelivery under a new name
         s.read.parquet(s"$root/out")
           .groupBy("event_type")
@@ -167,7 +186,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     // streaming state zero — the join itself is stateless.
     Q("st3_streaming_static_join",
       (s, d) => graft.Scratch.withDir(s, "ststatic") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         val cust = graft.Tables.customer(s, d)
           .select(col("c_custkey"), col("c_nationkey"))
         val joined = EventsStream.readEvents(s, s"$root/in")
@@ -197,7 +216,7 @@ GROUP BY c.c_nationkey ORDER BY c.c_nationkey""")),
     // sentinel's own (never-finalized) window is excluded by type.
     Q("st4_streaming_dedup_windowed",
       (s, d) => graft.Scratch.withDir(s, "stchain") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         // partial redelivery (every 10th event re-arrives) — the
         // realistic late-duplicate batch; FULL-file redelivery stays
         // covered by st1/st2/st8
@@ -232,7 +251,7 @@ FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""")),
     // appends; nothing to filter.
     Q("st5_streaming_session",
       (s, d) => graft.Scratch.withDir(s, "stsession") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         addSentinel(s, d, s"$root/in")
         val sess = EventsStream.sessionAgg(
           EventsStream.readEvents(s, s"$root/in"))
@@ -272,7 +291,7 @@ FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start""")),
     // over the batch table.
     Q("st6_stream_stream_interval_join",
       (s, d) => graft.Scratch.withDir(s, "stss") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         def ev() = EventsStream.readEvents(s, s"$root/in")
         val clicks = ev().filter(col("event_type") === "click")
           .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
@@ -335,8 +354,8 @@ ORDER BY p_id""")),
     // heavyHitterCandidates carries the arithmetic).
     Q("st10_streaming_heavy_hitters",
       (s, d) => graft.Scratch.withDir(s, "sthh") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
-        copyEvents(d, s"$root/in", "b.parquet") // redelivery
+        copyEvents(s, d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "b.parquet") // redelivery
         val itemOf = "cast(floor(sqrt(pmod(user_id, 10000))) as long)"
         val src = EventsStream.readEvents(s, s"$root/in")
           .withColumn("item", expr(itemOf))
@@ -374,8 +393,8 @@ ORDER BY it.event_type, item""")),
 
     Q("st8_streaming_kmv",
       (s, d) => graft.Scratch.withDir(s, "stkmv") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
-        copyEvents(d, s"$root/in", "b.parquet") // redelivery
+        copyEvents(s, d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "b.parquet") // redelivery
         val est = EventsStream.kmvDistinct(s,
           EventsStream.readEvents(s, s"$root/in"))
         withStatePartitions(s, 8)(
@@ -410,7 +429,7 @@ FROM ranked WHERE rn <= ${Sketches.K} GROUP BY grp ORDER BY grp""")),
 
     Q("st7_custom_state_session",
       (s, d) => graft.Scratch.withDir(s, "stcustom") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         addSentinel(s, d, s"$root/in")
         val sess = EventsStream.sessionizeCustom(s,
           EventsStream.readEvents(s, s"$root/in"))
@@ -450,7 +469,7 @@ FROM g GROUP BY user_id, sess_id ORDER BY user_id, session_start""")),
     // same routing stated over the batch table.
     Q("st9_multi_sink_fanout",
       (s, d) => graft.Scratch.withDir(s, "stfan") { root =>
-        copyEvents(d, s"$root/in", "a.parquet")
+        copyEvents(s, d, s"$root/in", "a.parquet")
         val q = EventsStream.readEvents(s, s"$root/in")
           .writeStream
           .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>

@@ -24,23 +24,56 @@ import org.apache.spark.sql.types._
   */
 object EventsStream extends Serializable {
 
-  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS), which Spark
-    * reads as long under the legacy conf — see graft.Tables.events).
+  /** Canonical staged-file schema: `ts` as timestamp[us] with no TZ
+    * annotation (TIMESTAMP_NTZ) — exactly how the current fixtures
+    * store it, so staging a fixture file into a stream input dir is a
+    * plain byte copy. A streaming source needs a FIXED schema up
+    * front, so storage-type adaptivity lives in [[canonicalEventsFile]]
+    * (which rewrites any other era's storage to this shape once per
+    * process) rather than in the reader; [[readEvents]] then
+    * normalizes `ts` to session-TZ TimestampType the same way
+    * `graft.Tables.events` does for batch (session TZ pinned UTC ⇒
+    * value-preserving).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming scan of a directory of event parquet files — the file
-    * source tracks processed files in the checkpoint (I1).
+  private val canonicalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Path of a single parquet file holding the sf dir's events in the
+    * canonical staged shape ([[rawSchema]]). When the fixture already
+    * stores µs-NTZ (the current era) this IS the fixture file — zero
+    * copy cost; any other stored era (ns-int64, µs-UTC) is rewritten
+    * through the adaptive batch reader once per (process, sf dir).
+    */
+  def canonicalEventsFile(spark: SparkSession, d: String): String =
+    canonicalCache.computeIfAbsent(d, _ => {
+      if (graft.Tables.eventsTsType(spark, d) == TimestampNTZType)
+        s"$d/events.parquet"
+      else {
+        val dir = graft.Scratch.dir("events_canonical")
+        graft.Tables.events(spark, d)
+          .withColumn("ts", col("ts").cast(TimestampNTZType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+      }
+    })
+
+  /** Streaming scan of a directory of canonically-staged event parquet
+    * files — the file source tracks processed files in the checkpoint
+    * (I1). `ts` comes out as session-TZ TimestampType, matching the
+    * batch reader.
     */
   def readEvents(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val reader = spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "*.parquet")
@@ -48,7 +81,7 @@ object EventsStream extends Serializable {
     // state (and its timeouts) across batches instead of one big batch
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts", col("ts").cast(TimestampType))
   }
 
   /** Tumbling 10-minute window counts/sums per event type with a

@@ -19,8 +19,12 @@ class StreamingSpec extends AnyFunSuite {
   private def tmpDir(prefix: String): Path =
     Files.createTempDirectory(prefix)
 
+  /** Stage the sf dir's events into a stream input dir in the canonical
+    * staged shape (ts µs-NTZ — a plain file copy for current fixtures,
+    * a one-time rewrite for any other stored era).
+    */
   private def stageEvents(dir: Path, from: String = TestSpark.Sf0001): Unit =
-    Files.copy(Paths.get(s"$from/events.parquet"),
+    Files.copy(Paths.get(EventsStream.canonicalEventsFile(spark, from)),
       dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
 
   test("streaming tumbling-window agg equals the oracle-checked batch query e1") {
@@ -76,18 +80,26 @@ class StreamingSpec extends AnyFunSuite {
     // file per micro-batch: open sessions must park in state between
     // batches, merge with later arrivals, and emit via EventTimeTimeout
     // — the cross-batch path a single-batch drain never exercises
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"${TestSpark.Sf0001}/events.parquet")
-    val Array(q1, q2) = raw.stat.approxQuantile("ts", Array(0.33, 0.66), 0.0)
+    val raw = graft.Tables.events(spark, TestSpark.Sf0001)
+      .withColumn("us", unix_micros(col("ts")))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val Array(q1, q2) = raw.stat.approxQuantile("us", Array(0.33, 0.66), 0.0)
     val slices = Seq(
-      raw.filter(col("ts") <= q1.toLong),
-      raw.filter(col("ts") > q1.toLong && col("ts") <= q2.toLong),
-      raw.filter(col("ts") > q2.toLong))
-    val maxNs = raw.agg(max("ts")).head().getLong(0)
+      canon(raw.filter(col("us") <= q1.toLong)),
+      canon(raw.filter(col("us") > q1.toLong && col("us") <= q2.toLong)),
+      canon(raw.filter(col("us") > q2.toLong)))
+    val maxUs = raw.agg(max("us")).head().getLong(0)
     import spark.implicits._
-    val sentinel = Seq((-1L, maxNs + 4L * 3600L * 1000000000L, -999L,
+    val sentinel = Seq((-1L, maxUs + 4L * 3600L * 1000000L, -999L,
       "zz_sentinel", 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
     (slices :+ sentinel).zipWithIndex.foreach { case (df, i) =>
       val stage = tmpDir(s"fmgs_stage$i")
       df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
@@ -122,7 +134,7 @@ class StreamingSpec extends AnyFunSuite {
 
     // the same file redelivered under a NEW name: the file source (fresh
     // checkpoint) reprocesses it, but the upsert anti-join drops every row
-    Files.copy(Paths.get(s"${TestSpark.Sf0001}/events.parquet"),
+    Files.copy(Paths.get(EventsStream.canonicalEventsFile(spark, TestSpark.Sf0001)),
       in.resolve("events_redelivered.parquet"))
     EventsStream.drainUpsert(read(), Seq("event_id"),
       sink.toString, tmpDir("ups_ckpt2").toString)
@@ -147,7 +159,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(sinkCount() == n1)
 
     // A new file arrives: only its rows are appended.
-    Files.copy(Paths.get(s"${TestSpark.Sf001}/events.parquet"),
+    Files.copy(Paths.get(EventsStream.canonicalEventsFile(spark, TestSpark.Sf001)),
       in.resolve("events2.parquet"))
     EventsStream.drainToParquet(passthrough(in.toString), sink.toString, ckpt.toString)
     val expected2 = graft.Tables.events(spark, TestSpark.Sf001).count()
@@ -158,7 +170,6 @@ class StreamingSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val in = tmpDir("dedup_in"); stageEvents(in)
     // redeliver a subset of the same events under a new file name
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(EventsStream.rawSchema)
       .parquet(s"$in/events.parquet")
     val resend = tmpDir("dedup_resend")
