@@ -63,6 +63,8 @@ object Bench {
         queries.Dedup.warmSharedState(spark, sfDir)
       if (selected.keys.exists(_.startsWith("st")))
         queries.StreamingQueries.warmStagingCaches(spark, sfDir)
+      if (selected.keys.exists(_.startsWith("text_index")))
+        queries.TextIndex.warmSharedState(spark, sfDir)
     } catch { case _: Throwable => }
     val warmSharedS = (System.nanoTime() - warmT0) / 1e9
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -154,6 +154,101 @@ SELECT doc_id, score, rn FROM (
   FROM sc)
 WHERE rn <= 10 ORDER BY rn"""
 
+  // ── Index lifecycle stage queries ──────────────────────────────────
+  // Mirrors the dedup-index treatment (Dedup.scala bootstrapDir/
+  // fullStateDir): the bootstrap and steady states are process-cached
+  // per sf dir so each stage's bench line times ONLY its own work —
+  // append never re-pays the 80% build, cold serve never pays either.
+
+  private val bootstrapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Durable 80%-corpus index (docs with doc_id % 5 ≠ 0) per sf dir,
+    * built once per process — the base state the append stage copies.
+    */
+  private def bootstrapStateDir(s: SparkSession, d: String): String =
+    bootstrapCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("bm25idx_v1")
+      build(s, Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 5 =!= 0), dir)
+      dir
+    })
+
+  private val fullCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Full-corpus steady state (bootstrap copy + the % 5 = 0 delta
+    * appended) per sf dir — what the cold-serve stage reads.
+    */
+  private def fullStateDir(s: SparkSession, d: String): String =
+    fullCache.computeIfAbsent(d, _ => {
+      val dir = graft.Scratch.dir("bm25idx_v2")
+      copyState(bootstrapStateDir(s, d), dir)
+      append(s, Tables.documents(s, d).select("doc_id", "text")
+        .filter(col("doc_id") % 5 === 0), dir)
+      dir
+    })
+
+  /** Build the process-cached states eagerly — called by Bench outside
+    * the timed region (same attribution rule as Dedup.warmSharedState).
+    */
+  def warmSharedState(s: SparkSession, d: String): Unit = {
+    fullStateDir(s, d); ()
+  }
+
+  /** Recursive file copy of an index state dir — the append stage must
+    * not mutate the shared bootstrap (parquet append adds files in
+    * place), so it works on its own copy. O(index size), not O(corpus).
+    */
+  private def copyState(from: String, to: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(from)
+    val dst = Paths.get(to)
+    val stream = Files.walk(src)
+    try stream.forEach { p =>
+      val t = dst.resolve(src.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t)
+      else {
+        Files.createDirectories(t.getParent)
+        Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally stream.close()
+  }
+
+  /** Deterministic state summary the oracle can recompute from the raw
+    * corpus: per-bucket posting count, distinct terms, total tf. Any
+    * build/append defect (lost postings, double-counted delta, wrong
+    * bucket routing) shifts at least one row. Bucket is a partition
+    * column (path-inferred int) — cast back to long for the typed hash.
+    */
+  private def bucketSummary(s: SparkSession, stateDir: String): DataFrame =
+    s.read.parquet(s"$stateDir/post")
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_postings"),
+        countDistinct(col("term")).as("n_terms"),
+        sum("tf").cast("long").as("sum_tf"))
+      .orderBy("bucket")
+
+  /** Oracle twin of [[bucketSummary]] over docs passing `filter`:
+    * re-derives the postings (term, doc, tf) from documents and routes
+    * terms through the same portable token hash (TextHash.sqlTokenHash)
+    * into NBuckets shards.
+    */
+  private def bucketSummarySql(filter: String): String = s"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents WHERE $filter),
+post AS (
+  SELECT term, doc_id, count(*)::BIGINT AS tf
+  FROM toks GROUP BY term, doc_id),
+bk AS (
+  SELECT (${graft.functions.TextHash.sqlTokenHash("term")}) % $NBuckets
+           AS bucket, term, tf
+  FROM post)
+SELECT bucket, count(*) AS n_postings, count(DISTINCT term) AS n_terms,
+       sum(tf)::BIGINT AS sum_tf
+FROM bk GROUP BY bucket ORDER BY bucket"""
+
   def qs: Seq[Q] = Seq(
     // Build the persisted index, serve the top-10 from it. The oracle
     // is the INLINE full-corpus scorer's SQL — index serving must be
@@ -177,6 +272,39 @@ WHERE rn <= 10 ORDER BY rn"""
         append(s, docs.filter(col("doc_id") % 5 === 0), dir)
         query(s, dir, 10)
       },
+      Some(topkOracle)),
+
+    // ── Lifecycle stages, each timed for its own work only ──────────
+    // Stage 1: from-scratch 80% build; the summary proves the postings
+    // shards hold exactly the corpus-derived (term, doc, tf) set.
+    Q("text_index_bootstrap",
+      (s, d) => graft.Scratch.withDir(s, "bm25boot") { dir =>
+        build(s, Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0), dir)
+        bucketSummary(s, dir)
+      },
+      Some(bucketSummarySql("doc_id % 5 <> 0"))),
+
+    // Stage 2: O(delta) append onto a COPY of the process-cached
+    // bootstrap (never re-pays the 80% build — that cost lives in the
+    // warm line / stage 1). The full-corpus summary proves base and
+    // delta merged without loss or double count.
+    Q("text_index_append",
+      (s, d) => graft.Scratch.withDir(s, "bm25app") { dir =>
+        copyState(bootstrapStateDir(s, d), dir)
+        append(s, Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 5 === 0), dir)
+        bucketSummary(s, dir)
+      },
+      Some(bucketSummarySql("TRUE"))),
+
+    // Stage 3: serving alone, from the process-cached steady state —
+    // the latency line a user of the index actually sees. The oracle
+    // still scores the FULL corpus inline: cold serving from
+    // incrementally-maintained state must be indistinguishable from
+    // scoring the corpus directly.
+    Q("text_index_serve_cold",
+      (s, d) => query(s, fullStateDir(s, d), 10),
       Some(topkOracle))
   )
 }

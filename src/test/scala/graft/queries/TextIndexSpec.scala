@@ -71,4 +71,14 @@ class TextIndexSpec extends AnyFunSuite {
       assert(served == inline)
     }
   }
+
+  test("append stage runs on a copy: repeated runs never mutate the shared bootstrap") {
+    // if the stage appended into the process-cached bootstrap instead
+    // of its own copy, the second run would fold the delta twice and
+    // every tf/posting count would drift
+    val q = Registry.queries("text_index_append")
+    val r1 = q(s, TestSpark.Sf0001).collect().map(_.toSeq).toSeq
+    val r2 = q(s, TestSpark.Sf0001).collect().map(_.toSeq).toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+  }
 }
