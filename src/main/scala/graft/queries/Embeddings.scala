@@ -92,6 +92,163 @@ SELECT vec_id, idx, val FROM (
   SELECT vec_id, unnest(list_transform(range(1, len(v) + 1),
            i -> {'idx': i - 1, 'val': round(v[i] / nrm, 6)}), recursive := true)
   FROM e)
-ORDER BY vec_id, idx"""))
+ORDER BY vec_id, idx""")),
+
+    // K-means over the embedding column (K=4, two unrolled Lloyd
+    // iterations, seeds = the K lowest vec_ids) — the semantic-
+    // clustering primitive behind diversity sampling, semantic dedup,
+    // and topic-balanced mixes. Engine-exact across both engines by
+    // construction, no feature any SQL engine lacks:
+    //   * distances are ROW-LOCAL left folds over the dim axis
+    //     (zip_with+aggregate here, list_reduce in DuckDB — same
+    //     association, so the doubles are bit-identical);
+    //   * argmin is min(struct(dist, cid)): total order, ties to the
+    //     lowest cluster id;
+    //   * centroid means sum per-dim as DECIMAL(38,15) — exact and
+    //     shuffle-order-independent, unlike a double sum — and divide
+    //     once in double.
+    // 100 TB shape: centroids are K×dim (broadcast, always tiny); each
+    // iteration is one broadcast cross join (map-side, K× row
+    // amplification) + partial-agg min on vec_id + partial-agg decimal
+    // sum on (cid, dim) — two narrow shuffles per iteration,
+    // independent of K, no driver-side centroid collect anywhere.
+    Q("emb_kmeans_centroids",
+      (s, d) => kmeans(s, d)._2
+        .select(col("cid").as("cluster_id"),
+          col("pos").cast("long").as("idx"),
+          round(col("comp"), 6).as("val"), col("n").as("n_vecs"))
+        .orderBy("cluster_id", "idx"),
+      Some(s"""
+WITH $kmeansSql
+SELECT cid AS cluster_id, CAST(idx AS BIGINT) AS idx, round(comp, 6) AS val,
+       n AS n_vecs
+FROM s2 ORDER BY cluster_id, idx""")),
+
+    // Final cluster assignment (vec → nearest updated-once centroid,
+    // squared distance kept): the per-document cluster label the
+    // downstream mix/dedup stages key on. dist is to the iteration-1
+    // centroid the final assignment used — identical arithmetic both
+    // engines (row-local fold), rounded only at the output edge.
+    Q("emb_kmeans_assign",
+      (s, d) => kmeans(s, d)._1
+        .select(col("vec_id"), col("cid").as("cluster_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("vec_id"),
+      Some(s"""
+WITH $kmeansSql
+SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist
+FROM a2 ORDER BY vec_id""")),
+
+    // Diversity sampling: the m vectors CLOSEST to each centroid — a
+    // cluster-stratified subset that preserves topic coverage at a
+    // fraction of the corpus (the embedding-space analog of the
+    // domain-mix sampler). Rank inside each cluster is (dist, vec_id):
+    // total order, no ties. One extra narrow shuffle (cluster key) on
+    // top of the assignment.
+    Q("emb_diversity_sample",
+      (s, d) => {
+        val m = 8
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy(col("dist"), col("vec_id"))
+        kmeans(s, d)._1
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= m)
+          .select(col("cid").as("cluster_id"), col("rk"),
+            col("vec_id"), round(col("dist"), 6).as("dist"))
+          .orderBy("cluster_id", "rk")
+      },
+      Some(s"""
+WITH $kmeansSql
+SELECT cid AS cluster_id, rk, vec_id, round(dist, 6) AS dist
+FROM (SELECT cid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY cid
+                    ORDER BY dist, vec_id) AS BIGINT) AS rk
+      FROM a2)
+WHERE rk <= 8 ORDER BY cluster_id, rk"""))
   )
+
+  /** Shared K-means machinery (K=4, two Lloyd iterations, seeds = the
+    * K lowest vec_ids). Returns (final assignment with its squared
+    * distance, final per-(cid, dim) centroid stats). See
+    * emb_kmeans_centroids scaladoc for the determinism contract.
+    */
+  private def kmeans(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val K = 4
+    val iters = 2
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+    val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+    var centroids = v.orderBy("vec_id").limit(K)
+      .select((row_number().over(seedW) - 1).cast("long").as("cid"),
+        col("x").as("c"))
+    var assigned: org.apache.spark.sql.DataFrame = null
+    var stats: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = v.crossJoin(broadcast(centroids))
+        .withColumn("dist",
+          aggregate(zip_with(col("x"), col("c"),
+            (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, e) => acc + e))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"), col("x"))).as("m"))
+        .select(col("vec_id"), col("m.dist").as("dist"),
+          col("m.cid").as("cid"), col("m.x").as("x"))
+      stats = assigned
+        .select(col("cid"), posexplode(col("x")))
+        .groupBy("cid", "pos")
+        .agg(sum(col("col").cast("decimal(38,15)")).as("sm"),
+          count(lit(1)).as("n"))
+        .withColumn("comp", col("sm").cast("double") / col("n"))
+      centroids = stats.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("comp")))),
+          t => t.getField("comp")).as("c"))
+    }
+    (assigned, stats)
+  }
+
+  /** DuckDB CTE chain for [[kmeans]]: seeds c0 → assign a1 (dist kept)
+    * → decimal-mean stats s1 → centroids c1 → assign a2 → stats s2.
+    */
+  private val kmeansSql: String = """v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+              x AS c
+       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+d1 AS (SELECT v.vec_id, v.x, c0.cid,
+              list_reduce(list_transform(range(1, len(v.x) + 1),
+                i -> (v.x[i] - c0.c[i]) * (v.x[i] - c0.c[i])),
+                (a, b) -> a + b) AS dist
+       FROM v CROSS JOIN c0),
+a1 AS (SELECT vec_id, x, cid, dist FROM
+        (SELECT vec_id, x, cid, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM d1)
+       WHERE rn = 1),
+e1 AS (SELECT cid, unnest(list_transform(range(1, len(x) + 1),
+         i -> {'idx': i - 1, 'val': x[i]}), recursive := true)
+       FROM a1),
+s1 AS (SELECT cid, idx,
+              CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS comp,
+              count(*) AS n
+       FROM e1 GROUP BY cid, idx),
+c1 AS (SELECT cid, list(comp ORDER BY idx) AS c FROM s1 GROUP BY cid),
+d2 AS (SELECT v.vec_id, v.x, c1.cid,
+              list_reduce(list_transform(range(1, len(v.x) + 1),
+                i -> (v.x[i] - c1.c[i]) * (v.x[i] - c1.c[i])),
+                (a, b) -> a + b) AS dist
+       FROM v CROSS JOIN c1),
+a2 AS (SELECT vec_id, x, cid, dist FROM
+        (SELECT vec_id, x, cid, dist,
+                row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM d2)
+       WHERE rn = 1),
+e2 AS (SELECT cid, unnest(list_transform(range(1, len(x) + 1),
+         i -> {'idx': i - 1, 'val': x[i]}), recursive := true)
+       FROM a2),
+s2 AS (SELECT cid, idx,
+              CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS comp,
+              count(*) AS n
+       FROM e2 GROUP BY cid, idx)"""
 }
