@@ -339,7 +339,16 @@ class PlanQualitySpec extends AnyFunSuite {
       "o6_zorder_layout" -> 2, // global zkey order + file rollup
       // regs/scaffold/merge/est/exact aggs — all over <= 64-row state
       // after the first groupBy
-      "a22_hll_registers" -> 9)
+      "a22_hll_registers" -> 9,
+      // 2 Lloyd iterations x (vec_id partial-min + (cid,pos) decimal
+      // sum) + tiny centroid rollups + presentation sort; the corpus
+      // side never shuffles against K (KmeansSpec asserts broadcast)
+      "emb_kmeans_assign" -> 5,
+      "emb_kmeans_centroids" -> 6,
+      "emb_diversity_sample" -> 6,
+      // serving alone: pruned-postings df + per-doc pivot + rank; the
+      // 80% build/append cost lives in the other two stage queries
+      "text_index_serve_cold" -> 3)
     budgets.foreach { case (name, budget) =>
       val p = Registry.queries(name)(spark, TestSpark.Sf001)
         .queryExecution.executedPlan.toString
