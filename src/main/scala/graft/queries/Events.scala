@@ -257,6 +257,54 @@ coh AS (
 SELECT cohort_wk, wk - cohort_wk AS wk_offset,
        count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM coh GROUP BY cohort_wk, wk - cohort_wk
-ORDER BY cohort_wk, wk_offset"""))
+ORDER BY cohort_wk, wk_offset""")),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent click at-or-before it and within a 7-day horizon — the
+    // event-time argmax-per-row shape (funnels count, attribution must
+    // PICK one). The Spark side is the 100 TB formulation: ONE shuffle
+    // on user_id, clicks and purchases interleaved in a single
+    // running-max window (sorted by (us, click-before-purchase) so a
+    // same-microsecond click still credits), carrying struct(us, id)
+    // forward — no self-join, no per-purchase click scan. The oracle
+    // is the independent join+rank formulation; matching it proves the
+    // window fold computes the same argmax. Ties (two clicks, same µs)
+    // credit the higher event_id on both sides.
+    Q("e9_last_touch_attribution",
+      (s, d) => {
+        val horizonUs = 7L * 24 * 3600 * 1000000L
+        val tagged = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("user_id"), col("event_id"),
+            col("event_type"), unix_micros(col("ts")).as("us"))
+          .withColumn("tr", when(col("event_type") === "click", 0).otherwise(1))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("tr"))
+        tagged
+          .withColumn("lastc",
+            max(when(col("event_type") === "click",
+              struct(col("us"), col("event_id")))).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            when(col("lastc.us") > col("us") - horizonUs,
+              col("lastc.event_id")).as("click_id"),
+            when(col("lastc.us") > col("us") - horizonUs,
+              expr("(us - lastc.us) div 60000000")).as("gap_min"))
+          .orderBy("event_id")
+      },
+      Some("""
+WITH p AS (SELECT event_id AS p_id, user_id,
+                  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS c_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS c_us
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.p_id, p.user_id, p.p_us, c.c_id, c.c_us,
+             row_number() OVER (PARTITION BY p.p_id
+               ORDER BY c.c_us DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN c ON p.user_id = c.user_id
+       AND c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000)
+SELECT p_id AS event_id, user_id, c_id AS click_id,
+       (p_us - c_us) // 60000000 AS gap_min
+FROM j WHERE rn = 1 ORDER BY event_id"""))
   )
 }

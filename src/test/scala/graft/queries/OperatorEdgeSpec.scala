@@ -291,4 +291,20 @@ class OperatorEdgeSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(5) - expect) < 1e-9)
     }
   }
+
+  test("attribution: every purchase appears once; credited gaps sit inside the 7-day horizon") {
+    val out = Registry.queries("e9_last_touch_attribution")(
+      spark, TestSpark.Sf001)
+    val nPurch = graft.Tables.events(spark, TestSpark.Sf001)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.count() == nPurch)
+    // credited rows: gap in [0, 7 days); uncredited rows: BOTH fields null
+    val credited = out.filter(col("click_id").isNotNull)
+    assert(credited.filter(col("gap_min") < 0 ||
+      col("gap_min") >= 7L * 24 * 60).count() == 0)
+    assert(out.filter(col("click_id").isNull &&
+      col("gap_min").isNotNull).count() == 0)
+    // both populations exist in the fixture, or the test is vacuous
+    assert(credited.count() > 0 && credited.count() < nPurch)
+  }
 }
