@@ -348,7 +348,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "emb_diversity_sample" -> 6,
       // serving alone: pruned-postings df + per-doc pivot + rank; the
       // 80% build/append cost lives in the other two stage queries
-      "text_index_serve_cold" -> 3)
+      "text_index_serve_cold" -> 3,
+      // one user_id window shuffle + presentation sort — the whole
+      // point of the interleaved running-max formulation (no self-join)
+      "e9_last_touch_attribution" -> 2)
     budgets.foreach { case (name, budget) =>
       val p = Registry.queries(name)(spark, TestSpark.Sf001)
         .queryExecution.executedPlan.toString
