@@ -174,6 +174,17 @@ WHERE rk <= 8 ORDER BY cluster_id, rk"""))
     */
   private def kmeans(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val it = kmeansIterations(s, d)
+    (it.last._1, it.last._2)
+  }
+
+  /** All per-iteration (assignment, stats) pairs — exposed to the spec
+    * so Lloyd's monotonicity law (objective never increases between
+    * iterations) can be asserted on the REAL pipeline, not a replica.
+    */
+  private[queries] def kmeansIterations(
+      s: org.apache.spark.sql.SparkSession, d: String)
+      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
     val K = 4
     val iters = 2
     val v = Tables.embeddings(s, d)
@@ -182,10 +193,9 @@ WHERE rk <= 8 ORDER BY cluster_id, rk"""))
     var centroids = v.orderBy("vec_id").limit(K)
       .select((row_number().over(seedW) - 1).cast("long").as("cid"),
         col("x").as("c"))
-    var assigned: org.apache.spark.sql.DataFrame = null
-    var stats: org.apache.spark.sql.DataFrame = null
+    val out = Seq.newBuilder[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
     for (_ <- 1 to iters) {
-      assigned = v.crossJoin(broadcast(centroids))
+      val assigned = v.crossJoin(broadcast(centroids))
         .withColumn("dist",
           aggregate(zip_with(col("x"), col("c"),
             (a, b) => (a - b) * (a - b)),
@@ -194,7 +204,7 @@ WHERE rk <= 8 ORDER BY cluster_id, rk"""))
         .agg(min(struct(col("dist"), col("cid"), col("x"))).as("m"))
         .select(col("vec_id"), col("m.dist").as("dist"),
           col("m.cid").as("cid"), col("m.x").as("x"))
-      stats = assigned
+      val stats = assigned
         .select(col("cid"), posexplode(col("x")))
         .groupBy("cid", "pos")
         .agg(sum(col("col").cast("decimal(38,15)")).as("sm"),
@@ -204,8 +214,9 @@ WHERE rk <= 8 ORDER BY cluster_id, rk"""))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("comp")))),
           t => t.getField("comp")).as("c"))
+      out += ((assigned, stats))
     }
-    (assigned, stats)
+    out.result()
   }
 
   /** DuckDB CTE chain for [[kmeans]]: seeds c0 → assign a1 (dist kept)

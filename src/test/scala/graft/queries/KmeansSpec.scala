@@ -76,4 +76,21 @@ class KmeansSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan.take(1500))
   }
+
+  test("Lloyd's law: the clustering objective never increases between iterations") {
+    // J(assign_i, centroids_{i-1}) is the summed squared distance each
+    // iteration's assignment pays; re-assignment and re-centering both
+    // only ever decrease it, so iteration 2's objective must be <=
+    // iteration 1's. A wrong argmin, a dropped member, or a centroid
+    // computed over the wrong cluster breaks this inequality.
+    val objectives = Embeddings
+      .kmeansIterations(s, TestSpark.Sf0001)
+      .map { case (assigned, _) =>
+        assigned.agg(sum("dist")).head().getDouble(0)
+      }
+    assert(objectives.size == 2)
+    assert(objectives(1) <= objectives(0) + 1e-9,
+      s"objective rose across iterations: $objectives")
+    assert(objectives.forall(_ > 0.0))
+  }
 }
