@@ -575,7 +575,36 @@ FROM customer WHERE c_custkey % 7 <> 0
 UNION ALL
 SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment
 FROM customer WHERE c_custkey % 11 = 0
-ORDER BY c_custkey"""))
+ORDER BY c_custkey""")),
+
+    // Spark 4 transformWithState (state v2) running totals, oracle-
+    // gated: named ValueState slot, RocksDB-only state layout. The
+    // processor keeps (n, cents) — integer cents make the total exact
+    // and independent of within-batch arrival order, which is what
+    // lets a DuckDB decimal sum hash-match a streaming fold. Final
+    // state per user = the update row with max n (n is strictly
+    // increasing per key). The legacy mapGroupsWithState twin equality
+    // is spec-asserted (StreamingSpec); this query proves the v2 API
+    // against the batch oracle end-to-end.
+    Q("st12_tws_running_totals",
+      (s, d) => graft.Scratch.withDir(s, "sttws") { root =>
+        copyEvents(s, d, s"$root/in", "a.parquet")
+        val totals = EventsStream.runningUserTotalsTws(s,
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.withRocksDb(s)(withStatePartitions(s, 8)(
+          EventsStream.drainToMemory(totals, "st12_tws", s"$root/ck",
+            org.apache.spark.sql.streaming.OutputMode.Update())))
+        s.table("st12_tws")
+          .groupBy("user_id")
+          .agg(max(struct(col("n"), col("total"))).as("m"))
+          .select(col("user_id"), col("m.n").as("n"),
+            col("m.total").as("total"))
+          .orderBy("user_id")
+      },
+      Some("""
+SELECT user_id, count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 
   /** Latest (version, path) under a versioned CDC state root, if any. */

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming re-expression of the reference's incremental
@@ -136,6 +136,61 @@ object EventsStream extends Serializable {
           (user, n, t)
       }
       .toDF("user_id", "n", "total")
+  }
+
+  /** Running per-user totals via the Spark 4 `transformWithState` API
+    * (state v2) — the successor to mapGroupsWithState: NAMED typed
+    * state slots with per-slot TTL, timers, composite Map/List state,
+    * and state schema evolution. [[runningUserTotals]] is the legacy
+    * twin; StreamingSpec asserts the two produce identical results on
+    * the same files (single- AND multi-batch), so the engine's state-
+    * API migration path is a proven no-op for this operator. The value
+    * total accumulates as exact integer CENTS in state — double
+    * addition would depend on within-batch arrival order, cents make
+    * the emitted total order-independent and therefore oracle-
+    * checkable (st12). Requires the RocksDB state store provider (the
+    * v2 state layout is RocksDB-only) — see [[withRocksDb]].
+    */
+  def runningUserTotalsTws(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+      .map(r => (r._1, r._2, r._3 / 100.0))
+      .toDF("user_id", "n", "total")
+  }
+
+  private class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      val (pn, pc) = if (totals.exists()) totals.get() else (0L, 0L)
+      var n = pn
+      var cents = pc
+      rows.foreach { r => n += 1; cents += math.round(r._2 * 100) }
+      totals.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  /** Run `body` with the RocksDB state store provider — required by
+    * transformWithState; restored afterwards so the rest of the suite
+    * keeps the default provider.
+    */
+  def withRocksDb[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
   }
 
   /** Custom sessionization via flatMapGroupsWithState — the

@@ -209,6 +209,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
     assert(streamed.count() > 0)
   }
+  test("transformWithState totals == legacy mapGroupsWithState, single- and multi-batch") {
+    import org.apache.spark.sql.functions.{max, struct}
+    // single-batch v2 drain
+    val in1 = tmpDir("tws_in1"); stageEvents(in1)
+    EventsStream.withRocksDb(spark) {
+      EventsStream.drainToMemory(
+        EventsStream.runningUserTotalsTws(spark,
+          EventsStream.readEvents(spark, in1.toString)),
+        "t_tws_single", tmpDir("tws_ck1").toString, OutputMode.Update())
+    }
+    // multi-batch v2: three DISJOINT event_id slices, one file per
+    // micro-batch — per-user state must carry across batches
+    val in2 = tmpDir("tws_in2")
+    val raw = graft.Tables.events(spark, TestSpark.Sf0001)
+    (0 to 2).foreach { k =>
+      val stage = tmpDir(s"tws_stage$k")
+      raw.filter(col("event_id") % 3 === k)
+        .select(col("event_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, in2.resolve(f"part$k%02d.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    EventsStream.withRocksDb(spark) {
+      EventsStream.drainToMemory(
+        EventsStream.runningUserTotalsTws(spark,
+          EventsStream.readEvents(spark, in2.toString,
+            maxFilesPerTrigger = Some(1))),
+        "t_tws_multi", tmpDir("tws_ck2").toString, OutputMode.Update())
+    }
+    def finalState(table: String): Map[Long, (Long, Double)] =
+      spark.table(table).groupBy("user_id")
+        .agg(max(struct(col("n"), col("total"))).as("m"))
+        .collect()
+        .map(r => {
+          val m = r.getStruct(1)
+          (r.getLong(0), (m.getLong(0), m.getDouble(1)))
+        }).toMap
+    val single = finalState("t_tws_single")
+    val multi = finalState("t_tws_multi")
+    assert(single == multi, "v2 state diverges across micro-batch splits")
+    // legacy API on the same file: counts must match exactly; legacy
+    // totals accumulate doubles (order-dependent last-ulp), so compare
+    // within tolerance rather than bitwise
+    val in3 = tmpDir("tws_in3"); stageEvents(in3)
+    EventsStream.drainToMemory(
+      EventsStream.runningUserTotals(spark,
+        EventsStream.readEvents(spark, in3.toString)),
+      "t_tws_legacy", tmpDir("tws_ck3").toString, OutputMode.Update())
+    val legacy = finalState("t_tws_legacy")
+    assert(legacy.keySet == single.keySet)
+    legacy.foreach { case (u, (n, t)) =>
+      assert(single(u)._1 == n, s"user $u count differs")
+      assert(math.abs(single(u)._2 - t) < 1e-6, s"user $u total differs")
+    }
+    assert(single.nonEmpty)
+  }
+
   test("RocksDB state store backend reproduces the default provider's results exactly") {
     // On a cluster the state store is RocksDB (bounded executor memory,
     // incremental checkpointing) — the HDFS-backed default used
