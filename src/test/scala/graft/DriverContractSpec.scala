@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver's interface assumptions, pinned: a rename, a key drift
+  * between queries and oracleSql, or an empty flagship would otherwise
+  * only surface in the driver's own run, after the round closed.
+  */
+class DriverContractSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("flagship entry returns rows on the smoke fixture") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("query names are stable identifiers (driver files them as paths and JSON keys)") {
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("[a-z0-9_]+"))
+    assert(bad.isEmpty, s"names unsafe for the driver's artifact layout: $bad")
+  }
+
+  test("declared surface only grows within a round (backstop against accidental drops)") {
+    // 268 at the round-8 close; a refactor that silently drops a
+    // registered query family fails here with the delta visible
+    assert(SparkEntry.queries.size >= 268,
+      s"declared queries shrank to ${SparkEntry.queries.size}")
+    assert(SparkEntry.oracleSql.size >= 268)
+  }
+}
