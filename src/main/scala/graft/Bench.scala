@@ -51,23 +51,51 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter(kv => args.contains(kv._1))
     // Shared once-per-corpus state (dedup index bootstrap/full state,
-    // streaming staging fixtures) is built OUTSIDE the timed loop and
-    // reported as its own line — otherwise whichever consumer runs
-    // first gets charged a build every other stage shares (r7:
-    // dedup_index_update carried the 22 s bootstrap). Warmed only when
-    // a consumer is selected so the dev loop stays cheap.
-    val warmT0 = System.nanoTime()
-    try {
-      if (selected.keys.exists(k => k.startsWith("dedup_index") ||
-          k == "dedup_incremental_minhash"))
-        queries.Dedup.warmSharedState(spark, sfDir)
-      if (selected.keys.exists(_.startsWith("st")))
-        queries.StreamingQueries.warmStagingCaches(spark, sfDir)
-      if (selected.keys.exists(_.startsWith("text_index")))
-        queries.TextIndex.warmSharedState(spark, sfDir)
-    } catch { case _: Throwable => }
-    val warmSharedS = (System.nanoTime() - warmT0) / 1e9
+    // streaming staging fixtures, text index bootstrap) is built
+    // OUTSIDE the timed loop and reported per subsystem — otherwise
+    // whichever consumer runs first gets charged a build every other
+    // stage shares (r7: dedup_index_update carried the 22 s bootstrap).
+    // The three subsystems are independent (distinct scratch dirs,
+    // distinct process caches), so they build in PARALLEL futures;
+    // wall time = the slowest one, not the sum. Warmed only when a
+    // consumer is selected so the dev loop stays cheap. A warm failure
+    // is recorded in `errors` as "warm_<name>" — never swallowed,
+    // because a silently failed warm re-attributes the shared build to
+    // the first timed consumer (exactly the r7 mis-attribution) —
+    // and only NonFatal is caught (an OOM must kill the run).
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val warmT0 = System.nanoTime()
+    val warmSubsystems: Seq[(String, Boolean, () => Unit)] = Seq(
+      ("dedup",
+        selected.keys.exists(k => k.startsWith("dedup_index") ||
+          k == "dedup_incremental_minhash"),
+        () => queries.Dedup.warmSharedState(spark, sfDir)),
+      ("streaming",
+        selected.keys.exists(_.startsWith("st")),
+        () => queries.StreamingQueries.warmStagingCaches(spark, sfDir)),
+      ("text_index",
+        selected.keys.exists(_.startsWith("text_index")),
+        () => queries.TextIndex.warmSharedState(spark, sfDir)))
+    val warmPerSubsystem: Map[String, Double] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.control.NonFatal
+      val fs = warmSubsystems.collect { case (name, true, build) =>
+        Future {
+          val t0 = System.nanoTime()
+          try build()
+          catch {
+            case NonFatal(e) => errors.synchronized {
+              errors += s"warm_$name: ${e.getClass.getSimpleName}"
+            }
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+      }
+      Await.result(Future.sequence(fs), Duration.Inf).toMap
+    }
+    val warmSharedS = (System.nanoTime() - warmT0) / 1e9
     val results = selected.map { case (name, fn) =>
       // min of 2 timed runs: one noisy measurement on a loaded machine
       // cannot fabricate a regression. A query that throws is reported
@@ -158,8 +186,11 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val canaryJson =
       s""""canary_pre_s":${r3c(canaryPre)},"canary_post_s":${r3c(canaryPost)}"""
+    val warmJson = warmPerSubsystem.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + r3c(v) }
+      .mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"pass_value":${r3c(passTotal)},"warm_shared_s":${r3c(warmSharedS)},"queries":$qs,"queries_pass":$qsPass,$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"pass_value":${r3c(passTotal)},"warm_shared_s":${r3c(warmSharedS)},"warm":$warmJson,"queries":$qs,"queries_pass":$qsPass,$canaryJson,"errors":$errJson,"sf":"$sfDir"}"""
     // Full line first: goes to the file (and scrollback) for anyone who
     // wants every query.
     println(line)
@@ -181,7 +212,7 @@ object Bench {
       if (used + part.length + 1 <= qBudget) { keptParts += part; used += part.length + 1 }
     }
     val compact =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$passes,"pass_value":${r3(passTotal)},"warm_shared_s":${r3(warmSharedS)},"queries":${keptParts.mkString("{", ",", "}")},"omitted_fast_queries":${slowestFirst.size - keptParts.size},"n_queries":${merged.size},$canaryJson,"errors":$errJson,"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","passes":$passes,"pass_value":${r3(passTotal)},"warm_shared_s":${r3(warmSharedS)},"warm":$warmJson,"queries":${keptParts.mkString("{", ",", "}")},"omitted_fast_queries":${slowestFirst.size - keptParts.size},"n_queries":${merged.size},$canaryJson,"errors":$errJson,"full":"$outPath","sf":"$sfDir"}"""
     spark.stop() // stop first: a shutdown WARN must not land after the tail line
     println(compact)
   }

@@ -55,16 +55,36 @@ object Tables {
       }
     })
 
+  private val nsNormalizedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def events(s: SparkSession, d: String): DataFrame = eventsTsType(s, d) match {
     case LongType =>
-      // ns era: read the raw int64 under the legacy conf and floor to
-      // micros. `div` keeps the arithmetic in exact integer space (ns
-      // since 2024 overflows double's 2^53). The conf must still be set
-      // at scan planning time, so this branch (and only this branch)
-      // leaves it enabled for the session.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // ns era: the legacy conf must be live while the ns scan is
+      // planned AND executed, so instead of leaving it set for the
+      // session (a global side effect later reads could trip over),
+      // normalize EAGERLY: under a scoped conf, rewrite the int64-ns
+      // file once per (process, fixture dir) into a µs scratch copy,
+      // restore the conf, and serve plain scans of the copy from then
+      // on. `div` keeps the floor in exact integer space (ns since
+      // 2024 overflows double's 2^53).
+      val normalized = nsNormalizedCache.computeIfAbsent(
+        s"$d/events.parquet", _ => {
+          val key = "spark.sql.legacy.parquet.nanosAsLong"
+          val prev = s.conf.getOption(key)
+          s.conf.set(key, "true")
+          try {
+            val dir = Scratch.dir("events_ns_normalized")
+            load(s, d, "events")
+              .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+              .write.mode("overwrite").parquet(dir)
+            dir
+          } finally prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None    => s.conf.unset(key)
+          }
+        })
+      s.read.parquet(normalized)
     case TimestampNTZType =>
       // µs era, no-tz annotation: NTZ wall time is the UTC instant the
       // generator wrote; with the session TZ pinned UTC the cast is a

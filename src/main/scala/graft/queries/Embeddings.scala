@@ -164,42 +164,86 @@ FROM (SELECT cid, vec_id, dist,
              CAST(row_number() OVER (PARTITION BY cid
                     ORDER BY dist, vec_id) AS BIGINT) AS rk
       FROM a2)
-WHERE rk <= 8 ORDER BY cluster_id, rk"""))
+WHERE rk <= 8 ORDER BY cluster_id, rk""")),
+
+    // The quality-seeded twin of emb_kmeans_assign: same two Lloyd
+    // iterations, but seeds come from deterministic greedy
+    // farthest-point (k-means++ with argmax instead of the random
+    // draw) rather than the K lowest vec_ids. Deterministic by
+    // construction, so the oracle can unroll the K-1 picks as CTEs
+    // and the hash gate still covers it. K-1 extra corpus passes at
+    // build time, each a broadcast of one row — still no N×N anywhere.
+    Q("emb_kmeans_seeded_assign",
+      (s, d) => kmeansIterations(s, d, farthest = true).last._2
+        .select(col("vec_id"), col("cid").as("cluster_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("vec_id"),
+      Some(s"""
+WITH $kmeansSeededSql
+SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist
+FROM a2 ORDER BY vec_id"""))
   )
 
-  /** Shared K-means machinery (K=4, two Lloyd iterations, seeds = the
-    * K lowest vec_ids). Returns (final assignment with its squared
-    * distance, final per-(cid, dim) centroid stats). See
+  /** Row-local squared Euclidean distance: a left fold over the dim
+    * axis — the same association as DuckDB's list_reduce, so the
+    * doubles are bit-identical across engines.
+    */
+  private def sqDist(x: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Shared K-means machinery with the default declared-query shape
+    * (K=4, two Lloyd iterations, seeds = the K lowest vec_ids).
+    * Returns the final iteration's (assignment with its squared
+    * distance, per-(cid, dim) centroid stats). See
     * emb_kmeans_centroids scaladoc for the determinism contract.
     */
   private def kmeans(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val it = kmeansIterations(s, d)
-    (it.last._1, it.last._2)
+    (it.last._2, it.last._3)
   }
 
-  /** All per-iteration (assignment, stats) pairs — exposed to the spec
-    * so Lloyd's monotonicity law (objective never increases between
-    * iterations) can be asserted on the REAL pipeline, not a replica.
+  /** All per-iteration (input centroids, assignment, stats) triples —
+    * exposed to the spec so Lloyd's monotonicity law (objective never
+    * increases between iterations) and the argmin law (each assignment
+    * beats EVERY input centroid under the (dist, cid) order) can be
+    * asserted on the REAL pipeline, not a replica.
+    *
+    * `k` and `iters` drive the model size; the declared queries pin
+    * (4, 2) because their DuckDB oracle CTE chain unrolls exactly two
+    * iterations, but the machinery itself is generic (the K=16 / 3-iter
+    * convergence spec runs through this same code).
+    *
+    * Seeding. `farthest = false` seeds on the K lowest vec_ids:
+    * deterministic and literally mirrored in the oracle SQL — the
+    * oracle-parity choice for the fixed-seed query family.
+    * `farthest = true` is the quality path: greedy farthest-point
+    * (k-means++ with argmax replacing the random draw — deterministic,
+    * so there is no RNG to keep in sync across engines, and still
+    * oracle-expressible by unrolling the K-1 picks).
     */
   private[queries] def kmeansIterations(
-      s: org.apache.spark.sql.SparkSession, d: String)
-      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
-    val K = 4
-    val iters = 2
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 4, iters: Int = 2, farthest: Boolean = false)
+      : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
+    require(k >= 1 && iters >= 1, s"kmeans needs k>=1, iters>=1; got k=$k iters=$iters")
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
-    val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-    var centroids = v.orderBy("vec_id").limit(K)
-      .select((row_number().over(seedW) - 1).cast("long").as("cid"),
-        col("x").as("c"))
-    val out = Seq.newBuilder[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+    var centroids =
+      if (farthest) farthestSeeds(v, k)
+      else {
+        val seedW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+        v.orderBy("vec_id").limit(k)
+          .select((row_number().over(seedW) - 1).cast("long").as("cid"),
+            col("x").as("c"))
+      }
+    val out = Seq.newBuilder[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
     for (_ <- 1 to iters) {
-      val assigned = v.crossJoin(broadcast(centroids))
-        .withColumn("dist",
-          aggregate(zip_with(col("x"), col("c"),
-            (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, e) => acc + e))
+      val cIn = centroids
+      val assigned = v.crossJoin(broadcast(cIn))
+        .withColumn("dist", sqDist(col("x"), col("c")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist"), col("cid"), col("x"))).as("m"))
         .select(col("vec_id"), col("m.dist").as("dist"),
@@ -214,20 +258,49 @@ WHERE rk <= 8 ORDER BY cluster_id, rk"""))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("comp")))),
           t => t.getField("comp")).as("c"))
-      out += ((assigned, stats))
+      out += ((cIn, assigned, stats))
     }
     out.result()
   }
 
+  /** Deterministic greedy farthest-point seeds: seed 0 = the lowest
+    * vec_id's vector; seed j = the vector maximizing the running
+    * minimum squared distance to the already-chosen seeds (ties →
+    * lowest vec_id). K-1 corpus passes, each one broadcast of a single
+    * picked row + one global argmax — no RNG, no driver collect; the
+    * deterministic stand-in for k-means‖'s sampled oversampling, and
+    * exactly what the seeded query's oracle unrolls in SQL.
+    */
+  private def farthestSeeds(v: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val first = v.orderBy("vec_id").limit(1).select(col("x").as("c"))
+    var seeds = first.select(lit(0L).as("cid"), col("c"))
+    if (k == 1) return seeds
+    var scored = v.crossJoin(broadcast(first))
+      .select(col("vec_id"), col("x"), sqDist(col("x"), col("c")).as("m"))
+    for (j <- 1 until k) {
+      val pick = scored
+        .agg(max(struct(col("m"), (-col("vec_id")).as("nv"), col("x"))).as("p"))
+        .select(col("p.x").as("c"))
+      seeds = seeds.unionAll(pick.select(lit(j.toLong).as("cid"), col("c")))
+      if (j < k - 1)
+        scored = scored.crossJoin(broadcast(pick))
+          .select(col("vec_id"), col("x"),
+            least(col("m"), sqDist(col("x"), col("c"))).as("m"))
+    }
+    seeds
+  }
+
   /** DuckDB CTE chain for [[kmeans]]: seeds c0 → assign a1 (dist kept)
     * → decimal-mean stats s1 → centroids c1 → assign a2 → stats s2.
+    * Split into (v, c0) + [[lloydSql]] so the seeded variant swaps only
+    * the c0 stage.
     */
-  private val kmeansSql: String = """v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
-              x AS c
-       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
-d1 AS (SELECT v.vec_id, v.x, c0.cid,
+  private val vSql: String = """v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings)"""
+
+  /** Two unrolled Lloyd iterations over whatever `c0` holds. */
+  private val lloydSql: String = """d1 AS (SELECT v.vec_id, v.x, c0.cid,
               list_reduce(list_transform(range(1, len(v.x) + 1),
                 i -> (v.x[i] - c0.c[i]) * (v.x[i] - c0.c[i])),
                 (a, b) -> a + b) AS dist
@@ -262,4 +335,43 @@ s2 AS (SELECT cid, idx,
               CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS comp,
               count(*) AS n
        FROM e2 GROUP BY cid, idx)"""
+
+  private val kmeansSql: String = vSql + """,
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+              x AS c
+       FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+""" + lloydSql
+
+  /** Farthest-point seeding unrolled for K=4: p0 = lowest vec_id, then
+    * three (running-min distance → argmax) picks — the SQL twin of
+    * [[farthestSeeds]], incremental `least` chain and all, so the
+    * doubles match Spark bit-for-bit.
+    */
+  private val kmeansSeededSql: String = vSql + """,
+p0 AS (SELECT vec_id, x FROM v ORDER BY vec_id LIMIT 1),
+g1 AS (SELECT v.vec_id, v.x,
+              list_reduce(list_transform(range(1, len(v.x) + 1),
+                i -> (v.x[i] - p0.x[i]) * (v.x[i] - p0.x[i])),
+                (a, b) -> a + b) AS m
+       FROM v CROSS JOIN p0),
+p1 AS (SELECT vec_id, x FROM g1 ORDER BY m DESC, vec_id LIMIT 1),
+g2 AS (SELECT g1.vec_id, g1.x,
+              least(g1.m,
+                list_reduce(list_transform(range(1, len(g1.x) + 1),
+                  i -> (g1.x[i] - p1.x[i]) * (g1.x[i] - p1.x[i])),
+                  (a, b) -> a + b)) AS m
+       FROM g1 CROSS JOIN p1),
+p2 AS (SELECT vec_id, x FROM g2 ORDER BY m DESC, vec_id LIMIT 1),
+g3 AS (SELECT g2.vec_id, g2.x,
+              least(g2.m,
+                list_reduce(list_transform(range(1, len(g2.x) + 1),
+                  i -> (g2.x[i] - p2.x[i]) * (g2.x[i] - p2.x[i])),
+                  (a, b) -> a + b)) AS m
+       FROM g2 CROSS JOIN p2),
+p3 AS (SELECT vec_id, x FROM g3 ORDER BY m DESC, vec_id LIMIT 1),
+c0 AS (SELECT CAST(0 AS BIGINT) AS cid, x AS c FROM p0
+       UNION ALL SELECT CAST(1 AS BIGINT), x FROM p1
+       UNION ALL SELECT CAST(2 AS BIGINT), x FROM p2
+       UNION ALL SELECT CAST(3 AS BIGINT), x FROM p3),
+""" + lloydSql
 }

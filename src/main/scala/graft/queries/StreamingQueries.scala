@@ -114,10 +114,16 @@ object StreamingQueries {
     */
   def warmStagingCaches(s: org.apache.spark.sql.SparkSession,
       d: String): Unit = {
+    // the scratch dir exists only to give the slice/sentinel builders a
+    // copy target; the process-level caches they populate are what the
+    // warm-up is for — delete the staging copies afterwards (Scratch's
+    // paired-delete hygiene) so repeated bench runs don't leak /tmp trees
     val tmp = graft.Scratch.dir("st_warm")
-    EventsStream.canonicalEventsFile(s, d)
-    copyEventSlice(s, d, tmp, "warm_slice.parquet")
-    addSentinel(s, d, tmp)
+    try {
+      EventsStream.canonicalEventsFile(s, d)
+      copyEventSlice(s, d, tmp, "warm_slice.parquet")
+      addSentinel(s, d, tmp)
+    } finally graft.Scratch.delete(tmp)
   }
 
   /** Deterministic roll-up of an exactly-once event sink; the decimal

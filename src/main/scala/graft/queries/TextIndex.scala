@@ -30,12 +30,16 @@ import graft.functions.TextHash
   *    incremental == rebuild EXACTLY (spec-pinned, and the
   *    `text_bm25_indexed_incremental` oracle scores the full corpus).
   *
-  * At 100 TB: postings shard by bucket (add buckets to spread load —
-  * the hash is stable per term so old buckets never resplit), `stats/`
-  * is 16 bytes, and a query costs |terms| directory scans + one
-  * doc_id-keyed aggregate over matching postings only. Reference
-  * analog: the corpus-wide token scoring of S5_analytics.py:31-44,
-  * re-expressed as a servable persisted artifact.
+  * At 100 TB: postings shard by bucket, `stats/` is 16 bytes, and a
+  * query costs |terms| directory scans + one doc_id-keyed aggregate
+  * over matching postings only. Resharding caveat: with
+  * `bucket = hash mod NBuckets`, growing NBuckets arbitrarily
+  * reassigns terms across ALL old buckets; only power-of-two doubling
+  * (16 → 32) is clean — each old bucket b splits into exactly
+  * {b, b + NBuckets}, so a reshard rewrites each old bucket once and
+  * touches nothing else (the split law is pinned in TextIndexSpec).
+  * BM25 has no analog in the reference pipeline — it is one of the
+  * beyond-reference LLM-data-curation operators this engine adds.
   */
 object TextIndex {
 

@@ -81,4 +81,34 @@ class TextIndexSpec extends AnyFunSuite {
     val r2 = q(s, TestSpark.Sf0001).collect().map(_.toSeq).toSeq
     assert(r1 == r2 && r1.nonEmpty)
   }
+
+  test("power-of-two resharding split law: doubling NBuckets splits each bucket into exactly {b, b+N}") {
+    // with bucket = hash mod N, growing N arbitrarily scatters terms
+    // across all old buckets, but doubling is clean: every term in old
+    // bucket b lands in b or b+N under 2N, and both children are
+    // reachable — a reshard rewrites each old bucket once. Checked
+    // over the corpus's real token vocabulary.
+    import graft.functions.TextHash
+    val n = TextIndex.NBuckets
+    val corpusVocab = docs
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("tok"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+    // the law is a property of the hash, not the data — widen the small
+    // fixture vocabulary with synthetic terms to cover every bucket
+    val vocab = corpusVocab ++ (0 until 2000).map(i => s"synthetic_term_$i")
+    assert(corpusVocab.nonEmpty)
+    def bucket(t: String, nb: Int): Long = {
+      val h = TextHash.tokenHash(t) % nb; (h + nb) % nb
+    }
+    vocab.foreach { t =>
+      val b = bucket(t, n); val b2 = bucket(t, 2 * n)
+      assert(b2 == b || b2 == b + n,
+        s"term '$t' left its split pair: $b -> $b2")
+    }
+    // both children occur somewhere (the doubling really splits)
+    val children = vocab.map(t => bucket(t, 2 * n)).toSet
+    assert(children.exists(_ >= n) && children.exists(_ < n))
+  }
 }
