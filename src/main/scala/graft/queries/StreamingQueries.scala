@@ -610,7 +610,65 @@ ORDER BY c_custkey""")),
       Some("""
 SELECT user_id, count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
-FROM events GROUP BY user_id ORDER BY user_id"""))
+FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // transformWithState with EVENT-TIME TIMERS + ListState + MapState
+    // (the Spark-4 stateful surface past st12's single ValueState): per
+    // user, an inactivity timer re-armed at last-event + 30 min; when
+    // the watermark passes it the processor emits the user's report
+    // (last-5 event history from ListState, total count, distinct-type
+    // count from MapState) and CLEARS all state — eviction the
+    // evicted-keys-never-re-emit StreamingSpec law pins. The sentinel
+    // advances the watermark past every real deadline, so the batch
+    // oracle over the whole events table is exact.
+    Q("st13_tws_timers_eviction",
+      (s, d) => graft.Scratch.withDir(s, "sttimer") { root =>
+        copyEvents(s, d, s"$root/in", "a.parquet")
+        addSentinel(s, d, s"$root/in")
+        val report = EventsStream.inactivityReportTws(s,
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.withRocksDb(s)(withStatePartitions(s, 8)(
+          EventsStream.drainToMemory(report, "st13_tws", s"$root/ck",
+            org.apache.spark.sql.streaming.OutputMode.Append())))
+        s.table("st13_tws").orderBy("user_id", "rk")
+      },
+      Some("""
+WITH agg AS (SELECT user_id, count(*) AS n,
+                    count(DISTINCT event_type) AS n_types
+             FROM events GROUP BY user_id),
+r AS (SELECT user_id, event_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+               AS BIGINT) AS rk
+      FROM events)
+SELECT r.user_id, r.rk, r.event_id, a.n, a.n_types
+FROM r JOIN agg a USING (user_id)
+WHERE r.rk <= 5 ORDER BY r.user_id, r.rk""")),
+
+    // transformWithState with WALL-CLOCK TTL state (ProcessingTime
+    // mode — the only mode Spark permits TTLConfig in): per-(user,
+    // event_type) counts in a TTL'd MapState. The declared run uses a
+    // 1-hour TTL — far past any drain, so the result is deterministic
+    // and oracle-gated while the TTL machinery (per-slot expiry index,
+    // cleanup at every batch commit) runs live in RocksDB; REAL expiry
+    // (state vanishing after the TTL, counts restarting) is pinned in
+    // StreamingSpec with a short TTL and an actual clock wait.
+    Q("st14_tws_ttl_state",
+      (s, d) => graft.Scratch.withDir(s, "stttl") { root =>
+        copyEvents(s, d, s"$root/in", "a.parquet")
+        val counts = EventsStream.ttlUserTypeCounts(s,
+          EventsStream.readEvents(s, s"$root/in"))
+        EventsStream.withRocksDb(s)(withStatePartitions(s, 8)(
+          EventsStream.drainToMemoryAndStop(counts, "st14_tws", s"$root/ck",
+            org.apache.spark.sql.streaming.OutputMode.Update())))
+        s.table("st14_tws")
+          .groupBy("user_id", "event_type").agg(max("n").as("n"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+SELECT user_id, event_type, count(*) AS n
+FROM events GROUP BY user_id, event_type
+ORDER BY user_id, event_type"""))
   )
 
   /** Latest (version, path) under a versioned CDC state root, if any. */

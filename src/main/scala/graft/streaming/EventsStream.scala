@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming re-expression of the reference's incremental
@@ -267,6 +267,152 @@ object EventsStream extends Serializable {
       .toDF("user_id", "session_start", "n_events", "total_value")
   }
 
+  /** Per-user inactivity report via the full Spark-4 stateful surface
+    * (st13): event-time TIMERS evict a user's state once the watermark
+    * passes last-event + gap, a LIST state holds the bounded last-`keep`
+    * event history, a MAP state counts events per event_type, and a
+    * value slot carries (n, lastUs). One report row set per user, per
+    * eviction — the "user went quiet, summarize and forget them"
+    * pattern that keeps per-key state bounded on an unbounded stream.
+    * Output rows: (user_id, rk, event_id, n, n_types) — the user's
+    * `keep` latest events by (ts, event_id) with their rank, the total
+    * event count, and the distinct-type count. The watermark-advance
+    * sentinel (user_id < 0) fires every real user's timer at
+    * end-of-stream, so the batch oracle is exact. The sentinel is
+    * dropped INSIDE the processor, not by a `.filter` here: Catalyst
+    * pushes a user_id predicate BELOW the EventTimeWatermark node, so
+    * a filtered sentinel would never reach the watermark collector and
+    * the final timers would never fire (observed: the last 30 minutes
+    * of users went unemitted).
+    */
+  def inactivityReportTws(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60L * 1000L, keep: Int = 5): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new InactivityReportProcessor(gapMs, keep),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "rk", "event_id", "n", "n_types")
+  }
+
+  /** The st13 state machine. Every input batch folds rows into the
+    * three named slots and re-arms ONE event-time timer at the new
+    * inactivity deadline (previous timers deleted — `listTimers` makes
+    * the re-arm idempotent across batches); when the watermark passes
+    * the deadline, `handleExpiredTimer` emits the report and CLEARS all
+    * slots. The history is trimmed to the `keep` largest (us, event_id)
+    * on every batch — top-K is an associative merge, so the kept set is
+    * independent of how the stream was sliced into micro-batches, and
+    * state stays bounded however long the stream runs. TTLConfig is
+    * NONE on every slot: Spark only permits wall-clock TTL in
+    * ProcessingTime mode ([[ttlUserTypeCounts]] exercises that); here
+    * retention is driven by EVENT time, which is what makes the result
+    * oracle-checkable.
+    */
+  private class InactivityReportProcessor(gapMs: Long, keep: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long, Long, Long)] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    @transient private var history: ListState[(Long, Long)] = _
+    @transient private var typeCounts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val enc = org.apache.spark.sql.Encoders
+      totals = getHandle.getValueState[(Long, Long)]("totals",
+        enc.product[(Long, Long)], TTLConfig.NONE)
+      history = getHandle.getListState[(Long, Long)]("history",
+        enc.product[(Long, Long)], TTLConfig.NONE)
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        enc.STRING, enc.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long, Long)] = {
+      // watermark-advance sentinel rows: no state, no timer, no output
+      if (key < 0) return Iterator.empty
+      val (pn, pLast) = if (totals.exists()) totals.get() else (0L, Long.MinValue)
+      var n = pn
+      var last = pLast
+      val hist = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      if (history.exists()) history.get().foreach(hist += _)
+      rows.foreach { case (_, us, eid, et) =>
+        n += 1
+        if (us > last) last = us
+        hist += ((us, eid))
+        val c = if (typeCounts.containsKey(et)) typeCounts.getValue(et) else 0L
+        typeCounts.updateValue(et, c + 1)
+      }
+      val top = hist.sortBy { case (us, eid) => (-us, -eid) }.take(keep)
+      history.put(top.toArray)
+      totals.update((n, last))
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(last / 1000L + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long, Long)] = {
+      val out =
+        if (totals.exists()) {
+          val n = totals.get()._1
+          val nTypes = typeCounts.keys().size.toLong
+          history.get().toList.sortBy { case (us, eid) => (-us, -eid) }
+            .zipWithIndex
+            .map { case ((_, eid), i) => (key, (i + 1).toLong, eid, n, nTypes) }
+        } else Nil
+      totals.clear()
+      history.clear()
+      typeCounts.clear()
+      out.iterator
+    }
+  }
+
+  /** Per-(user, event_type) running counts with a WALL-CLOCK TTL on the
+    * MapState (st14) — ProcessingTime mode, the only mode Spark permits
+    * TTLConfig in. The declared query runs with a 1-hour TTL: far
+    * longer than any drain, so the result is deterministic and
+    * oracle-gated while the whole TTL machinery (per-slot TTL index,
+    * cleanup on every batch commit) runs live in the RocksDB store.
+    * Actual expiry semantics — state REALLY disappearing after the TTL
+    * and counts restarting from zero — are pinned by StreamingSpec
+    * with a short TTL and a real clock wait, which a cross-engine
+    * oracle cannot express (DuckDB has no wall clock). Emits the
+    * touched (user, type, newCount) entries each batch; the caller
+    * keeps the max count per pair (counts only grow).
+    */
+  def ttlUserTypeCounts(spark: SparkSession, events: DataFrame,
+      ttl: java.time.Duration = java.time.Duration.ofHours(1)): DataFrame = {
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new TtlTypeCountsProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("user_id", "event_type", "n")
+  }
+
+  private class TtlTypeCountsProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[Long, (Long, String), (Long, String, Long)] {
+    @transient private var typeCounts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      typeCounts = getHandle.getMapState[String, Long]("typeCounts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig(ttl))
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+        timerValues: TimerValues): Iterator[(Long, String, Long)] = {
+      // fold the batch locally first so each map key is read from (and
+      // written to) state once per batch, not once per row
+      val touched = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      rows.foreach { case (_, et) =>
+        val base = touched.getOrElse(et,
+          if (typeCounts.containsKey(et)) typeCounts.getValue(et) else 0L)
+        touched.update(et, base + 1)
+      }
+      touched.foreach { case (et, c) => typeCounts.updateValue(et, c) }
+      touched.iterator.map { case (et, c) => (key, et, c) }
+    }
+  }
+
   /** Streaming KMV distinct-count sketch — bounded-state cardinality
     * over an unbounded stream. State per group is the ≤ K smallest
     * distinct 60-bit key hashes (the portable md5-prefix hash of
@@ -371,6 +517,78 @@ object EventsStream extends Serializable {
       .start()
     q.awaitTermination()
     name
+  }
+
+  /** Drain everything currently available into an in-memory table by
+    * running the query until the source is exhausted, then STOPPING it
+    * — for operators whose physical plan asks for endless follow-up
+    * batches (TransformWithStateExec in ProcessingTime mode reports
+    * shouldRunAnotherBatch = true unconditionally, so
+    * Trigger.AvailableNow never terminates, and the forced keep-alive
+    * batches count as batches, so `processAllAvailable`'s noNewData
+    * latch never trips either — both verified empirically). The drain
+    * condition is sink-side instead: the input files are all staged
+    * BEFORE the query starts, so once three consecutive committed
+    * batches report zero input rows the backlog is fully consumed and
+    * the query can stop. A query-side exception is rethrown rather
+    * than spun on, and a 5-minute deadline turns any future
+    * never-drains regression into a loud failure instead of a hang.
+    */
+  def drainToMemoryAndStop(
+      df: DataFrame,
+      name: String,
+      checkpoint: String,
+      mode: OutputMode): String = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try runUntilInputDrained(q, name)
+    finally q.stop()
+    name
+  }
+
+  /** The drain companion of [[drainToMemoryAndStop]] for scenarios that
+    * need checkpoint RECOVERY (the memory sink refuses to resume from a
+    * checkpoint): each micro-batch appends to a parquet dir via
+    * foreachBatch, which is recoverable, so a stop + restart with the
+    * same checkpoint continues exactly where it left off — the restart
+    * seam the TTL-expiry and evicted-keys-never-re-emit laws exercise.
+    */
+  def drainAppendParquetAndStop(df: DataFrame, outDir: String,
+      checkpoint: String, mode: OutputMode): Unit = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .start()
+    try runUntilInputDrained(q, outDir)
+    finally q.stop()
+  }
+
+  private def runUntilInputDrained(
+      q: org.apache.spark.sql.streaming.StreamingQuery, name: String): Unit = {
+    val deadline = System.nanoTime() + 300L * 1000000000L
+    var idleBatches = 0
+    var lastBatchId = -1L
+    while (idleBatches < 3) {
+      if (q.exception.isDefined) throw q.exception.get
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"streaming query $name did not drain within 5 minutes")
+      Thread.sleep(50)
+      val p = q.lastProgress
+      if (p != null && p.batchId != lastBatchId) {
+        lastBatchId = p.batchId
+        if (p.numInputRows == 0) idleBatches += 1 else idleBatches = 0
+      }
+    }
   }
 
   /** Drain to a durable parquet sink — unlike the memory sink this

@@ -305,4 +305,127 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Drop a watermark-advance sentinel (user_id −999, `hoursPast` hours
+    * after the fixture's max event time) into a stream input dir.
+    */
+  private def stageSentinel(dir: Path, hoursPast: Long = 4,
+      name: String = "z_sentinel.parquet"): Unit = {
+    import spark.implicits._
+    val maxUs = graft.Tables.events(spark, TestSpark.Sf0001)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val stage = tmpDir("sent_stage")
+    Seq((-1L, maxUs + hoursPast * 3600L * 1000000L, -999L, "zz_sentinel", 0.0, ""))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_micros(col("us"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val f = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+    Files.copy(f.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("st13 timers: cross-batch eviction matches batch recomputation, and evicted keys never re-emit") {
+    val in = tmpDir("t13_in"); stageEvents(in); stageSentinel(in)
+    val ck = tmpDir("t13_ck")
+    val out = tmpDir("t13_out")
+    // maxFilesPerTrigger=1 forces the cross-batch path: events in batch
+    // 0, sentinel in batch 1 (some timers fire mid-stream at the
+    // pre-sentinel watermark), remaining timers in the final no-data
+    // batch — eviction and timer re-arm both cross real batch seams.
+    // Parquet sink (not memory): the second drain must RESUME the same
+    // checkpoint, which the memory sink refuses.
+    def drain(): Long = {
+      EventsStream.withRocksDb(spark) {
+        EventsStream.drainToParquet(
+          EventsStream.inactivityReportTws(spark,
+            EventsStream.readEvents(spark, in.toString,
+              maxFilesPerTrigger = Some(1))),
+          out.toString, ck.toString)
+      }
+      spark.read.parquet(out.toString).count()
+    }
+    val n1 = drain()
+    val streamed = spark.read.parquet(out.toString)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // independent batch recomputation of the eviction report
+    val ev = graft.Tables.events(spark, TestSpark.Sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val agg = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), countDistinct("event_type").as("n_types"))
+    val expect = ev
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .join(agg, "user_id")
+      .select("user_id", "rk", "event_id", "n", "n_types")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamed == expect, s"report diverges: ${streamed.size} vs ${expect.size}")
+    assert(n1 > 0)
+    // resume the SAME checkpoint with only an even-later sentinel: every
+    // key was evicted and cleared, so nothing may re-emit
+    stageSentinel(in, hoursPast = 8, name = "z_sentinel2.parquet")
+    val n2 = drain()
+    assert(n2 == n1, s"evicted keys re-emitted ${n2 - n1} rows")
+  }
+
+  test("st14 TTL: state survives a restart inside the TTL and really expires past it") {
+    // tiny fixture (3 users) so batch time is far below the short TTL
+    def stageSmall(dir: Path, name: String): Unit = {
+      val stage = tmpDir("t14_stage")
+      graft.Tables.events(spark, TestSpark.Sf0001)
+        .filter(col("user_id") < 3)
+        .select(col("event_id"),
+          col("ts").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val f = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val fileCounts = graft.Tables.events(spark, TestSpark.Sf0001)
+      .filter(col("user_id") < 3)
+      .groupBy("user_id", "event_type").count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(fileCounts.nonEmpty)
+    // foreachBatch parquet-append sink: recoverable from the checkpoint
+    // (the restart is the whole point here). The sink ACCUMULATES both
+    // runs' update rows, so "max n per key" distinguishes the outcomes:
+    // fileCounts if the redelivery counted from zero, 2× if state
+    // survived.
+    def drain(in: Path, out: Path, ttl: java.time.Duration, ck: Path)
+        : Map[(Long, String), Long] = {
+      EventsStream.withRocksDb(spark) {
+        EventsStream.drainAppendParquetAndStop(
+          EventsStream.ttlUserTypeCounts(spark,
+            EventsStream.readEvents(spark, in.toString), ttl),
+          out.toString, ck.toString, OutputMode.Update())
+      }
+      spark.read.parquet(out.toString).groupBy("user_id", "event_type")
+        .agg(max("n").as("n"))
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    }
+    // control: TTL far beyond the run — state SURVIVES the stop/restart
+    // (RocksDB checkpoint), so a redelivered copy doubles every count
+    val inL = tmpDir("t14_in_l"); stageSmall(inL, "a.parquet")
+    val ckL = tmpDir("t14_ck_l"); val outL = tmpDir("t14_out_l")
+    assert(drain(inL, outL, java.time.Duration.ofHours(1), ckL) == fileCounts)
+    stageSmall(inL, "b.parquet")
+    assert(drain(inL, outL, java.time.Duration.ofHours(1), ckL) ==
+      fileCounts.map { case (k, v) => k -> 2 * v },
+      "long-TTL state did not survive the restart")
+    // expiry: short TTL + a real clock wait — the same redelivery now
+    // counts from zero because the state is GONE
+    val inS = tmpDir("t14_in_s"); stageSmall(inS, "a.parquet")
+    val ckS = tmpDir("t14_ck_s"); val outS = tmpDir("t14_out_s")
+    assert(drain(inS, outS, java.time.Duration.ofSeconds(2), ckS) == fileCounts)
+    Thread.sleep(6000)
+    stageSmall(inS, "b.parquet")
+    assert(drain(inS, outS, java.time.Duration.ofSeconds(2), ckS) == fileCounts,
+      "short-TTL state outlived its TTL across the restart")
+  }
+
 }
