@@ -46,11 +46,21 @@ object Curation {
     // DfCap eval docs is template noise, not contamination signal).
     Q("curation_decontam_overlap",
       (s, d) => {
-        val docs = Dedup.docShingles(s, d)
-        val tpost = docs.filter(col("source") === "src3")
-          .select(col("doc_id").as("test_id"), explode(col("shs")).as("sh"))
-        val trpost = docs.filter(col("source") =!= "src3")
-          .select(col("doc_id").as("train_id"), explode(col("shs")).as("sh"))
+        // materialize the exploded postings ONCE: three consumers
+        // (test postings, train postings, hot-shingle df count) would
+        // otherwise each re-run the scan + shingle + explode — 3× the
+        // allocation churn of the whole corpus's shingles, which is
+        // exactly the kind of short-lived-object storm that turned
+        // into multi-second GC pauses when neighboring bench queries
+        // had already pressured the heap (r8's 1.06–5.63 s pass spread)
+        val post = graft.Caching.materialize(s,
+          Dedup.docShingles(s, d)
+            .select(col("doc_id"), col("source"),
+              explode(col("shs")).as("sh")))
+        val tpost = post.filter(col("source") === "src3")
+          .select(col("doc_id").as("test_id"), col("sh"))
+        val trpost = post.filter(col("source") =!= "src3")
+          .select(col("doc_id").as("train_id"), col("sh"))
         val hot = tpost.groupBy("sh").agg(count(lit(1)).as("df"))
           .filter(col("df") > Dedup.DfCap).select("sh")
         val tp = tpost.join(hot, Seq("sh"), "left_anti")
@@ -366,6 +376,91 @@ c AS (SELECT doc_id, source, shard, n_tokens,
 SELECT doc_id, source, shard, n_tokens,
        CAST(floor(start / 2048.0) AS BIGINT) AS bin, start % 2048 AS off
 FROM c ORDER BY shard, bin, off, doc_id""")),
+
+    // The README's promise as ONE runnable plan: the reference's
+    // MEDALLION datamart (broadcast cross-join similarity → per-target
+    // top-k + tie flag — the silver fact) feeding the modern curation
+    // tail — exact-dedup survivors of the datamart's document
+    // population → one salted md5 draw per doc for the 8/1/1 split →
+    // per-(split, shard) sequence packing. Five subsystems, one
+    // DataFrame expression: Catalyst prunes columns across the whole
+    // lineage and no stage materializes an intermediate. Plan budget
+    // pinned in PlanQualitySpec: the similarity side stays a broadcast
+    // (zero shuffle), and the tail pays one exchange per repartitioning
+    // stage only — composition adds no shuffle beyond the stages' own.
+    Q("pipeline_e2e_medallion",
+      (s, d) => {
+        TextHash.register(s)
+        // 1: medallion silver — the datamart's document population.
+        // Unordered facts (the ORDER BY would pay a mid-plan range
+        // exchange), and ONE pass: both id roles explode out of the
+        // same fact subtree instead of a self-union that plans the
+        // whole similarity stage twice.
+        val fact = SimilarityPipeline.tieFlagUnordered(
+          SimilarityPipeline.pairs(s, d))
+        val pop = fact
+          .select(explode(array(col("target_id"), col("source_id"))).as("doc_id"))
+          .distinct()
+        // 2: exact-dedup survivors within that population
+        val surv = Tables.documents(s, d)
+          .join(pop, Seq("doc_id"), "left_semi")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")))
+          .filter(col("rn") === 1)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        // 3: one salted draw per doc decides its split (8/1/1) — no
+        // global rank, so the split is embarrassingly parallel
+        val assigned = surv
+          .withColumn("draw", pmod(Sketches.h60(
+            concat(lit("esplit_"), col("doc_id").cast("string"))), lit(10L)))
+          .withColumn("split",
+            when(col("draw") < 8, "train")
+              .when(col("draw") === 8, "val")
+              .otherwise("test"))
+        // 4: per-(split, shard) sequence packing
+        val wpack = Window.partitionBy("split", "shard")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        assigned
+          .withColumn("hkey", expr(hkeyExpr))
+          .withColumn("shard", pmod(col("hkey"), lit(Shards.toLong)))
+          .withColumn("start", sum("n_tokens").over(wpack) - col("n_tokens"))
+          .withColumn("bin", floor(col("start") / 2048L).cast("long"))
+          .withColumn("off", pmod(col("start"), lit(2048L)))
+          .select("doc_id", "split", "shard", "n_tokens", "bin", "off")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH fact AS (SELECT * FROM (${SimilarityPipeline.topkTieFlagSql})),
+pop AS (SELECT DISTINCT doc_id FROM (
+  SELECT target_id AS doc_id FROM fact
+  UNION ALL SELECT source_id AS doc_id FROM fact)),
+docs AS (SELECT d.doc_id, d.text FROM documents d JOIN pop USING (doc_id)),
+s1 AS (SELECT doc_id, text,
+              row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+       FROM docs),
+surv AS (SELECT doc_id, text,
+                len(string_split(text, ' '))::BIGINT AS n_tokens
+         FROM s1 WHERE rn = 1),
+a AS (SELECT *, CAST(('0x' || substr(md5('esplit_' || doc_id::VARCHAR), 1, 15))
+                AS BIGINT) % 10 AS draw
+      FROM surv),
+sp AS (SELECT doc_id, n_tokens,
+              CASE WHEN draw < 8 THEN 'train'
+                   WHEN draw = 8 THEN 'val'
+                   ELSE 'test' END AS split,
+              $sqlHkey AS hkey
+       FROM a),
+sh AS (SELECT *, hkey % $Shards AS shard FROM sp),
+c AS (SELECT doc_id, split, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY split, shard
+                    ORDER BY hkey ASC, doc_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - n_tokens AS start
+      FROM sh)
+SELECT doc_id, split, shard, n_tokens,
+       CAST(floor(start / 2048.0) AS BIGINT) AS bin, start % 2048 AS off
+FROM c ORDER BY doc_id""")),
 
     // Paragraph-level dedup (the CCNet/RefinedWeb within-corpus shape):
     // documents are cut into fixed 16-token chunks by pure ARRAY

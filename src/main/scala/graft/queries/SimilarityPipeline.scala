@@ -54,7 +54,15 @@ object SimilarityPipeline {
     * sim) relation — factored out so the semantics (SURVEY.md §7.4) are
     * unit-testable on literal data.
     */
-  def tieFlagOverPairs(pairs: DataFrame): DataFrame = {
+  def tieFlagOverPairs(pairs: DataFrame): DataFrame =
+    tieFlagUnordered(pairs).orderBy("target_id", "rn")
+
+  /** [[tieFlagOverPairs]] without the output ORDER BY — for composed
+    * pipelines that consume the facts mid-plan, where the global sort
+    * would pay a range exchange Catalyst does not remove (observed in
+    * pipeline_e2e_medallion: one extra rangepartitioning per consumer).
+    */
+  def tieFlagUnordered(pairs: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("target_id")
       .orderBy(col("sim").desc, col("source_id").asc)
     val wAll = Window.partitionBy("target_id")
@@ -71,7 +79,6 @@ object SimilarityPipeline {
           .otherwise(lit(0L)))
       .select(col("target_id"), col("source_id"), col("sim"),
         col("rn").cast("long").as("rn"), col("tie_flag"))
-      .orderBy("target_id", "rn")
   }
 
   /** Shared t/s CTE prefix (targets and sources with norms). */

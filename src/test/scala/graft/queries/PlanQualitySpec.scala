@@ -110,6 +110,25 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unreferenced columns leaked into a scan:\n${p.take(2000)}")
   }
 
+  test("composed medallion pipeline: broadcast similarity side, bounded shuffle budget") {
+    // medallion → dedup → split → pack as ONE plan: the similarity
+    // stage must stay a broadcast (never a shuffled cross product),
+    // and composing four subsystems may only pay each stage's own
+    // repartitioning — the shuffle count is the budget.
+    val p = plan("pipeline_e2e_medallion")
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+    assert(!p.contains("CartesianProduct"),
+      s"similarity side fell off broadcast:\n${p.take(2000)}")
+    // budget = each stage's own repartitioning, nothing more: tie-flag
+    // window (target_id), population distinct (doc_id), semi join
+    // (doc_id), dedup window (text), pack window (split, shard), final
+    // presentation sort (range) — 6
+    val shuffles = "Exchange (hashpartitioning|rangepartitioning|SinglePartition)".r
+      .findAllIn(p).size
+    assert(shuffles <= 6 && shuffles >= 1,
+      s"composed plan pays $shuffles shuffles (budget 6):\n${p.take(3000)}")
+  }
+
   test("J13: the banded range join is an equi-join — no nested-loop interval scan") {
     val p = plan("j13_banded_range_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
