@@ -72,7 +72,10 @@ object Medallion {
     val factDir = s"$warehouse/silver_fact"
     val dimDir = s"$warehouse/silver_dim"
     // partition-directory columns read back as int; restore the id type
-    val topk = SimilarityPipeline.tieFlagOverPairs(
+    // unordered: the facts land in a parquet fact table, where a global
+    // ORDER BY would pay a range exchange for ordering parquet keeps no
+    // promise about anyway
+    val topk = SimilarityPipeline.tieFlagUnordered(
       spark.read.parquet(pairsDir)
         .select(col("target_id").cast("long"), col("source_id"), col("sim")))
       .select("target_id", "source_id", "sim", "tie_flag")

@@ -24,10 +24,11 @@ class DriverContractSpec extends AnyFunSuite {
   }
 
   test("declared surface only grows within a round (backstop against accidental drops)") {
-    // 268 at the round-8 close; a refactor that silently drops a
-    // registered query family fails here with the delta visible
-    assert(SparkEntry.queries.size >= 268,
+    // 272 mid-round-9 (268 at the round-8 close + seeded k-means, st13,
+    // st14, composed medallion pipeline); a refactor that silently
+    // drops a registered query family fails here with the delta visible
+    assert(SparkEntry.queries.size >= 272,
       s"declared queries shrank to ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 268)
+    assert(SparkEntry.oracleSql.size >= 272)
   }
 }
