@@ -73,6 +73,17 @@ object StreamingQueries {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Stage the fixture documents corpus into a stream input dir — a
+    * plain file copy (the fixture layout IS DocsStream's canonical
+    * staged schema).
+    */
+  private def copyDocs(s: org.apache.spark.sql.SparkSession, d: String,
+      inDir: String, name: String): Unit = {
+    Files.createDirectories(Paths.get(inDir))
+    Files.copy(Paths.get(s"$d/documents.parquet"),
+      Paths.get(s"$inDir/$name"), StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Drop a sentinel event 4 hours past the real data into `inDir` —
     * the end-of-stream watermark-advance technique: append mode only
     * emits windows/sessions the watermark has closed, so the sentinel
@@ -668,8 +679,68 @@ WHERE r.rk <= 5 ORDER BY r.user_id, r.rk""")),
       Some("""
 SELECT user_id, event_type, count(*) AS n
 FROM events GROUP BY user_id, event_type
-ORDER BY user_id, event_type"""))
+ORDER BY user_id, event_type""")),
+
+    // Streaming near-dup detection over a DOCUMENT stream: row-local
+    // MinHash signatures (same universal-hash family as the batch
+    // pipeline), LSH band keys, and one MapState per (band, bucket)
+    // holding doc_id → signature — a new arrival compares against its
+    // bucket's members (est. Jaccard = matching slots / 8, ≥ 1/2) and
+    // flags the higher id, so every co-bucket pair meets exactly once
+    // however the stream is sliced (slicing-invariance spec-pinned).
+    // The oracle recomputes signatures, co-bucket pairs, and the
+    // slot-match estimate relationally — uncapped, because a stream
+    // cannot know corpus-wide df up front (the batch DfCap needs the
+    // whole corpus; that difference is the operator's documented
+    // contract, not drift).
+    Q("st15_streaming_near_dup",
+      (s, d) => graft.Scratch.withDir(s, "stlsh") { root =>
+        copyDocs(s, d, s"$root/in", "a.parquet")
+        val pairs = graft.streaming.DocsStream.nearDupPairs(s,
+          graft.streaming.DocsStream.readDocs(s, s"$root/in"))
+        EventsStream.withRocksDb(s)(withStatePartitions(s, 8)(
+          EventsStream.drainToMemory(pairs, "st15_lsh", s"$root/ck",
+            org.apache.spark.sql.streaming.OutputMode.Update())))
+        s.table("st15_lsh").distinct()
+          .groupBy(col("dup_id"))
+          .agg(min("orig_id").as("dup_of"), count(lit(1)).as("n_matches"))
+          .orderBy("dup_id")
+      },
+      Some(StreamingNearDupOracle.sql))
   )
+
+  /** DuckDB twin of st15: uncapped MinHash signatures → band keys →
+    * DISTINCT co-bucket pairs → slot-match estimate ≥ 1/2 → higher id
+    * flagged.
+    */
+  private object StreamingNearDupOracle {
+    val sql: String = {
+      val h = graft.functions.TextHash.sqlTokenHash("sh")
+      val p = graft.functions.TextHash.P
+      val mins = Dedup.MinHashAB.zipWithIndex.map { case ((a, b), i) =>
+        s"min(($a * h + $b) % $p) AS m$i"
+      }.mkString(", ")
+      val bands = (0 until 4).map { b =>
+        s"SELECT doc_id, $b AS band, m${2 * b}::VARCHAR || '_' || m${2 * b + 1}::VARCHAR AS key FROM sig"
+      }.mkString("\nUNION ALL\n")
+      val eq = (0 until 8).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""
+WITH d0 AS (SELECT doc_id, ${Dedup.sqlShingles("text")} AS shs FROM documents),
+p0 AS (SELECT doc_id, unnest(shs) AS sh FROM d0),
+hs AS (SELECT doc_id, $h AS h FROM p0),
+sig AS (SELECT doc_id, $mins FROM hs GROUP BY doc_id),
+bk AS ($bands),
+pr AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+       FROM bk x JOIN bk y ON x.band = y.band AND x.key = y.key
+       WHERE x.doc_id < y.doc_id),
+eqs AS (SELECT i, j, $eq AS eq
+        FROM pr JOIN sig a ON pr.i = a.doc_id JOIN sig b ON pr.j = b.doc_id),
+f AS (SELECT j AS dup_id, i AS orig_id FROM eqs WHERE eq * 2 >= 8)
+SELECT dup_id, min(orig_id) AS dup_of, count(*) AS n_matches
+FROM f GROUP BY dup_id ORDER BY dup_id"""
+    }
+  }
 
   /** Latest (version, path) under a versioned CDC state root, if any. */
   private def latestCdcVersion(stateRoot: String): Option[(Long, String)] = {

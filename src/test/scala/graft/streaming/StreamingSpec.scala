@@ -373,6 +373,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(n2 == n1, s"evicted keys re-emitted ${n2 - n1} rows")
   }
 
+  test("st15 near-dup pairs are micro-batch-slicing invariant and redelivery-stable") {
+    def stageDocsSlice(dir: Path, name: String, pred: org.apache.spark.sql.Column): Unit = {
+      val stage = tmpDir("t15_stage")
+      graft.Tables.documents(spark, TestSpark.Sf0001).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val f = stage.toFile.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    def drain(in: Path, tag: String, ck: Path, maxFiles: Option[Int]): Set[(Long, Long)] = {
+      EventsStream.withRocksDb(spark) {
+        EventsStream.drainToMemory(
+          DocsStream.nearDupPairs(spark,
+            DocsStream.readDocs(spark, in.toString, maxFiles)),
+          s"t15_$tag", ck.toString, OutputMode.Update())
+      }
+      spark.table(s"t15_$tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // single batch: the whole corpus in one file
+    val in1 = tmpDir("t15_in1")
+    stageDocsSlice(in1, "a.parquet", lit(true))
+    val single = drain(in1, "single", tmpDir("t15_ck1"), None)
+    assert(single.nonEmpty)
+    // multi batch: three disjoint slices, one file per micro-batch —
+    // bucket state must carry pairs across the seams
+    val in2 = tmpDir("t15_in2")
+    (0 to 2).foreach { k =>
+      stageDocsSlice(in2, f"part$k%02d.parquet", col("doc_id") % 3 === k)
+    }
+    val multi = drain(in2, "multi", tmpDir("t15_ck2"), Some(1))
+    assert(multi == single,
+      s"pair set diverges across slicings: ${multi.size} vs ${single.size}")
+    // redelivery: the whole corpus delivered TWICE (a.parquet +
+    // b.parquet) — re-seen doc ids overwrite their own state entry,
+    // never self-pair, and may re-emit known pairs, but the distinct
+    // pair set cannot move
+    stageDocsSlice(in1, "b.parquet", lit(true))
+    val redelivered = drain(in1, "redel", tmpDir("t15_ck1b"), None)
+    assert(redelivered == single, "redelivery moved the pair set")
+  }
+
   test("st14 TTL: state survives a restart inside the TTL and really expires past it") {
     // tiny fixture (3 users) so batch time is far below the short TTL
     def stageSmall(dir: Path, name: String): Unit = {
