@@ -580,6 +580,49 @@ r AS (SELECT doc_id, h.source AS source, wt,
       FROM h JOIN w ON h.source = w.source)
 SELECT doc_id, source, rn FROM r WHERE rn <= ceil(wt * 200) ORDER BY doc_id""")),
 
+    // Temperature-scaled mixture sampling — the multilingual/source
+    // rebalancing knob (p_i ∝ share_i^(1/T)): T=1 keeps natural
+    // proportions, T→∞ approaches uniform; T=2 here, so quotas follow
+    // sqrt(corpus share), up-weighting tail sources the way
+    // multilingual pretraining mixes do. Unlike curation_domain_mix's
+    // FIXED weights, the quotas derive from the corpus itself: one
+    // tiny per-source count aggregate → sqrt-share quota (rounded to
+    // 6dp before ceil so the two engines' float sums cannot straddle
+    // the integer boundary) → broadcast back → per-source hash-order
+    // prefix. At 100 TB: the counts aggregate is map-side partial, the
+    // quota table is |sources| rows, selection is the same per-source
+    // window every sampler here uses — no global rank anywhere.
+    Q("curation_temperature_mix",
+      (s, d) => {
+        TextHash.register(s)
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(sqrt(col("n"))).as("z"))
+        val quotas = counts.crossJoin(tot)
+          .withColumn("quota",
+            ceil(round(sqrt(col("n")) / col("z") * 200, 6)).cast("long"))
+          .select("source", "quota")
+        val w = Window.partitionBy("source")
+          .orderBy(col("hkey").asc, col("doc_id").asc)
+        docs.withColumn("hkey", expr(hkeyExpr))
+          .join(broadcast(quotas), Seq("source"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= col("quota"))
+          .select("doc_id", "source", "rn", "quota")
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+z AS (SELECT sum(sqrt(n)) AS z FROM c),
+q AS (SELECT source, CAST(ceil(round(sqrt(n) / z.z * 200, 6)) AS BIGINT) AS quota
+      FROM c, z),
+h AS (SELECT doc_id, source, $sqlHkey AS hkey FROM documents),
+r AS (SELECT doc_id, h.source AS source, quota,
+             CAST(row_number() OVER (PARTITION BY h.source
+                    ORDER BY hkey ASC, doc_id ASC) AS BIGINT) AS rn
+      FROM h JOIN q ON h.source = q.source)
+SELECT doc_id, source, rn, quota FROM r WHERE rn <= quota ORDER BY doc_id""")),
+
     // Bloom-style decontamination: the held-out (source='src3') shingle
     // set is compressed to the SET BITS of a k=3, m=4096 Bloom filter —
     // a table of at most m rows that broadcasts trivially, where the
