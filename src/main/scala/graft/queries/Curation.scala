@@ -623,6 +623,53 @@ r AS (SELECT doc_id, h.source AS source, quota,
       FROM h JOIN q ON h.source = q.source)
 SELECT doc_id, source, rn, quota FROM r WHERE rn <= quota ORDER BY doc_id""")),
 
+    // Multi-epoch upsampling — the data-constrained mixing knob
+    // (repeat high-value sources ~N epochs, Muennighoff-style) as a
+    // deterministic fan-out: per-source epoch factors with FRACTIONAL
+    // parts (src1 = 2.5 epochs), whole epochs explode per doc, and the
+    // fractional epoch admits exactly the docs whose uniform md5 draw
+    // falls under the fraction — a pure function of doc_id, so the
+    // repeated SET (not just its size) is oracle-checked, stable under
+    // retries, and a factor edit never re-randomizes other sources.
+    // Each emitted copy carries an (id, epoch)-salted shard key so the
+    // copies of one document NEVER co-locate — the property that stops
+    // epoch repetition from turning into per-partition duplicate
+    // hotspots downstream. At 100 TB: broadcast factor table, map-only
+    // explode, zero shuffles.
+    Q("curation_epoch_upsample",
+      (s, d) => {
+        import s.implicits._
+        val f = Seq(("src0", 1L, 0L), ("src1", 2L, 500L),
+          ("src2", 2L, 0L), ("src3", 3L, 250L))
+          .toDF("source", "whole", "frac_pm")
+        Tables.documents(s, d)
+          .join(broadcast(f), Seq("source"))
+          .withColumn("draw", pmod(Sketches.h60(
+            concat(lit("epoch_"), col("doc_id").cast("string"))),
+            lit(1000L)))
+          .withColumn("reps",
+            col("whole") + (col("draw") < col("frac_pm")).cast("long"))
+          .select(col("doc_id"), col("source"),
+            explode(sequence(lit(0L), col("reps") - 1L)).as("epoch"))
+          .withColumn("shard", pmod(Sketches.h60(concat_ws("_",
+            lit("eposh"), col("doc_id"), col("epoch"))), lit(8L)))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("""
+WITH f(source, whole, frac_pm) AS (
+  VALUES ('src0', 1, 0), ('src1', 2, 500), ('src2', 2, 0), ('src3', 3, 250)),
+r AS (
+  SELECT doc_id, d.source AS source,
+    whole + CASE WHEN CAST(('0x' || substr(md5('epoch_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < frac_pm
+            THEN 1 ELSE 0 END AS reps
+  FROM documents d JOIN f ON d.source = f.source),
+e AS (
+  SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch
+  FROM r, UNNEST(range(0, reps)) AS u(ep))
+SELECT doc_id, source, epoch,
+  CAST(('0x' || substr(md5('eposh_' || CAST(doc_id AS VARCHAR) || '_' || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+FROM e ORDER BY doc_id, epoch""")),
+
     // Bloom-style decontamination: the held-out (source='src3') shingle
     // set is compressed to the SET BITS of a k=3, m=4096 Bloom filter —
     // a table of at most m rows that broadcasts trivially, where the

@@ -94,6 +94,56 @@ SELECT vec_id, idx, val FROM (
   FROM e)
 ORDER BY vec_id, idx""")),
 
+    // Mean-centering + re-normalization — step 1 of all-but-the-top
+    // embedding postprocessing (Mu & Viswanath 2018): pretrained
+    // embedding spaces share a large common mean vector that washes out
+    // cosine contrast; removing it (then re-unit-norming) measurably
+    // sharpens retrieval. Engine-exact: the per-dim mean sums as
+    // DECIMAL(38,15) (order-independent, the K-means centroid rule),
+    // divides once in double, and every row-level step (zip_with
+    // subtract, left-fold norm) is row-local IEEE arithmetic — rounding
+    // only at the output edge. Step 2 of ABTT (dominant-direction
+    // removal) would reuse exactly this mean machinery plus a power
+    // iteration over the same decimal sums. At 100 TB: the mean is one
+    // narrow shuffle (dim-keyed, map-side partial over 32 groups), the
+    // dim-sized mean vector broadcasts, and centering is a pure map.
+    Q("emb_mean_center",
+      (s, d) => {
+        val dv = col("embedding").cast("array<double>")
+        val e = Tables.embeddings(s, d).select(col("vec_id"), dv.as("x"))
+        val mean = e.select(posexplode(col("x")))
+          .groupBy("pos")
+          .agg((sum(col("col").cast("decimal(38,15)")).cast("double") /
+            count(lit(1))).as("mu"))
+        val mv = mean.agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("mu")))),
+          t => t.getField("mu")).as("muv"))
+        e.crossJoin(broadcast(mv))
+          .withColumn("c", zip_with(col("x"), col("muv"), (a, b) => a - b))
+          .withColumn("nrm",
+            sqrt(aggregate(col("c"), lit(0.0), (acc, y) => acc + y * y)))
+          .select(col("vec_id"), col("nrm"), posexplode(col("c")))
+          .select(col("vec_id"), col("pos").cast("long").as("idx"),
+            round(col("col") / col("nrm"), 6).as("val"))
+          .orderBy("vec_id", "idx")
+      },
+      Some("""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+u AS (SELECT vec_id, unnest(list_transform(range(1, len(x) + 1),
+        i -> {'pos': i - 1, 'val': x[i]}), recursive := true) FROM e),
+m AS (SELECT pos, CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS mu
+      FROM u GROUP BY pos),
+mv AS (SELECT list(mu ORDER BY pos) AS muv FROM m),
+c AS (SELECT vec_id, list_transform(range(1, len(x) + 1),
+        i -> x[i] - muv[i]) AS cv FROM e, mv),
+n AS (SELECT vec_id, cv,
+        sqrt(list_sum(list_transform(cv, y -> y * y))) AS nrm FROM c)
+SELECT vec_id, idx, val FROM (
+  SELECT vec_id, unnest(list_transform(range(1, len(cv) + 1),
+           i -> {'idx': i - 1, 'val': round(cv[i] / nrm, 6)}), recursive := true)
+  FROM n)
+ORDER BY vec_id, idx""")),
+
     // K-means over the embedding column (K=4, two unrolled Lloyd
     // iterations, seeds = the K lowest vec_ids) — the semantic-
     // clustering primitive behind diversity sampling, semantic dedup,

@@ -792,7 +792,86 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
        round(CAST(sum(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
              / (count(*) * 1000000), 6) AS avg_cos,
        min(cos) AS min_cos
-FROM asgc GROUP BY cell ORDER BY cell"""))
+FROM asgc GROUP BY cell ORDER BY cell""")),
+
+    // k-NN graph construction — every vector's top-3 neighbors among
+    // its SRP band-collision candidates, both directions of each pair.
+    // The batch primitive under graph-based ANN serving (HNSW/NSG build
+    // starts from exactly this), semantic-dedup clustering, and
+    // label-propagation over embeddings. Same candidate machinery as
+    // dedup_embedding_cosine (equi-join on (band, bucket), union over
+    // bands, exact re-rank on candidates only — shuffle ∝ bucket
+    // collisions, never N²); the difference is per-NODE top-k instead
+    // of a global threshold, so isolated vectors simply have no edges
+    // and hubs keep only their 3 best. Rank order (cos DESC, dst ASC)
+    // is total — deterministic under any partitioning. At 100 TB the
+    // src-partitioned window is bounded by each node's candidate count
+    // (band buckets are population-bounded by plane growth, see
+    // BandPlanes scaladoc), not by corpus size.
+    Q("simsearch_knn_graph",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        val banded = emb.select(col("vec_id"),
+          explode(array((0 until Dedup.EmbBands).map { bnd =>
+            struct(lit(bnd).as("band"),
+              bandBucket(col("embedding"), bnd).as("bkt"))
+          }: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"),
+            col("bb.bkt").as("bkt"))
+        val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
+          .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
+            Seq("band", "bkt"))
+          .filter(col("i") < col("j"))
+          .select("i", "j").distinct()
+        val scored = cand
+          .join(emb.select(col("vec_id").as("i"), col("embedding").as("e_a"),
+            col("nrm").as("n_a")), "i")
+          .join(emb.select(col("vec_id").as("j"), col("embedding").as("e_b"),
+            col("nrm").as("n_b")), "j")
+          .withColumn("cos",
+            round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
+          .select("i", "j", "cos")
+        val directed = scored
+          .select(col("i").as("src"), col("j").as("dst"), col("cos"))
+          .unionAll(scored
+            .select(col("j").as("src"), col("i").as("dst"), col("cos")))
+        val w = Window.partitionBy("src")
+          .orderBy(col("cos").desc, col("dst").asc)
+        directed.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select(col("src"), col("rk"), col("dst"), col("cos"))
+          .orderBy("src", "rk")
+      },
+      Some {
+        val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
+          s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM e"
+        }.mkString("\nUNION ALL\n")
+        s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e0),
+b AS ($bandSelects),
+cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         FROM b x JOIN b y
+           ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+sc AS (
+  SELECT i, j,
+         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
+               (a.nrm * c.nrm), 6) AS cos
+  FROM cand JOIN e a ON cand.i = a.vec_id JOIN e c ON cand.j = c.vec_id),
+dir AS (SELECT i AS src, j AS dst, cos FROM sc
+        UNION ALL
+        SELECT j AS src, i AS dst, cos FROM sc),
+r AS (SELECT src, dst, cos,
+             CAST(row_number() OVER (PARTITION BY src
+                    ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
+      FROM dir)
+SELECT src, rk, dst, cos FROM r WHERE rk <= 3 ORDER BY src, rk"""
+      })
   )
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe and

@@ -575,7 +575,131 @@ SELECT t1, t2, c12, u1.cnt AS c1, u2.cnt AS c2,
 FROM pairs
 JOIN uni u1 ON pairs.t1 = u1.tok
 JOIN uni u2 ON pairs.t2 = u2.tok
-CROSS JOIN nt ORDER BY t1, t2"""))
+CROSS JOIN nt ORDER BY t1, t2""")),
+
+    // Bigram language-model scoring — the perplexity-style quality
+    // filter (CCNet's KenLM pass) as a query: train an add-one-smoothed
+    // bigram LM on the corpus itself, then score every document by its
+    // mean log-probability ln p(w2|w1) = ln((c12+1)/(c1+V)). Low
+    // scores mark boilerplate-free but incoherent text that the
+    // surface heuristics (text_quality) cannot see. Portability: each
+    // bigram's log term is rounded to a SCALED INTEGER (ln·10⁴ →
+    // BIGINT) at the occurrence level, so the per-document sum is
+    // exact integer arithmetic — no float-summation order anywhere —
+    // and the one libm ln() call is absorbed by the rounding, per the
+    // repo's ln() rule. At 100 TB: bigram extraction is doc-local
+    // (lead over the doc-partitioned position order), counts take one
+    // pair-key shuffle, and the score join runs on per-document
+    // DISTINCT pairs (not occurrences) against the same aggregate
+    // subtree — Catalyst reuses the exchange — while the
+    // vocabulary-sized unigram table broadcasts.
+    Q("text_ngram_lm_score",
+      (s, d) => {
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+        val vocab = uni.agg(count(lit(1)).as("v"))
+        // materialized once: both the corpus bigram counts and the
+        // score join read this subtree — without the checkpoint the
+        // token-stream window would be scanned and shuffled twice
+        // (column pruning makes the two subtrees unequal, so Catalyst
+        // cannot reuse the exchange on its own)
+        val docPairs = graft.Caching.materialize(s, toks
+          .withColumn("nxt", lead("tok", 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("doc_id"), col("tok").as("t1"), col("nxt").as("t2"))
+          .agg(count(lit(1)).as("k")))
+        // map-side partial agg bounds the per-pair reduce input by the
+        // mapper count — the skew-safe way to count corpus bigrams (a
+        // count-window over the pair key would hotspot on "of the")
+        val c12 = docPairs.groupBy("t1", "t2").agg(sum("k").as("c12"))
+        docPairs
+          .join(c12, Seq("t1", "t2"))
+          .join(broadcast(uni.select(col("tok").as("t1"), col("c1"))), Seq("t1"))
+          .crossJoin(broadcast(vocab))
+          .withColumn("term", col("k") *
+            expr("CAST(round(ln((c12 + 1.0) / (c1 + v)) * 10000, 0) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(sum("k").as("n_bigrams"), sum("term").as("ll_scaled"))
+          // NO final round: ll_scaled and n_bigrams are exact integers
+          // in both engines, and the two IEEE divisions are
+          // bit-identical — whereas round(·,4) of a true 4-decimal tie
+          // (e.g. -754061/220000 = -3.42755) diverges, because DuckDB
+          // rounds the double's shortest decimal form and Spark its
+          // exact binary expansion.
+          .select(col("doc_id"), col("n_bigrams"),
+            (col("ll_scaled") / 10000.0 / col("n_bigrams"))
+              .as("lm_score"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS pos
+  FROM sp, UNNEST(range(0, len(ts))) AS t(i)),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+vc AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, tok AS t1, lead(tok, 1) OVER (PARTITION BY doc_id
+           ORDER BY pos) AS t2
+  FROM toks),
+dp AS (SELECT doc_id, t1, t2, count(*) AS k FROM big
+       WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2),
+c AS (SELECT t1, t2, sum(k) AS c12 FROM dp GROUP BY t1, t2),
+sc AS (
+  SELECT dp.doc_id, dp.k,
+         dp.k * CAST(round(ln((c.c12 + 1.0) / (u.c1 + vc.v)) * 10000, 0) AS BIGINT) AS term
+  FROM dp JOIN c ON dp.t1 = c.t1 AND dp.t2 = c.t2
+  JOIN uni u ON dp.t1 = u.tok CROSS JOIN vc)
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+       sum(term) / 10000.0 / sum(k) AS lm_score
+FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // Model-based quality gate — fastText-shaped linear classifier
+    // INFERENCE as a map-only query: hashed bag-of-words features, one
+    // weight per hash bucket, mean activation through a sigmoid, keep
+    // iff p ≥ 0.5. The weights here are a deterministic pseudo-model
+    // (w(t) derived from the portable token hash, in [-1, 1]) so both
+    // engines hold byte-identical parameters without an external model
+    // file; swapping in trained weights changes a constant table, not
+    // the plan. Portability: the weight SUM is exact integer
+    // arithmetic (each weight an integer in [-1000, 1000]), the single
+    // division is one IEEE double op, and the sigmoid's exp() is
+    // absorbed by round(·,4) like every libm call in this repo. At
+    // 100 TB this is the ideal operator: a pure scan — zero shuffles,
+    // zero joins, no model broadcast — the classifier rides inside
+    // whole-stage codegen's per-row loop.
+    Q("text_quality_classifier",
+      (s, d) => {
+        TextHash.register(s)
+        Tables.documents(s, d)
+          .withColumn("n_tokens",
+            size(split(col("text"), " ")).cast("long"))
+          .withColumn("wsum", expr(
+            "aggregate(split(text, ' '), 0L, " +
+              "(a, x) -> a + pmod(tok_hash(concat('clsw_', x)), 2001) - 1000)"))
+          .withColumn("z",
+            lit(0.25) + col("wsum") / (col("n_tokens") * lit(1000.0)))
+          .withColumn("score",
+            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+          .select(col("doc_id"), col("n_tokens"), col("wsum"),
+            col("score"), (col("score") >= 0.5).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    CAST(list_sum(list_transform(string_split(text, ' '),
+      x -> ${TextHash.sqlTokenHash("'clsw_' || x")} % 2001 - 1000)) AS BIGINT) AS wsum
+  FROM documents),
+z AS (SELECT doc_id, n_tokens, wsum,
+        round(1.0 / (1.0 + exp(-(0.25 + wsum / (n_tokens * 1000.0)))), 4) AS score
+      FROM t)
+SELECT doc_id, n_tokens, wsum, score, score >= 0.5 AS keep
+FROM z ORDER BY doc_id"""))
   )
 
   /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared

@@ -24,11 +24,13 @@ class DriverContractSpec extends AnyFunSuite {
   }
 
   test("declared surface only grows within a round (backstop against accidental drops)") {
-    // 272 mid-round-9 (268 at the round-8 close + seeded k-means, st13,
-    // st14, composed medallion pipeline); a refactor that silently
-    // drops a registered query family fails here with the delta visible
-    assert(SparkEntry.queries.size >= 272,
+    // 279 mid-round-9 (268 at the round-8 close + seeded k-means, st13,
+    // st14, st15, composed medallion pipeline, temperature mix, bigram
+    // LM score, quality classifier, epoch upsample, ABTT mean-center,
+    // k-NN graph); a refactor that silently drops a registered query
+    // family fails here with the delta visible
+    assert(SparkEntry.queries.size >= 279,
       s"declared queries shrank to ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 272)
+    assert(SparkEntry.oracleSql.size >= 279)
   }
 }

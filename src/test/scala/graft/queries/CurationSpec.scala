@@ -269,4 +269,37 @@ class CurationSpec extends AnyFunSuite {
     assert(out.count(_.getString(2) == "train") > out.length / 2)
   }
 
+  test("epoch upsample emits exactly the deterministic whole+fractional " +
+    "copy set with (id, epoch)-salted shards") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).substring(0, 15), 16)
+    val factors = Map("src0" -> ((1L, 0L)), "src1" -> ((2L, 500L)),
+      "src2" -> ((2L, 0L)), "src3" -> ((3L, 250L)))
+    // sources without a declared factor (sf0.001 carries a src4) are
+    // excluded by the query's inner join — mirror that here
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(d => factors.contains(d._2))
+    val expected = docs.flatMap { case (id, src) =>
+      val (whole, frac) = factors(src)
+      val reps = whole + (if (h60(s"epoch_$id") % 1000 < frac) 1L else 0L)
+      (0L until reps).map(ep => (id, src, ep, h60(s"eposh_${id}_$ep") % 8))
+    }
+    val rows = Registry.queries("curation_epoch_upsample")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == expected.length) // multiset equality: no extra copies
+    assert(rows.toSet == expected.toSet)
+    // integer-epoch sources are repeated EXACTLY their factor — the
+    // fractional draw must not leak into them
+    val bySrc = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val docCount = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(bySrc("src0") == docCount("src0"))
+    assert(bySrc("src2") == 2L * docCount("src2"))
+  }
+
 }

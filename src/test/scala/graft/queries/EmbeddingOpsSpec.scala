@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{Tables, TestSpark}
+
+/** Laws for the embedding preprocessing/graph operators that the
+  * row-level oracle can't express: unit-norm invariants, replica
+  * arithmetic, and per-node rank structure of the k-NN graph.
+  */
+class EmbeddingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def vectors(): Map[Long, Array[Double]] =
+    Tables.embeddings(spark, TestSpark.Sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  test("emb_mean_center output is unit-norm and tracks the in-memory " +
+    "mean-centered vectors") {
+    val vs = vectors()
+    val dim = vs.head._2.length
+    val n = vs.size
+    val mean = (0 until dim).map { j =>
+      vs.values.map(_(j)).sum / n // tolerance-compared, order drift ok
+    }.toArray
+    val got = Registry.queries("emb_mean_center")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    assert(got.keySet == vs.keySet)
+    got.foreach { case (id, comps) =>
+      assert(comps.length == dim)
+      // unit norm after centering (rounding at 6dp bounds the drift)
+      val nrm = math.sqrt(comps.map(c => c * c).sum)
+      assert(math.abs(nrm - 1.0) < 1e-4, s"vec $id norm $nrm")
+      // replica: centered + normalized, compared within float tolerance
+      val c = vs(id).zip(mean).map { case (x, m) => x - m }
+      val cn = math.sqrt(c.map(y => y * y).sum)
+      c.zip(comps).zipWithIndex.foreach { case ((raw, gotv), j) =>
+        assert(math.abs(raw / cn - gotv) < 1e-5, s"vec $id dim $j")
+      }
+    }
+  }
+
+  test("knn graph: contiguous ranks ordered by (cos desc, dst), " +
+    "exact cosine arithmetic, no self-loops") {
+    val vs = vectors()
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val rows = Registry.queries("simsearch_knn_graph")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, _, dst, cos) =>
+      assert(src != dst, s"self-loop at $src")
+      // the emitted cosine is the true cosine of the pair (to rounding)
+      assert(math.abs(cosine(vs(src), vs(dst)) - cos) < 1e-5,
+        s"edge $src->$dst cosine off")
+    }
+    rows.groupBy(_._1).foreach { case (src, es) =>
+      val byRank = es.sortBy(_._2)
+      assert(byRank.length <= 3)
+      assert(byRank.map(_._2).toSeq == (1L to byRank.length).toSeq,
+        s"node $src ranks not contiguous")
+      // rank order is (cos desc, dst asc)
+      val resorted = byRank.sortBy(e => (-e._4, e._3))
+      assert(resorted.toSeq == byRank.toSeq, s"node $src mis-ranked")
+    }
+  }
+}

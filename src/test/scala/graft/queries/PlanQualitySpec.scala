@@ -370,7 +370,19 @@ class PlanQualitySpec extends AnyFunSuite {
       "text_index_serve_cold" -> 3,
       // one user_id window shuffle + presentation sort — the whole
       // point of the interleaved running-max formulation (no self-join)
-      "e9_last_touch_attribution" -> 2)
+      "e9_last_touch_attribution" -> 2,
+      // the classifier is the map-only ideal: the whole model runs
+      // inside the scan's codegen loop; the one exchange is the
+      // presentation sort
+      "text_quality_classifier" -> 1,
+      // broadcast factor table + map-side explode + presentation sort
+      "curation_epoch_upsample" -> 1,
+      // serving plan over the materialized (doc,pair) subtree: pair
+      // count agg, pair-key score join, unigram agg (broadcast back;
+      // its shared exchange prints twice in tree form — uni and vocab
+      // both consume it), per-doc rollup + presentation sort; the doc
+      // window + (doc,pair) agg pair is paid once inside the checkpoint
+      "text_ngram_lm_score" -> 6)
     budgets.foreach { case (name, budget) =>
       val p = Registry.queries(name)(spark, TestSpark.Sf001)
         .queryExecution.executedPlan.toString
