@@ -670,6 +670,54 @@ SELECT doc_id, source, epoch,
   CAST(('0x' || substr(md5('eposh_' || CAST(doc_id AS VARCHAR) || '_' || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
 FROM e ORDER BY doc_id, epoch""")),
 
+    // Quality filter STACK — the gate order a production curation
+    // pipeline actually runs (cheapest-first, each stage seeing only
+    // survivors-in-spirit): surface heuristics, then bigram-LM
+    // perplexity, then the model classifier. drop_reason records the
+    // FIRST failing gate (fixed precedence, so the report is
+    // deterministic and the per-gate attrition is one groupBy away);
+    // docs too short to have bigrams pass the LM gate by definition
+    // (NULL comparison is false — both engines). All three signals are
+    // the registered operators' own exposed subtrees, so this query is
+    // pure composition: the only new work is two doc-keyed joins. At
+    // 100 TB the heuristic+classifier sides are map-only and the LM
+    // side is the text_ngram_lm_score plan — nothing here adds a
+    // shuffle beyond the joins' doc_id exchanges.
+    Q("curation_quality_ensemble",
+      (s, d) => {
+        val heur = TextAnalysis.qualityScored(s, d)
+          .select(col("doc_id"), col("quality"))
+        val lm = TextAnalysis.lmScored(s, d)
+          .select(col("doc_id"), col("lm_score"))
+        val cls = TextAnalysis.classifierScored(s, d)
+          .select(col("doc_id"), col("score").as("cls_score"))
+        heur.join(lm, Seq("doc_id"), "left")
+          .join(cls, Seq("doc_id"), "left")
+          .withColumn("drop_reason",
+            when(col("quality") < 0.33, "heuristic")
+              .when(col("lm_score") < -3.47, "lm")
+              .when(col("cls_score") < 0.52, "classifier"))
+          .withColumn("keep", col("drop_reason").isNull)
+          .select(col("doc_id"), col("quality"), col("lm_score"),
+            col("cls_score"), col("keep"), col("drop_reason"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+WITH ${TextAnalysis.sqlLmScored},
+${TextAnalysis.sqlClassifierScored},
+heur AS (${TextAnalysis.sqlQualityScored}),
+j AS (SELECT h.doc_id, h.quality, lm.lm_score, cls.score AS cls_score
+      FROM heur h LEFT JOIN lm ON h.doc_id = lm.doc_id
+      LEFT JOIN cls ON h.doc_id = cls.doc_id),
+g AS (SELECT doc_id, quality, lm_score, cls_score,
+        CASE WHEN quality < 0.33 THEN 'heuristic'
+             WHEN lm_score < -3.47 THEN 'lm'
+             WHEN cls_score < 0.52 THEN 'classifier' END AS drop_reason
+      FROM j)
+SELECT doc_id, quality, lm_score, cls_score,
+       drop_reason IS NULL AS keep, drop_reason
+FROM g ORDER BY doc_id""")),
+
     // Bloom-style decontamination: the held-out (source='src3') shingle
     // set is compressed to the SET BITS of a k=3, m=4096 Bloom filter —
     // a table of at most m rows that broadcasts trivially, where the

@@ -305,6 +305,52 @@ j AS (SELECT p.p_id, p.user_id, p.p_us, c.c_id, c.c_us,
        AND c.c_us <= p.p_us AND c.c_us > p.p_us - 604800000000)
 SELECT p_id AS event_id, user_id, c_id AS click_id,
        (p_us - c_us) // 60000000 AS gap_min
-FROM j WHERE rn = 1 ORDER BY event_id"""))
+FROM j WHERE rn = 1 ORDER BY event_id""")),
+
+    // User-journey path mining — the Sankey/flow report behind funnel
+    // DESIGN (e7 counts a fixed funnel; this one discovers which
+    // sequences actually happen): each user's first five events in
+    // (ts, event_id) order join into a '>'-delimited path, then paths
+    // roll up to (users, total events) and the top 20 ship. Determinism:
+    // the per-user order is total (event_id breaks µs ties) and the
+    // top-20 cut is ordered (n_users DESC, path ASC) — no engine-private
+    // tie. At 100 TB: the prefix trim happens BEFORE any collection (a
+    // row_number filter, so per-user state is ≤ 5 rows regardless of
+    // how heavy a user is), the path rollup shuffles path-keyed with
+    // map-side partials, and the final cut is a TakeOrdered, not a
+    // global sort.
+    Q("e10_path_mining",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        val wc = Window.partitionBy("user_id")
+        ev.withColumn("rn", row_number().over(w))
+          .withColumn("ne", count(lit(1)).over(wc).cast("long"))
+          .filter(col("rn") <= 5)
+          .groupBy("user_id")
+          .agg(max("ne").as("ne"),
+            concat_ws(">", transform(
+              sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type"))).as("path"))
+          .groupBy("path")
+          .agg(count(lit(1)).as("n_users"), sum("ne").as("n_events"))
+          .orderBy(col("n_users").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""
+WITH ev AS (SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+r AS (SELECT user_id, event_type,
+        row_number() OVER (PARTITION BY user_id ORDER BY us, event_id) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS ne
+      FROM ev),
+p AS (SELECT user_id, CAST(max(ne) AS BIGINT) AS ne,
+        string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 5 GROUP BY user_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(ne) AS BIGINT) AS n_events
+FROM p GROUP BY path ORDER BY n_users DESC, path ASC LIMIT 20"""))
   )
 }

@@ -834,10 +834,17 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
           .withColumn("cos",
             round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
           .select("i", "j", "cos")
+        // both edge directions from ONE pass over the scored subtree —
+        // a self-union would plan the candidate join + re-rank twice
+        // (the same tax the medallion pipeline's population stage paid
+        // before exploding both id roles from a single fact subtree)
         val directed = scored
-          .select(col("i").as("src"), col("j").as("dst"), col("cos"))
-          .unionAll(scored
-            .select(col("j").as("src"), col("i").as("dst"), col("cos")))
+          .select(explode(array(
+            struct(col("i").as("src"), col("j").as("dst"), col("cos")),
+            struct(col("j").as("src"), col("i").as("dst"), col("cos"))))
+            .as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"),
+            col("e.cos").as("cos"))
         val w = Window.partitionBy("src")
           .orderBy(col("cos").desc, col("dst").asc)
         directed.withColumn("rk", row_number().over(w).cast("long"))

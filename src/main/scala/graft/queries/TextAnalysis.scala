@@ -594,68 +594,10 @@ CROSS JOIN nt ORDER BY t1, t2""")),
     // subtree — Catalyst reuses the exchange — while the
     // vocabulary-sized unigram table broadcasts.
     Q("text_ngram_lm_score",
-      (s, d) => {
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val toks = Tables.documents(s, d)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
-        val vocab = uni.agg(count(lit(1)).as("v"))
-        // materialized once: both the corpus bigram counts and the
-        // score join read this subtree — without the checkpoint the
-        // token-stream window would be scanned and shuffled twice
-        // (column pruning makes the two subtrees unequal, so Catalyst
-        // cannot reuse the exchange on its own)
-        val docPairs = graft.Caching.materialize(s, toks
-          .withColumn("nxt", lead("tok", 1).over(w))
-          .filter(col("nxt").isNotNull)
-          .groupBy(col("doc_id"), col("tok").as("t1"), col("nxt").as("t2"))
-          .agg(count(lit(1)).as("k")))
-        // map-side partial agg bounds the per-pair reduce input by the
-        // mapper count — the skew-safe way to count corpus bigrams (a
-        // count-window over the pair key would hotspot on "of the")
-        val c12 = docPairs.groupBy("t1", "t2").agg(sum("k").as("c12"))
-        docPairs
-          .join(c12, Seq("t1", "t2"))
-          .join(broadcast(uni.select(col("tok").as("t1"), col("c1"))), Seq("t1"))
-          .crossJoin(broadcast(vocab))
-          .withColumn("term", col("k") *
-            expr("CAST(round(ln((c12 + 1.0) / (c1 + v)) * 10000, 0) AS BIGINT)"))
-          .groupBy("doc_id")
-          .agg(sum("k").as("n_bigrams"), sum("term").as("ll_scaled"))
-          // NO final round: ll_scaled and n_bigrams are exact integers
-          // in both engines, and the two IEEE divisions are
-          // bit-identical — whereas round(·,4) of a true 4-decimal tie
-          // (e.g. -754061/220000 = -3.42755) diverges, because DuckDB
-          // rounds the double's shortest decimal form and Spark its
-          // exact binary expansion.
-          .select(col("doc_id"), col("n_bigrams"),
-            (col("ll_scaled") / 10000.0 / col("n_bigrams"))
-              .as("lm_score"))
-          .orderBy("doc_id")
-      },
-      Some("""
-WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-toks AS (
-  SELECT doc_id, ts[i + 1] AS tok, i AS pos
-  FROM sp, UNNEST(range(0, len(ts))) AS t(i)),
-uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
-vc AS (SELECT count(*) AS v FROM uni),
-big AS (
-  SELECT doc_id, tok AS t1, lead(tok, 1) OVER (PARTITION BY doc_id
-           ORDER BY pos) AS t2
-  FROM toks),
-dp AS (SELECT doc_id, t1, t2, count(*) AS k FROM big
-       WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2),
-c AS (SELECT t1, t2, sum(k) AS c12 FROM dp GROUP BY t1, t2),
-sc AS (
-  SELECT dp.doc_id, dp.k,
-         dp.k * CAST(round(ln((c.c12 + 1.0) / (u.c1 + vc.v)) * 10000, 0) AS BIGINT) AS term
-  FROM dp JOIN c ON dp.t1 = c.t1 AND dp.t2 = c.t2
-  JOIN uni u ON dp.t1 = u.tok CROSS JOIN vc)
-SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
-       sum(term) / 10000.0 / sum(k) AS lm_score
-FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+      (s, d) => lmScored(s, d).orderBy("doc_id"),
+      Some(s"""
+WITH $sqlLmScored
+SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id""")),
 
     // Model-based quality gate — fastText-shaped linear classifier
     // INFERENCE as a map-only query: hashed bag-of-words features, one
@@ -672,35 +614,121 @@ FROM sc GROUP BY doc_id ORDER BY doc_id""")),
     // zero joins, no model broadcast — the classifier rides inside
     // whole-stage codegen's per-row loop.
     Q("text_quality_classifier",
-      (s, d) => {
-        TextHash.register(s)
-        Tables.documents(s, d)
-          .withColumn("n_tokens",
-            size(split(col("text"), " ")).cast("long"))
-          .withColumn("wsum", expr(
-            "aggregate(split(text, ' '), 0L, " +
-              "(a, x) -> a + pmod(tok_hash(concat('clsw_', x)), 2001) - 1000)"))
-          .withColumn("z",
-            lit(0.25) + col("wsum") / (col("n_tokens") * lit(1000.0)))
-          .withColumn("score",
-            round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
-          .select(col("doc_id"), col("n_tokens"), col("wsum"),
-            col("score"), (col("score") >= 0.5).as("keep"))
-          .orderBy("doc_id")
-      },
+      (s, d) => classifierScored(s, d)
+        .select(col("doc_id"), col("n_tokens"), col("wsum"),
+          col("score"), (col("score") >= 0.5).as("keep"))
+        .orderBy("doc_id"),
       Some(s"""
-WITH t AS (
+WITH $sqlClassifierScored
+SELECT doc_id, n_tokens, wsum, score, score >= 0.5 AS keep
+FROM cls ORDER BY doc_id"""))
+  )
+
+  /** (doc_id, n_bigrams, lm_score) for the whole corpus — the bigram-LM
+    * scoring pipeline exposed for composition (the quality ensemble
+    * consumes it alongside the classifier and heuristic scores).
+    *
+    * The (doc,pair) subtree is materialized once: both the corpus
+    * bigram counts and the score join read it — without the checkpoint
+    * the token-stream window would be scanned and shuffled twice
+    * (column pruning makes the two subtrees unequal, so Catalyst
+    * cannot reuse the exchange on its own). The per-pair c12 aggregate
+    * uses groupBy, not a count window: map-side partial agg bounds the
+    * per-pair reduce input by the mapper count — the skew-safe way to
+    * count corpus bigrams (a count-window over the pair key would
+    * hotspot on "of the").
+    *
+    * NO final round on lm_score: ll_scaled and n_bigrams are exact
+    * integers in both engines, and the two IEEE divisions are
+    * bit-identical — whereas round(·,4) of a true 4-decimal tie (e.g.
+    * -754061/220000 = -3.42755) diverges, because DuckDB rounds the
+    * double's shortest decimal form and Spark its exact binary
+    * expansion.
+    */
+  private[queries] def lmScored(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val docPairs = graft.Caching.materialize(s, toks
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("doc_id"), col("tok").as("t1"), col("nxt").as("t2"))
+      .agg(count(lit(1)).as("k")))
+    val c12 = docPairs.groupBy("t1", "t2").agg(sum("k").as("c12"))
+    docPairs
+      .join(c12, Seq("t1", "t2"))
+      .join(broadcast(uni.select(col("tok").as("t1"), col("c1"))), Seq("t1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("term", col("k") *
+        expr("CAST(round(ln((c12 + 1.0) / (c1 + v)) * 10000, 0) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_bigrams"), sum("term").as("ll_scaled"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("ll_scaled") / 10000.0 / col("n_bigrams")).as("lm_score"))
+  }
+
+  /** DuckDB CTE chain for [[lmScored]], ending in
+    * `lm(doc_id, n_bigrams, lm_score)` (usable after `WITH `).
+    */
+  private[queries] val sqlLmScored: String = """sp AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS pos
+  FROM sp, UNNEST(range(0, len(ts))) AS t(i)),
+uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+vc AS (SELECT count(*) AS v FROM uni),
+big AS (
+  SELECT doc_id, tok AS t1, lead(tok, 1) OVER (PARTITION BY doc_id
+           ORDER BY pos) AS t2
+  FROM toks),
+dp AS (SELECT doc_id, t1, t2, count(*) AS k FROM big
+       WHERE t2 IS NOT NULL GROUP BY doc_id, t1, t2),
+c AS (SELECT t1, t2, sum(k) AS c12 FROM dp GROUP BY t1, t2),
+sc AS (
+  SELECT dp.doc_id, dp.k,
+         dp.k * CAST(round(ln((c.c12 + 1.0) / (u.c1 + vc.v)) * 10000, 0) AS BIGINT) AS term
+  FROM dp JOIN c ON dp.t1 = c.t1 AND dp.t2 = c.t2
+  JOIN uni u ON dp.t1 = u.tok CROSS JOIN vc),
+lm AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         sum(term) / 10000.0 / sum(k) AS lm_score
+  FROM sc GROUP BY doc_id)"""
+
+  /** (doc_id, n_tokens, wsum, score) — the hashed linear classifier
+    * exposed for composition; see text_quality_classifier's scaladoc
+    * for the portability contract.
+    */
+  private[queries] def classifierScored(s: SparkSession, d: String)
+      : DataFrame = {
+    TextHash.register(s)
+    Tables.documents(s, d)
+      .withColumn("n_tokens",
+        size(split(col("text"), " ")).cast("long"))
+      .withColumn("wsum", expr(
+        "aggregate(split(text, ' '), 0L, " +
+          "(a, x) -> a + pmod(tok_hash(concat('clsw_', x)), 2001) - 1000)"))
+      .withColumn("z",
+        lit(0.25) + col("wsum") / (col("n_tokens") * lit(1000.0)))
+      .withColumn("score",
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+      .select(col("doc_id"), col("n_tokens"), col("wsum"), col("score"))
+  }
+
+  /** DuckDB twin of [[classifierScored]] as a CTE chain ending in
+    * `cls(doc_id, n_tokens, wsum, score)`.
+    */
+  private[queries] val sqlClassifierScored: String = s"""clt AS (
   SELECT doc_id,
     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
     CAST(list_sum(list_transform(string_split(text, ' '),
       x -> ${TextHash.sqlTokenHash("'clsw_' || x")} % 2001 - 1000)) AS BIGINT) AS wsum
   FROM documents),
-z AS (SELECT doc_id, n_tokens, wsum,
-        round(1.0 / (1.0 + exp(-(0.25 + wsum / (n_tokens * 1000.0)))), 4) AS score
-      FROM t)
-SELECT doc_id, n_tokens, wsum, score, score >= 0.5 AS keep
-FROM z ORDER BY doc_id"""))
-  )
+cls AS (SELECT doc_id, n_tokens, wsum,
+          round(1.0 / (1.0 + exp(-(0.25 + wsum / (n_tokens * 1000.0)))), 4) AS score
+        FROM clt)"""
 
   /** BM25 (k1=1.2, b=0.75) scores for the fixed 3-term query — shared
     * by text_bm25_topk and the hybrid RRF fusion

@@ -377,6 +377,13 @@ class PlanQualitySpec extends AnyFunSuite {
       "text_quality_classifier" -> 1,
       // broadcast factor table + map-side explode + presentation sort
       "curation_epoch_upsample" -> 1,
+      // per-dim decimal mean (32-group agg) + its 1-row rollup + the
+      // presentation sort; centering itself is a broadcast + pure map
+      "emb_mean_center" -> 3,
+      // user window (whose partitioning the per-user collect reuses —
+      // no second user shuffle) + path rollup; the top-20 cut is a
+      // TakeOrdered, not a global sort
+      "e10_path_mining" -> 2,
       // serving plan over the materialized (doc,pair) subtree: pair
       // count agg, pair-key score join, unigram agg (broadcast back;
       // its shared exchange prints twice in tree form — uni and vocab
