@@ -144,6 +144,79 @@ SELECT vec_id, idx, val FROM (
   FROM n)
 ORDER BY vec_id, idx""")),
 
+    // Dominant principal component by power iteration — all-but-the-top
+    // step 2 (the common-direction removal that, with mean-centering,
+    // restores isotropy to pretrained embedding spaces). Three unrolled
+    // iterations v → normalize(Σᵢ cᵢ (cᵢ·v)) over the MEAN-CENTERED
+    // corpus, v₀ = the uniform unit vector. Linear algebra as
+    // aggregation, engine-exact end-to-end: row-local dot-product
+    // folds; the one cross-row reduction per iteration (the per-dim sum
+    // of cᵢⱼ·sᵢ) rounds each term to a scaled integer (·10¹², the
+    // LM-score rule) and sums as DECIMAL(38,0) — exact at any row
+    // count, no float-summation order anywhere. λ (the covariance
+    // eigenvalue estimate ‖y‖/n) rides along. At 100 TB: each
+    // iteration is ONE narrow dim-keyed shuffle (map-side partials
+    // over 32 groups) + a 1-row rollup; the centered corpus
+    // materializes once and the dim-sized v broadcasts — power
+    // iteration costs 3 scans, not 3 shuffles of the corpus.
+    Q("emb_pca_top_component",
+      (s, d) => {
+        val (c, v) = pcaTop(s, d, 3)
+        val n = c.agg(count(lit(1)).as("n"))
+        v.crossJoin(n)
+          .select(col("y_nrm"), col("n"), posexplode(col("v")))
+          .select(col("pos").cast("long").as("idx"),
+            round(col("col"), 6).as("val"),
+            round(col("y_nrm") / col("n"), 6).as("lam"))
+          .orderBy("idx")
+      },
+      Some(s"""
+WITH ${sqlPcaChain(3)},
+nn AS (SELECT count(*) AS n FROM c)
+SELECT idx, val, lam FROM (
+  SELECT unnest(list_transform(range(1, len(v) + 1),
+           i -> {'idx': i - 1, 'val': round(v[i], 6)}), recursive := true),
+         round(y_nrm / n, 6) AS lam
+  FROM v3, nn)
+ORDER BY idx""")),
+
+    // The full ABTT transform: x' = normalize(c − (c·u)u) — centered
+    // vectors with their projection on the dominant direction removed,
+    // re-unit-normalized; the postprocessed embedding column a
+    // retrieval pipeline would store. Given (mean, u) this is a pure
+    // map — the broadcast carries 2×dim doubles regardless of corpus
+    // size. Component-wise verification like emb_normalize.
+    Q("emb_abtt_transform",
+      (s, d) => {
+        val (c, v) = pcaTop(s, d, 3)
+        c.crossJoin(broadcast(v))
+          .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
+            (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+          .withColumn("r", zip_with(col("cv"), col("v"),
+            (a, b) => a - col("proj") * b))
+          .withColumn("nrm",
+            sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
+          .select(col("vec_id"), col("nrm"), posexplode(col("r")))
+          .select(col("vec_id"), col("pos").cast("long").as("idx"),
+            round(col("col") / col("nrm"), 6).as("val"))
+          .orderBy("vec_id", "idx")
+      },
+      Some(s"""
+WITH ${sqlPcaChain(3)},
+pr AS (SELECT vec_id, cv, v,
+         list_sum(list_transform(range(1, len(cv) + 1),
+           i -> cv[i] * v[i])) AS proj
+       FROM c, v3),
+rr AS (SELECT vec_id, list_transform(range(1, len(cv) + 1),
+         i -> cv[i] - proj * v[i]) AS rv FROM pr),
+nr AS (SELECT vec_id, rv,
+         sqrt(list_sum(list_transform(rv, y -> y * y))) AS nrm FROM rr)
+SELECT vec_id, idx, val FROM (
+  SELECT vec_id, unnest(list_transform(range(1, len(rv) + 1),
+           i -> {'idx': i - 1, 'val': round(rv[i] / nrm, 6)}), recursive := true)
+  FROM nr)
+ORDER BY vec_id, idx""")),
+
     // K-means over the embedding column (K=4, two unrolled Lloyd
     // iterations, seeds = the K lowest vec_ids) — the semantic-
     // clustering primitive behind diversity sampling, semantic dedup,
@@ -238,6 +311,108 @@ FROM a2 ORDER BY vec_id"""))
     * axis — the same association as DuckDB's list_reduce, so the
     * doubles are bit-identical across engines.
     */
+  /** Mean-centered vectors (vec_id, cv) with the per-dim DECIMAL(38,15)
+    * mean broadcast back — shared by emb_mean_center's twin arithmetic,
+    * the PCA power iteration, and the ABTT transform.
+    */
+  private def centeredVectors(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val dv = col("embedding").cast("array<double>")
+    val e = Tables.embeddings(s, d).select(col("vec_id"), dv.as("x"))
+    val mean = e.select(posexplode(col("x")))
+      .groupBy("pos")
+      .agg((sum(col("col").cast("decimal(38,15)")).cast("double") /
+        count(lit(1))).as("mu"))
+    val mv = mean.agg(transform(
+      array_sort(collect_list(struct(col("pos"), col("mu")))),
+      t => t.getField("mu")).as("muv"))
+    e.crossJoin(broadcast(mv))
+      .select(col("vec_id"),
+        zip_with(col("x"), col("muv"), (a, b) => a - b).as("cv"))
+  }
+
+  /** One power-iteration step v → y = Σᵢ cᵢ (cᵢ·v), returned as a 1-row
+    * frame (v_next array, y_nrm double). Engine-exact: the per-row dot
+    * product is a row-local left fold; the CROSS-ROW per-dim sum of
+    * cᵢⱼ·sᵢ rounds each term to a scaled integer (·10¹², the LM-score
+    * rule) and sums as DECIMAL(38,0) — exact, order-independent, and
+    * overflow-free past int64 row counts; the scale-back division and
+    * normalization are IEEE ops on identical inputs.
+    */
+  private def pcaStep(c: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = c.crossJoin(broadcast(v))
+      .withColumn("s", aggregate(zip_with(col("cv"), col("v"),
+        (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+    val y = scored
+      .select(col("s"), posexplode(col("cv")))
+      .withColumn("term",
+        expr("CAST(round(col * s * 1000000000000.0, 0) AS DECIMAL(38,0))"))
+      .groupBy("pos")
+      .agg((sum("term").cast("double") / 1000000000000.0).as("yd"))
+    y.agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("yd")))),
+        t => t.getField("yd")).as("yv"))
+      .select(
+        transform(col("yv"), z => z / sqrt(aggregate(col("yv"), lit(0.0),
+          (a, w) => a + w * w))).as("v"),
+        sqrt(aggregate(col("yv"), lit(0.0), (a, w) => a + w * w))
+          .as("y_nrm"))
+  }
+
+  /** DuckDB CTE chain mirroring [[pcaTop]]: mean-centering (e/u0/m/mv/c)
+    * then `iters` power steps, each sk → yk → yvk → vk; ends with
+    * `v<iters>(v, y_nrm)`. Usable after `WITH `.
+    */
+  private def sqlPcaChain(iters: Int): String = {
+    val head = """e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+u0 AS (SELECT vec_id, unnest(list_transform(range(1, len(x) + 1),
+         i -> {'pos': i - 1, 'val': x[i]}), recursive := true) FROM e),
+m AS (SELECT pos, CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS mu
+      FROM u0 GROUP BY pos),
+mv AS (SELECT list(mu ORDER BY pos) AS muv FROM m),
+c AS (SELECT vec_id, list_transform(range(1, len(x) + 1),
+        i -> x[i] - muv[i]) AS cv FROM e, mv),
+v0 AS (SELECT list_transform(cv, q -> 1.0 / sqrt(len(cv))) AS v
+       FROM c LIMIT 1)"""
+    val steps = (1 to iters).map { k =>
+      s"""s$k AS (SELECT vec_id, cv,
+        list_sum(list_transform(range(1, len(cv) + 1),
+          i -> cv[i] * v[i])) AS s
+      FROM c, v${k - 1}),
+y$k AS (SELECT pos,
+         CAST(sum(CAST(round(cvi * s * 1000000000000.0, 0) AS DECIMAL(38,0))) AS DOUBLE)
+           / 1000000000000.0 AS yd
+       FROM (SELECT s, unnest(list_transform(range(1, len(cv) + 1),
+               i -> {'pos': i - 1, 'cvi': cv[i]}), recursive := true)
+             FROM s$k)
+       GROUP BY pos),
+yv$k AS (SELECT list(yd ORDER BY pos) AS yv FROM y$k),
+v$k AS (SELECT list_transform(yv, z -> z /
+           sqrt(list_sum(list_transform(yv, w -> w * w)))) AS v,
+         sqrt(list_sum(list_transform(yv, w -> w * w))) AS y_nrm
+       FROM yv$k)"""
+    }
+    (head +: steps).mkString(",\n")
+  }
+
+  /** (centered vectors, v after `iters` power steps carrying y_nrm) —
+    * v₀ is the uniform unit vector 1/√dim, derived from each row's own
+    * length so the machinery never hard-codes the embedding dim.
+    */
+  private[queries] def pcaTop(s: org.apache.spark.sql.SparkSession,
+      d: String, iters: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val c = graft.Caching.materialize(s, centeredVectors(s, d))
+    val v0 = c.limit(1).select(
+      transform(col("cv"), _ =>
+        lit(1.0) / sqrt(size(col("cv")).cast("double"))).as("v"),
+      lit(0.0).as("y_nrm"))
+    var v = v0
+    for (_ <- 1 to iters) v = pcaStep(c, v)
+    (c, v)
+  }
+
   private def sqDist(x: org.apache.spark.sql.Column,
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),

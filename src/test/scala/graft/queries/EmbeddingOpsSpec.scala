@@ -44,6 +44,60 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("pca: unit component, monotone Rayleigh estimate, replica match, " +
+    "abtt output orthogonal to the removed direction") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val vs = vectors().toSeq.sortBy(_._1).map(_._2)
+    val dim = vs.head.length
+    val n = vs.size
+    // in-memory replica of the engine arithmetic: decimal-exact mean,
+    // scaled-integer cross-row sums, IEEE row-local folds
+    val mean = (0 until dim).map { j =>
+      vs.map(v => JBD.valueOf(v(j))).reduce(_.add(_)).doubleValue() / n
+    }.toArray
+    val c = vs.map(v => v.zip(mean).map { case (x, m) => x - m })
+    def step(vIn: Array[Double]): (Array[Double], Double) = {
+      val y = (0 until dim).map { j =>
+        c.map { cv =>
+          val s = cv.zip(vIn).foldLeft(0.0) { case (a, (x, w)) => a + x * w }
+          JBD.valueOf(cv(j) * s * 1e12).setScale(0, RoundingMode.HALF_UP)
+            .longValue()
+        }.sum.toDouble / 1e12
+      }.toArray
+      val nrm = math.sqrt(y.foldLeft(0.0)((a, w) => a + w * w))
+      (y.map(_ / nrm), nrm)
+    }
+    val v0 = Array.fill(dim)(1.0 / math.sqrt(dim))
+    val (v1, l1) = step(v0)
+    val (v2, l2) = step(v1)
+    val (v3, l3) = step(v2)
+    // Rayleigh estimate is monotone for the PSD Gram matrix
+    assert(l1 <= l2 + 1e-9 && l2 <= l3 + 1e-9, s"$l1 / $l2 / $l3")
+    val got = Registry.queries("emb_pca_top_component")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.length == dim)
+    // unit component (rounding at 6dp bounds the drift)
+    val unit = got.map(_._2).map(x => x * x).sum
+    assert(math.abs(unit - 1.0) < 1e-4)
+    // replica match, component for component and λ = ‖y₃‖/n
+    got.foreach { case (idx, value, lam) =>
+      assert(math.abs(v3(idx.toInt) - value) < 1e-6, s"dim $idx")
+      assert(math.abs(l3 / n - lam) < 1e-6, s"lambda $lam vs ${l3 / n}")
+    }
+    // abtt residuals are orthogonal to the removed direction
+    val abtt = Registry.queries("emb_abtt_transform")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toArray).toMap
+    abtt.foreach { case (id, comps) =>
+      val dot = comps.zip(v3).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) < 1e-4, s"vec $id not orthogonal: $dot")
+      val nrm2 = comps.map(x => x * x).sum
+      assert(math.abs(nrm2 - 1.0) < 1e-4, s"vec $id not unit")
+    }
+  }
+
   test("knn graph: contiguous ranks ordered by (cos desc, dst), " +
     "exact cosine arithmetic, no self-loops") {
     val vs = vectors()
