@@ -809,55 +809,126 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
     // (band buckets are population-bounded by plane growth, see
     // BandPlanes scaladoc), not by corpus size.
     Q("simsearch_knn_graph",
+      (s, d) => knnEdges(s, d).orderBy("src", "rk"),
+      Some(s"""
+WITH $sqlKnnEdges
+SELECT src, rk, dst, cos FROM kg ORDER BY src, rk""")),
+
+    // One NN-descent refinement round over the k-NN graph — the
+    // iteration HNSW-free graph builders (NN-Descent, Efanna) run to
+    // convergence: a node's neighbors' neighbors are likely neighbors,
+    // so the 2-hop expansion of the current graph is a candidate set
+    // that recovers pairs the LSH bands missed. Candidates = current
+    // edges ∪ (src → dst-of-dst, self excluded), exact re-rank, same
+    // per-node (cos DESC, dst ASC) top-3. Monotone by construction:
+    // the old edges compete in the re-rank, so per-node recall vs the
+    // brute-force truth can only improve (spec-asserted). At 100 TB
+    // the expansion is one self-equi-join of a 3·N-row edge list on
+    // dst — degree-bounded (≤ k² candidates per node), shuffle ∝ edge
+    // count, never N².
+    Q("simsearch_knn_refine",
       (s, d) => {
         VectorExpressions.register(s)
+        val g = graft.Caching.materialize(s,
+          knnEdges(s, d).select("src", "dst"))
+        val hop2 = g.select(col("src"), col("dst").as("mid"))
+          .join(g.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+          .filter(col("src") =!= col("dst2"))
+          .select(col("src"), col("dst2").as("dst"))
+        val cand = g.union(hop2).distinct()
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
-        val banded = emb.select(col("vec_id"),
-          explode(array((0 until Dedup.EmbBands).map { bnd =>
-            struct(lit(bnd).as("band"),
-              bandBucket(col("embedding"), bnd).as("bkt"))
-          }: _*)).as("bb"))
-          .select(col("vec_id"), col("bb.band").as("band"),
-            col("bb.bkt").as("bkt"))
-        val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
-          .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
-            Seq("band", "bkt"))
-          .filter(col("i") < col("j"))
-          .select("i", "j").distinct()
         val scored = cand
-          .join(emb.select(col("vec_id").as("i"), col("embedding").as("e_a"),
-            col("nrm").as("n_a")), "i")
-          .join(emb.select(col("vec_id").as("j"), col("embedding").as("e_b"),
-            col("nrm").as("n_b")), "j")
+          .join(emb.select(col("vec_id").as("src"),
+            col("embedding").as("e_a"), col("nrm").as("n_a")), "src")
+          .join(emb.select(col("vec_id").as("dst"),
+            col("embedding").as("e_b"), col("nrm").as("n_b")), "dst")
           .withColumn("cos",
             round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
-          .select("i", "j", "cos")
-        // both edge directions from ONE pass over the scored subtree —
-        // a self-union would plan the candidate join + re-rank twice
-        // (the same tax the medallion pipeline's population stage paid
-        // before exploding both id roles from a single fact subtree)
-        val directed = scored
-          .select(explode(array(
-            struct(col("i").as("src"), col("j").as("dst"), col("cos")),
-            struct(col("j").as("src"), col("i").as("dst"), col("cos"))))
-            .as("e"))
-          .select(col("e.src").as("src"), col("e.dst").as("dst"),
-            col("e.cos").as("cos"))
         val w = Window.partitionBy("src")
           .orderBy(col("cos").desc, col("dst").asc)
-        directed.withColumn("rk", row_number().over(w).cast("long"))
+        scored.withColumn("rk", row_number().over(w).cast("long"))
           .filter(col("rk") <= 3)
           .select(col("src"), col("rk"), col("dst"), col("cos"))
           .orderBy("src", "rk")
       },
-      Some {
-        val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
-          s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM e"
-        }.mkString("\nUNION ALL\n")
-        s"""
-WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      Some(s"""
+WITH $sqlKnnEdges,
+g AS (SELECT src, dst FROM kg),
+h2 AS (SELECT a.src, b.dst AS dst
+       FROM g a JOIN g b ON a.dst = b.src WHERE a.src <> b.dst),
+cand2 AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM g UNION ALL SELECT src, dst FROM h2)),
+sc2 AS (
+  SELECT cand2.src, cand2.dst,
+         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
+               (a.nrm * c.nrm), 6) AS cos
+  FROM cand2 JOIN e a ON cand2.src = a.vec_id
+  JOIN e c ON cand2.dst = c.vec_id),
+r2 AS (SELECT src, dst, cos,
+              CAST(row_number() OVER (PARTITION BY src
+                     ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
+       FROM sc2)
+SELECT src, rk, dst, cos FROM r2 WHERE rk <= 3 ORDER BY src, rk"""))
+  )
+
+  /** The k-NN graph (src, rk, dst, cos): per-node top-3 over SRP
+    * band-collision candidates, both directions of each pair — shared
+    * by simsearch_knn_graph and the NN-descent refinement. Both edge
+    * directions explode from ONE pass over the scored subtree — a
+    * self-union would plan the candidate join + re-rank twice (the
+    * same tax the medallion pipeline's population stage paid before
+    * exploding both id roles from a single fact subtree).
+    */
+  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("norm_f(embedding)").as("nrm"))
+    val banded = emb.select(col("vec_id"),
+      explode(array((0 until Dedup.EmbBands).map { bnd =>
+        struct(lit(bnd).as("band"),
+          bandBucket(col("embedding"), bnd).as("bkt"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bkt").as("bkt"))
+    val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
+      .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
+        Seq("band", "bkt"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("e_a"),
+        col("nrm").as("n_a")), "i")
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("e_b"),
+        col("nrm").as("n_b")), "j")
+      .withColumn("cos",
+        round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
+      .select("i", "j", "cos")
+    val directed = scored
+      .select(explode(array(
+        struct(col("i").as("src"), col("j").as("dst"), col("cos")),
+        struct(col("j").as("src"), col("i").as("dst"), col("cos"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cos").as("cos"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    directed.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("src"), col("rk"), col("dst"), col("cos"))
+  }
+
+  /** DuckDB CTE chain for [[knnEdges]], ending in
+    * `kg(src, rk, dst, cos)`; also leaves `e(vec_id, v, nrm)` in scope
+    * for consumers that re-rank against the embeddings.
+    */
+  private val sqlKnnEdges: String = {
+    val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
+      s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       FROM e0),
@@ -876,10 +947,9 @@ dir AS (SELECT i AS src, j AS dst, cos FROM sc
 r AS (SELECT src, dst, cos,
              CAST(row_number() OVER (PARTITION BY src
                     ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
-      FROM dir)
-SELECT src, rk, dst, cos FROM r WHERE rk <= 3 ORDER BY src, rk"""
-      })
-  )
+      FROM dir),
+kg AS (SELECT src, rk, dst, cos FROM r WHERE rk <= 3)"""
+  }
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe and
     * persisted-index formulations compute identical results).

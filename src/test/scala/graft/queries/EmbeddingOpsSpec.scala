@@ -98,6 +98,33 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nn-descent refinement never loses recall vs brute-force top-3") {
+    val vs = vectors()
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // brute-force truth: each node's top-3 by (cos desc, id asc)
+    val truth = vs.map { case (id, v) =>
+      id -> vs.collect { case (j, w) if j != id => (cosine(v, w), j) }
+        .toSeq.sortBy(t => (-t._1, t._2)).take(3).map(_._2).toSet
+    }
+    def recallOf(name: String): Double = {
+      val edges = Registry.queries(name)(spark, TestSpark.Sf0001)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val hits = truth.toSeq.map { case (id, t) =>
+        (t & edges.getOrElse(id, Set.empty)).size
+      }.sum
+      hits.toDouble / truth.map(_._2.size).sum
+    }
+    val base = recallOf("simsearch_knn_graph")
+    val refined = recallOf("simsearch_knn_refine")
+    assert(base > 0.3, s"base graph recall degenerate: $base")
+    assert(refined >= base - 1e-12,
+      s"refinement lost recall: $base -> $refined")
+  }
+
   test("knn graph: contiguous ranks ordered by (cos desc, dst), " +
     "exact cosine arithmetic, no self-loops") {
     val vs = vectors()
