@@ -217,6 +217,91 @@ SELECT vec_id, idx, val FROM (
   FROM nr)
 ORDER BY vec_id, idx""")),
 
+    // Isotropy report — the before/after measurement that justifies
+    // ABTT: mean pairwise cosine of the unit-normalized corpus,
+    // computed WITHOUT any pairwise work via the sum-vector identity
+    // Σᵢ≠ⱼ xᵢ·xⱼ = ‖Σx‖² − Σ‖xᵢ‖² (for unit vectors, = ‖S‖² − N). An
+    // isotropic space scores ≈ 0; real pretrained spaces score well
+    // above (the common-direction bias ABTT removes), while this
+    // synthetic gaussian fixture is already near 0 and the centered
+    // output lands slightly NEGATIVE (mean removal forces Σx' ≈ 0, so
+    // the pairwise mean sits at ≈ −1/(N−1)) — the report measures, it
+    // does not assume a fixture. Two rows: raw unit-normalized vs the
+    // ABTT output. Engine-exact:
+    // per-dim DECIMAL(38,15) sums of the unit components, a row-local
+    // fold for ‖S‖², one division. At 100 TB each stage is one narrow
+    // dim-keyed aggregate — O(N·dim) total for a statistic whose naive
+    // form is O(N²·dim).
+    Q("emb_isotropy_report",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val raw = Tables.embeddings(s, d)
+          .withColumn("nrm", expr("norm_f(embedding)"))
+          .select(posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "c0")), col("nrm"))
+          .select(col("pos"), (col("c0") / col("nrm")).as("c"))
+        val abtt = {
+          val (c, v) = pcaTop(s, d, 3)
+          c.crossJoin(broadcast(v))
+            .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
+              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+            .withColumn("r", zip_with(col("cv"), col("v"),
+              (a, b) => a - col("proj") * b))
+            .withColumn("nrm",
+              sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
+            .select(posexplode(col("r")).as(Seq("pos", "c0")), col("nrm"))
+            .select(col("pos"), (col("c0") / col("nrm")).as("c"))
+        }
+        def report(stage: String, unit: org.apache.spark.sql.DataFrame) =
+          unit.groupBy("pos")
+            .agg(sum(col("c").cast("decimal(38,15)")).as("sj"),
+              count(lit(1)).as("nj"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"),
+                col("sj").cast("double").as("sd")))),
+              t => t.getField("sd")).as("sv"),
+              max("nj").as("n"))
+            .select(lit(stage).as("stage"),
+              round((aggregate(col("sv"), lit(0.0),
+                (a, z) => a + z * z) - col("n")) /
+                (col("n") * (col("n") - 1)), 6).as("avg_cos"))
+        report("raw", raw).unionAll(report("abtt", abtt))
+          .orderBy("stage")
+      },
+      Some(s"""
+WITH ${sqlPcaChain(3)},
+pr3 AS (SELECT vec_id, cv, v,
+          list_sum(list_transform(range(1, len(cv) + 1),
+            i -> cv[i] * v[i])) AS proj
+        FROM c, v3),
+rr3 AS (SELECT vec_id, list_transform(range(1, len(cv) + 1),
+          i -> cv[i] - proj * v[i]) AS rv FROM pr3),
+ab AS (SELECT vec_id, pos, cu / nrm AS c FROM (
+         SELECT vec_id,
+           sqrt(list_sum(list_transform(rv, y -> y * y))) AS nrm,
+           unnest(list_transform(range(1, len(rv) + 1),
+             i -> {'pos': i - 1, 'cu': rv[i]}), recursive := true)
+         FROM rr3)),
+rw AS (SELECT vec_id, pos, cu / nrm AS c FROM (
+         SELECT vec_id,
+           sqrt(list_sum(list_transform(x, y -> y * y))) AS nrm,
+           unnest(list_transform(range(1, len(x) + 1),
+             i -> {'pos': i - 1, 'cu': x[i]}), recursive := true)
+         FROM e)),
+rep AS (
+  SELECT 'raw' AS stage, pos, CAST(sum(CAST(c AS DECIMAL(38,15))) AS DOUBLE) AS sd,
+         count(*) AS nj
+  FROM rw GROUP BY pos
+  UNION ALL
+  SELECT 'abtt', pos, CAST(sum(CAST(c AS DECIMAL(38,15))) AS DOUBLE), count(*)
+  FROM ab GROUP BY pos),
+agg AS (
+  SELECT stage, list(sd ORDER BY pos) AS sv, max(nj) AS n
+  FROM rep GROUP BY stage)
+SELECT stage,
+       round((list_sum(list_transform(sv, z -> z * z)) - n) /
+             (n * (n - 1)), 6) AS avg_cos
+FROM agg ORDER BY stage""")),
+
     // K-means over the embedding column (K=4, two unrolled Lloyd
     // iterations, seeds = the K lowest vec_ids) — the semantic-
     // clustering primitive behind diversity sampling, semantic dedup,

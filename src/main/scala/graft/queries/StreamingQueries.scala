@@ -706,7 +706,38 @@ ORDER BY user_id, event_type""")),
           .agg(min("orig_id").as("dup_of"), count(lit(1)).as("n_matches"))
           .orderBy("dup_id")
       },
-      Some(StreamingNearDupOracle.sql))
+      Some(StreamingNearDupOracle.sql)),
+
+    // Streaming quality gate — the classifier (text_quality_classifier's
+    // exact arithmetic: hashed linear model, integer weight sums,
+    // sigmoid absorbed by round(·,4)) applied to the document stream as
+    // a STATELESS map, rolled into per-source admission totals by a
+    // streaming aggregation. The per-source avg ships as an exact
+    // scaled-integer sum (score·10⁴ → BIGINT) so the totals are
+    // arrival-order- and slicing-independent, and the batch oracle
+    // reproduces them to the bit. This is the online form of the
+    // curation gate: at 100 TB/day the scoring is per-row map work
+    // inside the stream, and the only state is |sources| aggregate
+    // rows.
+    Q("st16_streaming_quality_gate",
+      (s, d) => graft.Scratch.withDir(s, "stqg") { root =>
+        copyDocs(s, d, s"$root/in", "a.parquet")
+        val agg = graft.streaming.DocsStream.qualityGateTotals(s,
+          graft.streaming.DocsStream.readDocs(s, s"$root/in"))
+        EventsStream.drainToMemory(agg, "st16_qg", s"$root/ck")
+        s.table("st16_qg")
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            (col("sx4") / 10000.0 / col("n_docs")).as("avg_score"))
+          .orderBy("source")
+      },
+      Some(s"""
+WITH ${TextAnalysis.sqlClassifierScored},
+j AS (SELECT d.source AS source, cls.score AS score
+      FROM cls JOIN documents d ON cls.doc_id = d.doc_id)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       sum(CAST(round(score * 10000, 0) AS BIGINT)) / 10000.0 / count(*) AS avg_score
+FROM j GROUP BY source ORDER BY source"""))
   )
 
   /** DuckDB twin of st15: uncapped MinHash signatures → band keys →

@@ -701,7 +701,7 @@ lm AS (
     * exposed for composition; see text_quality_classifier's scaladoc
     * for the portability contract.
     */
-  private[queries] def classifierScored(s: SparkSession, d: String)
+  private[graft] def classifierScored(s: SparkSession, d: String)
       : DataFrame = {
     TextHash.register(s)
     Tables.documents(s, d)

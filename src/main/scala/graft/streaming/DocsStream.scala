@@ -125,4 +125,28 @@ object DocsStream extends Serializable {
       out.result().iterator
     }
   }
+
+  /** Per-source admission totals of the classifier quality gate over a
+    * document stream: stateless per-row scoring (the exact arithmetic
+    * of graft.queries.TextAnalysis.classifierScored — integer weight
+    * sums, sigmoid absorbed by round(·,4)) folded into one streaming
+    * aggregate. The avg ships as an exact scaled-integer sum so totals
+    * are arrival-order- and slicing-independent; the only state is
+    * |sources| rows.
+    */
+  def qualityGateTotals(spark: SparkSession, docs: DataFrame): DataFrame = {
+    graft.functions.TextHash.register(spark)
+    docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("wsum", expr(
+        "aggregate(split(text, ' '), 0L, " +
+          "(a, x) -> a + pmod(tok_hash(concat('clsw_', x)), 2001) - 1000)"))
+      .withColumn("score", round(lit(1.0) / (lit(1.0) +
+        exp(-(lit(0.25) + col("wsum") / (col("n_tokens") * lit(1000.0))))),
+        4))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") >= 0.5).cast("long")).as("n_kept"),
+        sum(expr("CAST(round(score * 10000, 0) AS BIGINT)")).as("sx4"))
+  }
 }

@@ -414,6 +414,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(redelivered == single, "redelivery moved the pair set")
   }
 
+  test("st16 quality-gate totals: slicing invariant and equal to the " +
+    "batch classifier rollup") {
+    def stageDocsSlice(dir: Path, name: String,
+        pred: org.apache.spark.sql.Column): Unit = {
+      val stage = tmpDir("t16_stage")
+      graft.Tables.documents(spark, TestSpark.Sf0001).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val f = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def gate(in: Path, tag: String, ck: Path,
+        maxFiles: Option[Int]): Set[(String, Long, Long, Long)] = {
+      EventsStream.drainToMemory(
+        DocsStream.qualityGateTotals(spark,
+          DocsStream.readDocs(spark, in.toString, maxFiles)),
+        s"t16_$tag", ck.toString)
+      spark.table(s"t16_$tag").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    }
+    val in1 = tmpDir("t16_in1")
+    stageDocsSlice(in1, "a.parquet", org.apache.spark.sql.functions.lit(true))
+    val single = gate(in1, "single", tmpDir("t16_ck1"), None)
+    assert(single.nonEmpty)
+    // three disjoint slices, one file per micro-batch: the streaming
+    // aggregate's state must fold identically across the seams
+    val in2 = tmpDir("t16_in2")
+    (0 to 2).foreach { k =>
+      stageDocsSlice(in2, f"part$k%02d.parquet",
+        org.apache.spark.sql.functions.col("doc_id") % 3 === k)
+    }
+    val multi = gate(in2, "multi", tmpDir("t16_ck2"), Some(1))
+    assert(multi == single, "totals diverge across slicings")
+    // stream == batch: the same totals from the registered batch
+    // classifier joined back to its documents
+    import org.apache.spark.sql.functions._
+    val batch = graft.queries.TextAnalysis.classifierScored(spark, TestSpark.Sf0001)
+      .join(graft.Tables.documents(spark, TestSpark.Sf0001)
+        .select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("score") >= 0.5).cast("long")).as("n_kept"),
+        sum(expr("CAST(round(score * 10000, 0) AS BIGINT)")).as("sx4"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(single == batch, "stream totals diverge from the batch rollup")
+  }
+
   test("st14 TTL: state survives a restart inside the TTL and really expires past it") {
     // tiny fixture (3 users) so batch time is far below the short TTL
     def stageSmall(dir: Path, name: String): Unit = {
