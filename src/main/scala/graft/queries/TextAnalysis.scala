@@ -621,7 +621,44 @@ SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id""")),
       Some(s"""
 WITH $sqlClassifierScored
 SELECT doc_id, n_tokens, wsum, score, score >= 0.5 AS keep
-FROM cls ORDER BY doc_id"""))
+FROM cls ORDER BY doc_id""")),
+
+    // Exact phrase search — the retrieval primitive BM25's bag-of-words
+    // scoring cannot express (term adjacency): occurrences of the fixed
+    // 2-term phrase "vector stream" as consecutive positions in the
+    // position-true token stream. The positional self-join is the
+    // inverted-index-with-positions shape a phrase-capable index
+    // serves: each side prefilters to ITS term before any join (the
+    // filters reach the scan), the join key is (doc_id, adjacent
+    // position) — shuffle ∝ the two terms' posting sizes, never the
+    // corpus. Emits per-doc occurrence count and first hit position,
+    // matched docs only.
+    Q("text_phrase_search",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        val t1 = toks.filter(col("tok") === "vector")
+          .select(col("doc_id"), col("pos"))
+        val t2 = toks.filter(col("tok") === "stream")
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        t1.join(t2, Seq("doc_id", "pos"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_phrase"),
+            min("pos").cast("long").as("first_pos"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH sp AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+toks AS (
+  SELECT doc_id, ts[i + 1] AS tok, i AS pos
+  FROM sp, UNNEST(range(0, len(ts))) AS t(i)),
+t1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'vector'),
+t2 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE tok = 'stream')
+SELECT t1.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_phrase,
+       CAST(min(t1.pos) AS BIGINT) AS first_pos
+FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t1.pos = t2.pos
+GROUP BY t1.doc_id ORDER BY doc_id"""))
   )
 
   /** (doc_id, n_bigrams, lm_score) for the whole corpus — the bigram-LM
