@@ -100,9 +100,121 @@ case class NormF(child: Expression)
     copy(child = newChild)
 }
 
+/** All sign-random-projection LSH bucket ids of a vector in ONE pass:
+  * returns `array<long>` of length `bands`, element b = the b-th band's
+  * bucket (Σⱼ 1«j over planes whose projection is positive).
+  *
+  * Replaces `bands × planes` interpreted `aggregate(zip_with(...))`
+  * folds (24 array traversals per row for the (8, 3) family, each
+  * materializing a zipped array) with a single primitive dim loop
+  * accumulating every plane's projection — the same per-plane
+  * ascending-dim summation order, so the doubles are bit-identical to
+  * the HOF formulation AND to the DuckDB oracle's
+  * `list_sum(list_transform(...))`.
+  *
+  * Plane hash (must stay in lockstep with
+  * [[graft.queries.SimilaritySearch.bandBucket]] and its SQL twin):
+  * h = (band·101 + plane)·1000003 + dim + 1, sign = −1 iff
+  * (h² mod 1013) is even. h² stays inside Long for the registered
+  * (8, 3) family (enforced by the require).
+  */
+case class SrpBucketsF(child: Expression, bands: Int, planes: Int)
+    extends UnaryExpression {
+  require(((bands - 1) * 101 + (planes - 1)).toLong * 1000003L + 1000001L
+    <= 3037000499L, s"srp_buckets($bands, $planes): h*h would overflow Long")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_buckets"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val proj = new Array[Double](bands * planes)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      var b = 0
+      while (b < bands) {
+        var j = 0
+        while (j < planes) {
+          val h = (b * 101 + j).toLong * 1000003L + i + 1
+          val sign = if ((h * h) % 1013L % 2L == 0L) -1.0 else 1.0
+          proj(b * planes + j) += v * sign
+          j += 1
+        }
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var j = 0
+      while (j < planes) {
+        if (proj(b * planes + j) > 0) acc += (1L << j)
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val proj = ctx.freshName("proj")
+      val out = ctx.freshName("out")
+      val acc = ctx.freshName("acc")
+      val getter = if (isFloat) s"(double) $a.getFloat($i)"
+                   else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |double[] $proj = new double[${bands * planes}];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = $getter;
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    for (int $j = 0; $j < $planes; $j++) {
+         |      long $h = (long) ($b * 101 + $j) * 1000003L + $i + 1;
+         |      $proj[$b * $planes + $j] +=
+         |        (($h * $h) % 1013L % 2L == 0L) ? -$v : $v;
+         |    }
+         |  }
+         |}
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $planes; $j++) {
+         |    if ($proj[$b * $planes + $j] > 0) $acc += (1L << $j);
+         |  }
+         |  $out[$b] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBucketsF =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
-  /** Register `dot_f` / `norm_f` as SQL-callable temp functions on the
-    * session. Idempotent; every query entry calls it.
+  /** Register `dot_f` / `norm_f` / `srp_buckets` as SQL-callable temp
+    * functions on the session. Idempotent; every query entry calls it.
+    * `srp_buckets` is pinned to the (8, 3) band family — the constants
+    * [[graft.queries.Dedup.EmbBands]] / [[graft.queries.SimilaritySearch.BandPlanes]];
+    * call sites require the match so a family change cannot silently
+    * diverge.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -110,5 +222,7 @@ object VectorExpressions {
       "dot_f", exprs => DotProductF(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "norm_f", exprs => NormF(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_buckets", exprs => SrpBucketsF(exprs.head, 8, 3), "built-in")
   }
 }

@@ -1006,12 +1006,11 @@ ORDER BY i, j""")),
         val emb = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
+        // fused codegen banding (srp_buckets): one dim loop for all
+        // EmbBands×BandPlanes projections, bit-identical to the HOF
+        // formulation the oracle mirrors
         val banded = emb.select(col("vec_id"),
-          explode(array((0 until EmbBands).map { bnd =>
-            struct(lit(bnd).as("band"),
-              SimilaritySearch.bandBucket(col("embedding"), bnd).as("bkt"))
-          }: _*)).as("bb"))
-          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+          posexplode(expr("srp_buckets(embedding)")).as(Seq("band", "bkt")))
         val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
           .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
             Seq("band", "bkt"))

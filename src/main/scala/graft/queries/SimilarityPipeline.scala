@@ -140,11 +140,10 @@ WITH $sidesSqlCte, p AS (
       .select(col("vec_id").as("source_id"), col("embedding").as("s_emb"))
       .withColumn("s_norm", expr("norm_f(s_emb)"))
     def banded(df: DataFrame, id: String, e: String): DataFrame =
-      df.select(col(id), explode(array((0 until Dedup.EmbBands).map { b =>
-        struct(lit(b).as("band"),
-          SimilaritySearch.bandBucket(col(e), b).as("bkt"))
-      }: _*)).as("bb"))
-        .select(col(id), col("bb.band").as("band"), col("bb.bkt").as("bkt"))
+      // fused codegen banding — one dim loop for all 24 projections,
+      // bit-identical to the per-band HOF the oracle mirrors
+      df.select(col(id),
+        posexplode(expr(s"srp_buckets($e)")).as(Seq("band", "bkt")))
     val cand = banded(targets, "target_id", "t_emb")
       .join(banded(sources, "source_id", "s_emb"), Seq("band", "bkt"))
       .filter(col("target_id") =!= col("source_id"))

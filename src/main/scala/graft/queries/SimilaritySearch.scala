@@ -89,6 +89,12 @@ object SimilaritySearch {
     * vectors collides when SOME band agrees on all its planes — the
     * union over bands is what buys recall without widening any single
     * band's buckets.
+    *
+    * This HOF formulation is the REFERENCE implementation: production
+    * queries call the fused codegen kernel
+    * [[graft.functions.SrpBucketsF]] (`srp_buckets`, all bands in one
+    * dim loop), and `VectorExpressionsSpec` pins the two bit-identical
+    * on real embeddings — keep both in lockstep with [[sqlBandBucket]].
     */
   def bandBucket(v: Column, band: Int): Column = {
     val dv = v.cast("array<double>")
@@ -886,13 +892,12 @@ SELECT src, rk, dst, cos FROM r2 WHERE rk <= 3 ORDER BY src, rk"""))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         expr("norm_f(embedding)").as("nrm"))
+    // the registered srp_buckets expression is pinned to the (8, 3)
+    // family — fail loudly if the constants ever move
+    require(Dedup.EmbBands == 8 && BandPlanes == 3,
+      "srp_buckets registration out of sync with the band family")
     val banded = emb.select(col("vec_id"),
-      explode(array((0 until Dedup.EmbBands).map { bnd =>
-        struct(lit(bnd).as("band"),
-          bandBucket(col("embedding"), bnd).as("bkt"))
-      }: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bkt").as("bkt"))
+      posexplode(expr("srp_buckets(embedding)")).as(Seq("band", "bkt")))
     val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
       .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
         Seq("band", "bkt"))

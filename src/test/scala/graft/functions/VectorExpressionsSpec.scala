@@ -67,4 +67,33 @@ class VectorExpressionsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("srp_buckets equals the per-band HOF formulation on real " +
+    "embeddings, in both codegen and interpreted paths") {
+    VectorExpressions.register(spark)
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = graft.Tables.embeddings(spark, graft.TestSpark.Sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // reference formulation: the documented per-(band, plane) HOF folds
+    val hof = emb.select(col("vec_id") +:
+        (0 until graft.queries.Dedup.EmbBands).map { b =>
+          graft.queries.SimilaritySearch.bandBucket(col("embedding"), b)
+            .as(s"b$b")
+        }: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (1 to graft.queries.Dedup.EmbBands).map(r.getLong(_)).toSeq).toMap
+    def fused(): Map[Long, Seq[Long]] =
+      emb.select(col("vec_id"), expr("srp_buckets(embedding)").as("bks"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(fused() == hof)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(fused() == hof)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
