@@ -718,6 +718,78 @@ SELECT doc_id, quality, lm_score, cls_score,
        drop_reason IS NULL AS keep, drop_reason
 FROM g ORDER BY doc_id""")),
 
+    // Dataset card — the per-source datasheet a curated corpus ships
+    // with (docs/tokens/chars, language share, quality quartiles,
+    // classifier keep-rate), assembled as ONE report query from the
+    // registered operators' own subtrees. Quartiles are exact
+    // nearest-rank (the winsorize/m6 rule — no interpolation, no
+    // engine-private percentile), ranked under the total (quality,
+    // doc_id) order. At 100 TB everything here is a per-source
+    // aggregate: one scan for counts, one window+rollup for quartiles,
+    // the map-only classifier — report cost is O(corpus), output is
+    // |sources| rows.
+    Q("curation_dataset_card",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          sum((col("lang") === "en").cast("long")).as("n_en"))
+        val w = Window.partitionBy("source").orderBy("quality", "doc_id")
+        val quart = TextAnalysis.qualityScored(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+          .groupBy("source").agg(
+            max(when(col("rn") === ceil(col("n") * 0.25), col("quality")))
+              .as("q25"),
+            max(when(col("rn") === ceil(col("n") * 0.50), col("quality")))
+              .as("q50"),
+            max(when(col("rn") === ceil(col("n") * 0.75), col("quality")))
+              .as("q75"))
+        val keep = TextAnalysis.classifierScored(s, d)
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("source")
+          .agg(sum((col("score") >= 0.5).cast("long")).as("n_keep"))
+        base.join(quart, "source").join(keep, "source")
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("n_chars"),
+            round(col("n_en") / col("n_docs"), 6).as("pct_en"),
+            col("q25"), col("q50"), col("q75"),
+            round(col("n_keep") / col("n_docs"), 6).as("keep_rate"))
+          .orderBy("source")
+      },
+      Some(s"""
+WITH ${TextAnalysis.sqlClassifierScored},
+hq AS (${TextAnalysis.sqlQualityScored}),
+base AS (
+  SELECT source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens,
+         sum(n_chars) AS n_chars,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM documents GROUP BY source),
+r AS (SELECT source, quality,
+        row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM hq),
+quart AS (SELECT source,
+    max(CASE WHEN rn = ceil(n * 0.25) THEN quality END) AS q25,
+    max(CASE WHEN rn = ceil(n * 0.50) THEN quality END) AS q50,
+    max(CASE WHEN rn = ceil(n * 0.75) THEN quality END) AS q75
+  FROM r GROUP BY source),
+keep AS (SELECT d.source AS source,
+           sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS n_keep
+         FROM cls JOIN documents d ON cls.doc_id = d.doc_id
+         GROUP BY d.source)
+SELECT base.source AS source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(base.n_chars AS BIGINT) AS n_chars,
+       round(n_en / n_docs, 6) AS pct_en, q25, q50, q75,
+       round(n_keep / n_docs, 6) AS keep_rate
+FROM base JOIN quart ON base.source = quart.source
+JOIN keep ON base.source = keep.source
+ORDER BY source""")),
+
     // Bloom-style decontamination: the held-out (source='src3') shingle
     // set is compressed to the SET BITS of a k=3, m=4096 Bloom filter —
     // a table of at most m rows that broadcasts trivially, where the
