@@ -631,11 +631,13 @@ SELECT doc_id, source, rn, quota FROM r WHERE rn <= quota ORDER BY doc_id""")),
     // falls under the fraction — a pure function of doc_id, so the
     // repeated SET (not just its size) is oracle-checked, stable under
     // retries, and a factor edit never re-randomizes other sources.
-    // Each emitted copy carries an (id, epoch)-salted shard key so the
-    // copies of one document NEVER co-locate — the property that stops
-    // epoch repetition from turning into per-partition duplicate
-    // hotspots downstream. At 100 TB: broadcast factor table, map-only
-    // explode, zero shuffles.
+    // Each emitted copy's shard is the doc's uniform base shard ROTATED
+    // by its epoch ((h + epoch) mod Shards) — with reps ≤ factor < 8,
+    // the copies of one document PROVABLY land on distinct shards
+    // (independent per-copy draws would collide ~1/8 per pair), the
+    // property that stops epoch repetition from turning into
+    // per-partition duplicate hotspots downstream. At 100 TB:
+    // broadcast factor table, map-only explode, zero shuffles.
     Q("curation_epoch_upsample",
       (s, d) => {
         import s.implicits._
@@ -651,8 +653,9 @@ SELECT doc_id, source, rn, quota FROM r WHERE rn <= quota ORDER BY doc_id""")),
             col("whole") + (col("draw") < col("frac_pm")).cast("long"))
           .select(col("doc_id"), col("source"),
             explode(sequence(lit(0L), col("reps") - 1L)).as("epoch"))
-          .withColumn("shard", pmod(Sketches.h60(concat_ws("_",
-            lit("eposh"), col("doc_id"), col("epoch"))), lit(8L)))
+          .withColumn("shard", pmod(Sketches.h60(
+            concat(lit("eposh_"), col("doc_id").cast("string")))
+            + col("epoch"), lit(8L)))
           .orderBy("doc_id", "epoch")
       },
       Some("""
@@ -667,7 +670,7 @@ e AS (
   SELECT doc_id, source, CAST(ep AS BIGINT) AS epoch
   FROM r, UNNEST(range(0, reps)) AS u(ep))
 SELECT doc_id, source, epoch,
-  CAST(('0x' || substr(md5('eposh_' || CAST(doc_id AS VARCHAR) || '_' || CAST(epoch AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard
+  (CAST(('0x' || substr(md5('eposh_' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + epoch) % 8 AS shard
 FROM e ORDER BY doc_id, epoch""")),
 
     // Quality filter STACK — the gate order a production curation

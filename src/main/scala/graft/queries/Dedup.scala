@@ -1009,6 +1009,8 @@ ORDER BY i, j""")),
         // fused codegen banding (srp_buckets): one dim loop for all
         // EmbBands×BandPlanes projections, bit-identical to the HOF
         // formulation the oracle mirrors
+        require(EmbBands == 8 && SimilaritySearch.BandPlanes == 3,
+          "srp_buckets registration out of sync with the band family")
         val banded = emb.select(col("vec_id"),
           posexplode(expr("srp_buckets(embedding)")).as(Seq("band", "bkt")))
         val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))

@@ -108,34 +108,15 @@ ORDER BY vec_id, idx""")),
     // narrow shuffle (dim-keyed, map-side partial over 32 groups), the
     // dim-sized mean vector broadcasts, and centering is a pure map.
     Q("emb_mean_center",
-      (s, d) => {
-        val dv = col("embedding").cast("array<double>")
-        val e = Tables.embeddings(s, d).select(col("vec_id"), dv.as("x"))
-        val mean = e.select(posexplode(col("x")))
-          .groupBy("pos")
-          .agg((sum(col("col").cast("decimal(38,15)")).cast("double") /
-            count(lit(1))).as("mu"))
-        val mv = mean.agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("mu")))),
-          t => t.getField("mu")).as("muv"))
-        e.crossJoin(broadcast(mv))
-          .withColumn("c", zip_with(col("x"), col("muv"), (a, b) => a - b))
-          .withColumn("nrm",
-            sqrt(aggregate(col("c"), lit(0.0), (acc, y) => acc + y * y)))
-          .select(col("vec_id"), col("nrm"), posexplode(col("c")))
-          .select(col("vec_id"), col("pos").cast("long").as("idx"),
-            round(col("col") / col("nrm"), 6).as("val"))
-          .orderBy("vec_id", "idx")
-      },
-      Some("""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
-u AS (SELECT vec_id, unnest(list_transform(range(1, len(x) + 1),
-        i -> {'pos': i - 1, 'val': x[i]}), recursive := true) FROM e),
-m AS (SELECT pos, CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS mu
-      FROM u GROUP BY pos),
-mv AS (SELECT list(mu ORDER BY pos) AS muv FROM m),
-c AS (SELECT vec_id, list_transform(range(1, len(x) + 1),
-        i -> x[i] - muv[i]) AS cv FROM e, mv),
+      (s, d) => centeredVectors(s, d)
+        .withColumn("nrm",
+          sqrt(aggregate(col("cv"), lit(0.0), (acc, y) => acc + y * y)))
+        .select(col("vec_id"), col("nrm"), posexplode(col("cv")))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"),
+          round(col("col") / col("nrm"), 6).as("val"))
+        .orderBy("vec_id", "idx"),
+      Some(s"""
+WITH $sqlCenteredChain,
 n AS (SELECT vec_id, cv,
         sqrt(list_sum(list_transform(cv, y -> y * y))) AS nrm FROM c)
 SELECT vec_id, idx, val FROM (
@@ -187,20 +168,11 @@ ORDER BY idx""")),
     // map — the broadcast carries 2×dim doubles regardless of corpus
     // size. Component-wise verification like emb_normalize.
     Q("emb_abtt_transform",
-      (s, d) => {
-        val (c, v) = pcaTop(s, d, 3)
-        c.crossJoin(broadcast(v))
-          .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
-            (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-          .withColumn("r", zip_with(col("cv"), col("v"),
-            (a, b) => a - col("proj") * b))
-          .withColumn("nrm",
-            sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
-          .select(col("vec_id"), col("nrm"), posexplode(col("r")))
-          .select(col("vec_id"), col("pos").cast("long").as("idx"),
-            round(col("col") / col("nrm"), 6).as("val"))
-          .orderBy("vec_id", "idx")
-      },
+      (s, d) => abttResiduals(s, d)
+        .select(col("vec_id"), col("nrm"), posexplode(col("r")))
+        .select(col("vec_id"), col("pos").cast("long").as("idx"),
+          round(col("col") / col("nrm"), 6).as("val"))
+        .orderBy("vec_id", "idx"),
       Some(s"""
 WITH ${sqlPcaChain(3)},
 pr AS (SELECT vec_id, cv, v,
@@ -240,18 +212,11 @@ ORDER BY vec_id, idx""")),
           .select(posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "c0")), col("nrm"))
           .select(col("pos"), (col("c0") / col("nrm")).as("c"))
-        val abtt = {
-          val (c, v) = pcaTop(s, d, 3)
-          c.crossJoin(broadcast(v))
-            .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
-              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-            .withColumn("r", zip_with(col("cv"), col("v"),
-              (a, b) => a - col("proj") * b))
-            .withColumn("nrm",
-              sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
-            .select(posexplode(col("r")).as(Seq("pos", "c0")), col("nrm"))
-            .select(col("pos"), (col("c0") / col("nrm")).as("c"))
-        }
+        // the "after" arm measures EXACTLY the shipped transform — the
+        // residuals come from the same helper emb_abtt_transform dumps
+        val abtt = abttResiduals(s, d)
+          .select(posexplode(col("r")).as(Seq("pos", "c0")), col("nrm"))
+          .select(col("pos"), (col("c0") / col("nrm")).as("c"))
         def report(stage: String, unit: org.apache.spark.sql.DataFrame) =
           unit.groupBy("pos")
             .agg(sum(col("c").cast("decimal(38,15)")).as("sj"),
@@ -445,19 +410,46 @@ FROM a2 ORDER BY vec_id"""))
           .as("y_nrm"))
   }
 
+  /** (vec_id, r, nrm): centered vectors with their projection on the
+    * dominant direction removed, plus the residual norm — the ABTT
+    * output, shared by emb_abtt_transform (which dumps it
+    * component-wise) and emb_isotropy_report's "after" arm (which
+    * measures it), so the report can never measure a different
+    * transform than the one shipped.
+    */
+  private def abttResiduals(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val (c, v) = pcaTop(s, d, 3)
+    c.crossJoin(broadcast(v))
+      .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
+        (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+      .withColumn("r", zip_with(col("cv"), col("v"),
+        (a, b) => a - col("proj") * b))
+      .withColumn("nrm",
+        sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
+      .select(col("vec_id"), col("r"), col("nrm"))
+  }
+
   /** DuckDB CTE chain mirroring [[pcaTop]]: mean-centering (e/u0/m/mv/c)
     * then `iters` power steps, each sk → yk → yvk → vk; ends with
     * `v<iters>(v, y_nrm)`. Usable after `WITH `.
     */
-  private def sqlPcaChain(iters: Int): String = {
-    val head = """e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
+  /** DuckDB CTE chain for [[centeredVectors]], ending in
+    * `c(vec_id, cv)` — shared by the mean-center oracle and
+    * [[sqlPcaChain]], mirroring the Scala-side helper reuse.
+    */
+  private def sqlCenteredChain: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings),
 u0 AS (SELECT vec_id, unnest(list_transform(range(1, len(x) + 1),
          i -> {'pos': i - 1, 'val': x[i]}), recursive := true) FROM e),
 m AS (SELECT pos, CAST(sum(CAST(val AS DECIMAL(38,15))) AS DOUBLE) / count(*) AS mu
       FROM u0 GROUP BY pos),
 mv AS (SELECT list(mu ORDER BY pos) AS muv FROM m),
 c AS (SELECT vec_id, list_transform(range(1, len(x) + 1),
-        i -> x[i] - muv[i]) AS cv FROM e, mv),
+        i -> x[i] - muv[i]) AS cv FROM e, mv)"""
+
+  private def sqlPcaChain(iters: Int): String = {
+    val head = sqlCenteredChain + """,
 v0 AS (SELECT list_transform(cv, q -> 1.0 / sqrt(len(cv))) AS v
        FROM c LIMIT 1)"""
     val steps = (1 to iters).map { k =>

@@ -139,11 +139,14 @@ WITH $sidesSqlCte, p AS (
     val sources = emb.filter(col("label") =!= 0)
       .select(col("vec_id").as("source_id"), col("embedding").as("s_emb"))
       .withColumn("s_norm", expr("norm_f(s_emb)"))
-    def banded(df: DataFrame, id: String, e: String): DataFrame =
+    def banded(df: DataFrame, id: String, e: String): DataFrame = {
       // fused codegen banding — one dim loop for all 24 projections,
       // bit-identical to the per-band HOF the oracle mirrors
+      require(Dedup.EmbBands == 8 && SimilaritySearch.BandPlanes == 3,
+        "srp_buckets registration out of sync with the band family")
       df.select(col(id),
         posexplode(expr(s"srp_buckets($e)")).as(Seq("band", "bkt")))
+    }
     val cand = banded(targets, "target_id", "t_emb")
       .join(banded(sources, "source_id", "s_emb"), Seq("band", "bkt"))
       .filter(col("target_id") =!= col("source_id"))

@@ -734,15 +734,15 @@ lm AS (
          sum(term) / 10000.0 / sum(k) AS lm_score
   FROM sc GROUP BY doc_id)"""
 
-  /** (doc_id, n_tokens, wsum, score) — the hashed linear classifier
-    * exposed for composition; see text_quality_classifier's scaladoc
-    * for the portability contract.
+  /** Append (n_tokens, wsum, score) classifier columns to any frame
+    * with a `text` column — the SINGLE source of the model arithmetic,
+    * shared by [[classifierScored]] (batch) and
+    * [[graft.streaming.DocsStream.qualityGateTotals]] (streaming), so
+    * a constant retune cannot leave one copy stale. Callers must have
+    * TextHash.register'd the session.
     */
-  private[graft] def classifierScored(s: SparkSession, d: String)
-      : DataFrame = {
-    TextHash.register(s)
-    Tables.documents(s, d)
-      .withColumn("n_tokens",
+  private[graft] def withClassifierScore(df: DataFrame): DataFrame =
+    df.withColumn("n_tokens",
         size(split(col("text"), " ")).cast("long"))
       .withColumn("wsum", expr(
         "aggregate(split(text, ' '), 0L, " +
@@ -751,6 +751,15 @@ lm AS (
         lit(0.25) + col("wsum") / (col("n_tokens") * lit(1000.0)))
       .withColumn("score",
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 4))
+
+  /** (doc_id, n_tokens, wsum, score) — the hashed linear classifier
+    * exposed for composition; see text_quality_classifier's scaladoc
+    * for the portability contract.
+    */
+  private[graft] def classifierScored(s: SparkSession, d: String)
+      : DataFrame = {
+    TextHash.register(s)
+    withClassifierScore(Tables.documents(s, d))
       .select(col("doc_id"), col("n_tokens"), col("wsum"), col("score"))
   }
 

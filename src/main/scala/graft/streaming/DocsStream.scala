@@ -136,14 +136,9 @@ object DocsStream extends Serializable {
     */
   def qualityGateTotals(spark: SparkSession, docs: DataFrame): DataFrame = {
     graft.functions.TextHash.register(spark)
-    docs
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .withColumn("wsum", expr(
-        "aggregate(split(text, ' '), 0L, " +
-          "(a, x) -> a + pmod(tok_hash(concat('clsw_', x)), 2001) - 1000)"))
-      .withColumn("score", round(lit(1.0) / (lit(1.0) +
-        exp(-(lit(0.25) + col("wsum") / (col("n_tokens") * lit(1000.0))))),
-        4))
+    // the scoring columns come from the ONE shared model builder —
+    // stream and batch cannot diverge by construction
+    graft.queries.TextAnalysis.withClassifierScore(docs)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum((col("score") >= 0.5).cast("long")).as("n_kept"),

@@ -287,13 +287,19 @@ class CurationSpec extends AnyFunSuite {
     val expected = docs.flatMap { case (id, src) =>
       val (whole, frac) = factors(src)
       val reps = whole + (if (h60(s"epoch_$id") % 1000 < frac) 1L else 0L)
-      (0L until reps).map(ep => (id, src, ep, h60(s"eposh_${id}_$ep") % 8))
+      (0L until reps).map(ep => (id, src, ep, (h60(s"eposh_$id") + ep) % 8))
     }
     val rows = Registry.queries("curation_epoch_upsample")(spark, TestSpark.Sf0001)
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(rows.length == expected.length) // multiset equality: no extra copies
     assert(rows.toSet == expected.toSet)
+    // the epoch rotation guarantees copies of one doc land on DISTINCT
+    // shards (reps <= 4 < Shards)
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      assert(cs.map(_._4).distinct.length == cs.length,
+        s"doc $id copies co-locate")
+    }
     // integer-epoch sources are repeated EXACTLY their factor — the
     // fractional draw must not leak into them
     val bySrc = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
