@@ -161,6 +161,44 @@ SELECT idx, val, lam FROM (
   FROM v3, nn)
 ORDER BY idx""")),
 
+    // Second principal component by DEFLATION — power iteration over
+    // the ABTT residuals (the corpus with component 1 projected out),
+    // exactly how ABTT-D removes D directions in sequence. Because the
+    // residuals carry no component along u by construction, the
+    // iteration stays in u's orthogonal complement to float precision
+    // and converges to component 2; λ₂ ≤ λ₁ by the spectral order
+    // (both laws spec-pinned). Same engine-exact machinery as
+    // component 1 — scaled-integer DECIMAL(38,0) cross-row sums,
+    // row-local folds — run over a different (vec_id, cv) frame; the
+    // oracle reuses the same power-step CTE generator with a `d`
+    // prefix over the residual chain. Cost: one more materialized
+    // subtree + 3 narrow dim-keyed shuffles.
+    Q("emb_pca_deflated_component",
+      (s, d) => {
+        val r = graft.Caching.materialize(s,
+          abttResiduals(s, d).select(col("vec_id"), col("r").as("cv")))
+        val v = powerIterate(r, 3)
+        val n = r.agg(count(lit(1)).as("n"))
+        v.crossJoin(n)
+          .select(col("y_nrm"), col("n"), posexplode(col("v")))
+          .select(col("pos").cast("long").as("idx"),
+            round(col("col"), 6).as("val"),
+            round(col("y_nrm") / col("n"), 6).as("lam"))
+          .orderBy("idx")
+      },
+      Some(s"""
+WITH ${sqlPcaChain(3)},
+$sqlAbttResiduals,
+rc AS (SELECT vec_id, rv AS cv FROM rr),
+${sqlPowerSteps("rc", "d", 3)},
+nn AS (SELECT count(*) AS n FROM rc)
+SELECT idx, val, lam FROM (
+  SELECT unnest(list_transform(range(1, len(v) + 1),
+           i -> {'idx': i - 1, 'val': round(v[i], 6)}), recursive := true),
+         round(y_nrm / n, 6) AS lam
+  FROM dv3, nn)
+ORDER BY idx""")),
+
     // The full ABTT transform: x' = normalize(c − (c·u)u) — centered
     // vectors with their projection on the dominant direction removed,
     // re-unit-normalized; the postprocessed embedding column a
@@ -175,12 +213,7 @@ ORDER BY idx""")),
         .orderBy("vec_id", "idx"),
       Some(s"""
 WITH ${sqlPcaChain(3)},
-pr AS (SELECT vec_id, cv, v,
-         list_sum(list_transform(range(1, len(cv) + 1),
-           i -> cv[i] * v[i])) AS proj
-       FROM c, v3),
-rr AS (SELECT vec_id, list_transform(range(1, len(cv) + 1),
-         i -> cv[i] - proj * v[i]) AS rv FROM pr),
+$sqlAbttResiduals,
 nr AS (SELECT vec_id, rv,
          sqrt(list_sum(list_transform(rv, y -> y * y))) AS nrm FROM rr)
 SELECT vec_id, idx, val FROM (
@@ -234,18 +267,13 @@ ORDER BY vec_id, idx""")),
       },
       Some(s"""
 WITH ${sqlPcaChain(3)},
-pr3 AS (SELECT vec_id, cv, v,
-          list_sum(list_transform(range(1, len(cv) + 1),
-            i -> cv[i] * v[i])) AS proj
-        FROM c, v3),
-rr3 AS (SELECT vec_id, list_transform(range(1, len(cv) + 1),
-          i -> cv[i] - proj * v[i]) AS rv FROM pr3),
+$sqlAbttResiduals,
 ab AS (SELECT vec_id, pos, cu / nrm AS c FROM (
          SELECT vec_id,
            sqrt(list_sum(list_transform(rv, y -> y * y))) AS nrm,
            unnest(list_transform(range(1, len(rv) + 1),
              i -> {'pos': i - 1, 'cu': rv[i]}), recursive := true)
-         FROM rr3)),
+         FROM rr)),
 rw AS (SELECT vec_id, pos, cu / nrm AS c FROM (
          SELECT vec_id,
            sqrt(list_sum(list_transform(x, y -> y * y))) AS nrm,
@@ -434,6 +462,17 @@ FROM a2 ORDER BY vec_id"""))
     * then `iters` power steps, each sk → yk → yvk → vk; ends with
     * `v<iters>(v, y_nrm)`. Usable after `WITH `.
     */
+  /** DuckDB twin of [[abttResiduals]] — `pr`/`rr` over sqlPcaChain(3)'s
+    * `c` and `v3`, ending in `rr(vec_id, rv)`. Shared by the
+    * abtt-transform, isotropy, and deflated-component oracles.
+    */
+  private def sqlAbttResiduals: String = """pr AS (SELECT vec_id, cv, v,
+         list_sum(list_transform(range(1, len(cv) + 1),
+           i -> cv[i] * v[i])) AS proj
+       FROM c, v3),
+rr AS (SELECT vec_id, list_transform(range(1, len(cv) + 1),
+         i -> cv[i] - proj * v[i]) AS rv FROM pr)"""
+
   /** DuckDB CTE chain for [[centeredVectors]], ending in
     * `c(vec_id, cv)` — shared by the mean-center oracle and
     * [[sqlPcaChain]], mirroring the Scala-side helper reuse.
@@ -448,46 +487,63 @@ mv AS (SELECT list(mu ORDER BY pos) AS muv FROM m),
 c AS (SELECT vec_id, list_transform(range(1, len(x) + 1),
         i -> x[i] - muv[i]) AS cv FROM e, mv)"""
 
-  private def sqlPcaChain(iters: Int): String = {
-    val head = sqlCenteredChain + """,
-v0 AS (SELECT list_transform(cv, q -> 1.0 / sqrt(len(cv))) AS v
-       FROM c LIMIT 1)"""
+  /** Power-iteration CTE steps over any `src(vec_id, cv)` CTE, names
+    * prefixed with `p` (so two chains can coexist in one WITH);
+    * ends in `${p}v<iters>(v, y_nrm)`.
+    */
+  private def sqlPowerSteps(src: String, p: String, iters: Int): String = {
+    val v0 = s"""${p}v0 AS (SELECT list_transform(cv, q -> 1.0 / sqrt(len(cv))) AS v
+       FROM $src LIMIT 1)"""
     val steps = (1 to iters).map { k =>
-      s"""s$k AS (SELECT vec_id, cv,
+      s"""${p}s$k AS (SELECT vec_id, cv,
         list_sum(list_transform(range(1, len(cv) + 1),
           i -> cv[i] * v[i])) AS s
-      FROM c, v${k - 1}),
-y$k AS (SELECT pos,
+      FROM $src, ${p}v${k - 1}),
+${p}y$k AS (SELECT pos,
          CAST(sum(CAST(round(cvi * s * 1000000000000.0, 0) AS DECIMAL(38,0))) AS DOUBLE)
            / 1000000000000.0 AS yd
        FROM (SELECT s, unnest(list_transform(range(1, len(cv) + 1),
                i -> {'pos': i - 1, 'cvi': cv[i]}), recursive := true)
-             FROM s$k)
+             FROM ${p}s$k)
        GROUP BY pos),
-yv$k AS (SELECT list(yd ORDER BY pos) AS yv FROM y$k),
-v$k AS (SELECT list_transform(yv, z -> z /
+${p}yv$k AS (SELECT list(yd ORDER BY pos) AS yv FROM ${p}y$k),
+${p}v$k AS (SELECT list_transform(yv, z -> z /
            sqrt(list_sum(list_transform(yv, w -> w * w)))) AS v,
          sqrt(list_sum(list_transform(yv, w -> w * w))) AS y_nrm
-       FROM yv$k)"""
+       FROM ${p}yv$k)"""
     }
-    (head +: steps).mkString(",\n")
+    (v0 +: steps).mkString(",\n")
   }
+
+  private def sqlPcaChain(iters: Int): String =
+    sqlCenteredChain + ",\n" + sqlPowerSteps("c", "", iters)
 
   /** (centered vectors, v after `iters` power steps carrying y_nrm) —
     * v₀ is the uniform unit vector 1/√dim, derived from each row's own
     * length so the machinery never hard-codes the embedding dim.
     */
-  private[queries] def pcaTop(s: org.apache.spark.sql.SparkSession,
-      d: String, iters: Int): (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame) = {
-    val c = graft.Caching.materialize(s, centeredVectors(s, d))
+  /** `iters` power steps over an already-materialized `(vec_id, cv)`
+    * frame, v₀ = the uniform unit vector derived from each row's own
+    * length. Shared by [[pcaTop]] (component 1, over the centered
+    * corpus) and the deflated component-2 query (over the ABTT
+    * residuals).
+    */
+  private def powerIterate(c: org.apache.spark.sql.DataFrame,
+      iters: Int): org.apache.spark.sql.DataFrame = {
     val v0 = c.limit(1).select(
       transform(col("cv"), _ =>
         lit(1.0) / sqrt(size(col("cv")).cast("double"))).as("v"),
       lit(0.0).as("y_nrm"))
     var v = v0
     for (_ <- 1 to iters) v = pcaStep(c, v)
-    (c, v)
+    v
+  }
+
+  private[queries] def pcaTop(s: org.apache.spark.sql.SparkSession,
+      d: String, iters: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val c = graft.Caching.materialize(s, centeredVectors(s, d))
+    (c, powerIterate(c, iters))
   }
 
   private def sqDist(x: org.apache.spark.sql.Column,

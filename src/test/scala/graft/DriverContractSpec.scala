@@ -24,13 +24,13 @@ class DriverContractSpec extends AnyFunSuite {
   }
 
   test("declared surface only grows within a round (backstop against accidental drops)") {
-    // 288 mid-round-9 (268 at the round-8 close + seeded k-means, st13,
+    // 289 mid-round-9 (268 at the round-8 close + seeded k-means, st13,
     // st14, st15, composed medallion pipeline, temperature mix, bigram
     // LM score, quality classifier, epoch upsample, ABTT mean-center,
-    // k-NN graph, path mining, quality ensemble, PCA/ABTT, NN-descent refine, isotropy report, st16 streaming gate, phrase search, dataset card); a refactor that silently drops a registered query
+    // k-NN graph, path mining, quality ensemble, PCA/ABTT, NN-descent refine, isotropy report, st16 streaming gate, phrase search, dataset card, deflated PCA); a refactor that silently drops a registered query
     // family fails here with the delta visible
-    assert(SparkEntry.queries.size >= 288,
+    assert(SparkEntry.queries.size >= 289,
       s"declared queries shrank to ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 288)
+    assert(SparkEntry.oracleSql.size >= 289)
   }
 }

@@ -98,6 +98,27 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("deflated component 2: unit, orthogonal to component 1, " +
+    "smaller eigenvalue") {
+    def comp(name: String): (Array[Double], Double) = {
+      val rows = Registry.queries(name)(spark, TestSpark.Sf0001)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      (rows.map(_._2), rows.head._3)
+    }
+    val (v1, l1) = comp("emb_pca_top_component")
+    val (v2, l2) = comp("emb_pca_deflated_component")
+    assert(v1.length == v2.length)
+    val unit2 = v2.map(x => x * x).sum
+    assert(math.abs(unit2 - 1.0) < 1e-4, s"comp2 not unit: $unit2")
+    // the residuals carry no component along u, so the deflated
+    // iteration stays in u's orthogonal complement
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-4, s"components not orthogonal: $dot")
+    // spectral order
+    assert(l2 > 0.0 && l2 <= l1 + 1e-9, s"lambda order violated: $l1 / $l2")
+  }
+
   test("nn-descent refinement never loses recall vs brute-force top-3") {
     val vs = vectors()
     def cosine(a: Array[Double], b: Array[Double]): Double = {
