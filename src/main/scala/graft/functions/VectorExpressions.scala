@@ -120,8 +120,10 @@ case class NormF(child: Expression)
   */
 case class SrpBucketsF(child: Expression, bands: Int, planes: Int)
     extends UnaryExpression {
-  require(((bands - 1) * 101 + (planes - 1)).toLong * 1000003L + 1000001L
-    <= 3037000499L, s"srp_buckets($bands, $planes): h*h would overflow Long")
+  require(((bands - 1) * 101 + (planes - 1)).toLong * 1000003L +
+    VectorExpressions.MaxDim + 1
+    <= 3037000499L, s"srp_buckets($bands, $planes): h*h would overflow Long " +
+    s"at dim ${VectorExpressions.MaxDim}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "srp_buckets"
@@ -134,6 +136,12 @@ case class SrpBucketsF(child: Expression, bands: Int, planes: Int)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    if (n > VectorExpressions.MaxDim) {
+      throw new IllegalArgumentException(
+        s"srp_buckets: embedding dim $n exceeds the ${VectorExpressions.MaxDim}" +
+        " headroom baked into the overflow guard; h*h would wrap Long" +
+        " while the DuckDB oracle's BIGINT errors")
+    }
     val proj = new Array[Double](bands * planes)
     var i = 0
     while (i < n) {
@@ -181,6 +189,11 @@ case class SrpBucketsF(child: Expression, bands: Int, planes: Int)
                    else s"$a.getDouble($i)"
       s"""
          |int $n = $a.numElements();
+         |if ($n > ${VectorExpressions.MaxDim}) {
+         |  throw new IllegalArgumentException(
+         |    "srp_buckets: embedding dim " + $n +
+         |    " exceeds the ${VectorExpressions.MaxDim} overflow-guard headroom");
+         |}
          |double[] $proj = new double[${bands * planes}];
          |for (int $i = 0; $i < $n; $i++) {
          |  double $v = $getter;
@@ -209,12 +222,26 @@ case class SrpBucketsF(child: Expression, bands: Int, planes: Int)
 }
 
 object VectorExpressions {
+  /** Single source of truth for the SRP band family. `graft.queries.Dedup
+    * .EmbBands` and `graft.queries.SimilaritySearch.BandPlanes` alias
+    * these, so the SQL registration below, the DataFrame call sites, and
+    * the plane-hash oracle SQL can never disagree on the family — the
+    * coupling the old per-call-site `require(EmbBands == 8 && ...)`
+    * guards enforced by convention is now enforced by definition.
+    */
+  val SrpBands = 8
+  val SrpPlanes = 3
+
+  /** Max embedding length the plane-hash overflow guard budgets for: the
+    * largest dim index folded into h must keep h*h inside Long. Enforced
+    * at eval time (interpreted and codegen) so an over-long vector fails
+    * loudly instead of wrapping while the DuckDB oracle's BIGINT errors.
+    */
+  val MaxDim = 1000000
+
   /** Register `dot_f` / `norm_f` / `srp_buckets` as SQL-callable temp
     * functions on the session. Idempotent; every query entry calls it.
-    * `srp_buckets` is pinned to the (8, 3) band family — the constants
-    * [[graft.queries.Dedup.EmbBands]] / [[graft.queries.SimilaritySearch.BandPlanes]];
-    * call sites require the match so a family change cannot silently
-    * diverge.
+    * `srp_buckets` is pinned to the ([[SrpBands]], [[SrpPlanes]]) family.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -223,6 +250,7 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "norm_f", exprs => NormF(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "srp_buckets", exprs => SrpBucketsF(exprs.head, 8, 3), "built-in")
+      "srp_buckets", exprs => SrpBucketsF(exprs.head, SrpBands, SrpPlanes),
+      "built-in")
   }
 }

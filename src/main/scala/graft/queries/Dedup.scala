@@ -183,8 +183,10 @@ object Dedup {
     * planes: theoretical recall ≈ 0.90 at the cos ≥ 0.4 threshold
     * (measured on sf0.01: see dedup_embedding_cosine comment). At
     * 1000×, grow planes with log(N) to hold bucket population constant.
+    * Aliases [[graft.functions.VectorExpressions.SrpBands]] — the one
+    * place the family lives, shared with the srp_buckets registration.
     */
-  val EmbBands = 8
+  val EmbBands: Int = graft.functions.VectorExpressions.SrpBands
 
   /** Documents with a materialized shingle-set column (see
     * TextHash.shingleSet for why this is a UDF, not a `transform` HOF).
@@ -1008,9 +1010,8 @@ ORDER BY i, j""")),
             expr("norm_f(embedding)").as("nrm"))
         // fused codegen banding (srp_buckets): one dim loop for all
         // EmbBands×BandPlanes projections, bit-identical to the HOF
-        // formulation the oracle mirrors
-        require(EmbBands == 8 && SimilaritySearch.BandPlanes == 3,
-          "srp_buckets registration out of sync with the band family")
+        // formulation the oracle mirrors; family is shared by definition
+        // (EmbBands/BandPlanes alias VectorExpressions.SrpBands/SrpPlanes)
         val banded = emb.select(col("vec_id"),
           posexplode(expr("srp_buckets(embedding)")).as(Seq("band", "bkt")))
         val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))

@@ -321,8 +321,16 @@ FROM j WHERE rn = 1 ORDER BY event_id""")),
     // global sort.
     Q("e10_path_mining",
       (s, d) => {
+        // the '>' path delimiter must not appear inside an event_type or
+        // distinct journeys would collapse into one path string — assert
+        // the invariant at scan time (fails the job loudly, row-local, no
+        // shuffle) rather than silently mis-grouping
         val ev = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
+          .select(col("user_id"), col("event_id"),
+            when(col("event_type").contains(">"),
+              raise_error(concat(lit("e10_path_mining: event_type contains" +
+                " the path delimiter '>': "), col("event_type"))))
+              .otherwise(col("event_type")).as("event_type"),
             unix_micros(col("ts")).as("us"))
         val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
         val wc = Window.partitionBy("user_id")

@@ -141,9 +141,8 @@ WITH $sidesSqlCte, p AS (
       .withColumn("s_norm", expr("norm_f(s_emb)"))
     def banded(df: DataFrame, id: String, e: String): DataFrame = {
       // fused codegen banding — one dim loop for all 24 projections,
-      // bit-identical to the per-band HOF the oracle mirrors
-      require(Dedup.EmbBands == 8 && SimilaritySearch.BandPlanes == 3,
-        "srp_buckets registration out of sync with the band family")
+      // bit-identical to the per-band HOF the oracle mirrors; family is
+      // shared by definition via the VectorExpressions constants
       df.select(col(id),
         posexplode(expr(s"srp_buckets($e)")).as(Seq("band", "bkt")))
     }

@@ -57,9 +57,11 @@ object SimilaritySearch {
     * 56% on sf0.01), while k=3/B=8 gives ≈0.90 at the SAME total
     * projection cost (24 plane-projections per vector). At 1000×, grow
     * planes with log(N) to hold bucket population constant and add
-    * bands to restore recall.
+    * bands to restore recall. Aliases
+    * [[graft.functions.VectorExpressions.SrpPlanes]] — the one place the
+    * family lives, shared with the srp_buckets registration.
     */
-  val BandPlanes = 3
+  val BandPlanes: Int = graft.functions.VectorExpressions.SrpPlanes
 
   /** Deterministic ±1 hyperplane sign for (band, plane, dim).
     *
@@ -892,10 +894,8 @@ SELECT src, rk, dst, cos FROM r2 WHERE rk <= 3 ORDER BY src, rk"""))
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         expr("norm_f(embedding)").as("nrm"))
-    // the registered srp_buckets expression is pinned to the (8, 3)
-    // family — fail loudly if the constants ever move
-    require(Dedup.EmbBands == 8 && BandPlanes == 3,
-      "srp_buckets registration out of sync with the band family")
+    // the registered srp_buckets expression shares this band family by
+    // definition (EmbBands/BandPlanes alias VectorExpressions constants)
     val banded = emb.select(col("vec_id"),
       posexplode(expr("srp_buckets(embedding)")).as(Seq("band", "bkt")))
     val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
