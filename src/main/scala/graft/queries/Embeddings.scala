@@ -382,7 +382,109 @@ WHERE rk <= 8 ORDER BY cluster_id, rk""")),
       Some(s"""
 WITH $kmeansSeededSql
 SELECT vec_id, cid AS cluster_id, round(dist, 6) AS dist
-FROM a2 ORDER BY vec_id"""))
+FROM a2 ORDER BY vec_id""")),
+
+    // Top-R principal directions by SEQUENTIAL DEFLATION (ABTT-D with
+    // D=4): direction k is the power-iteration result over the residual
+    // corpus with directions 1..k-1 projected out, so the returned
+    // directions are pairwise orthogonal to float precision (deflation
+    // removes each direction EXACTLY, convergence quality
+    // notwithstanding). Each direction's eigenvalue is its EXACT
+    // Rayleigh quotient against the original centered corpus —
+    // λ = (1/n)Σᵢ(cᵢ·v)², not the power step's ‖y‖ by-product — and the
+    // output orders components by (λ desc, deflation step asc), the
+    // standard end-of-algorithm eigenpair sort: on a near-flat spectrum
+    // (this fixture's top eigen-gaps are ~2%, so power iteration's
+    // convergence rate is ~0.98/step) the deflation ORDER is not
+    // guaranteed to match the quotient order at any affordable
+    // iteration count, while the quotient itself is exact for whatever
+    // direction was found. Spec-pinned in EmbeddingOpsSpec: pairwise
+    // orthogonality, descending λ, every λ a true quotient of its own
+    // vector, and Σλ bounded by the covariance trace. Engine-exact like
+    // the single-component queries: every cross-row sum is a
+    // scaled-integer DECIMAL(38,0) aggregate, every row-local fold has
+    // one association; the sort key is the 6dp-rounded λ so both
+    // engines rank identically. 100 TB shape per component: 3 narrow
+    // dim-keyed shuffles (the power steps) + one 1-row Rayleigh
+    // aggregate + one broadcast-map deflation pass; the original
+    // centered corpus stays materialized (the quotients need it), and
+    // each residual is RELEASED once its successor exists, so peak
+    // footprint is two corpus copies regardless of R.
+    Q("emb_pca_topr",
+      (s, d) => {
+        val R = 4
+        val c0 = graft.Caching.materialize(s, centeredVectors(s, d))
+        val n = c0.count()
+        var frame = c0
+        val parts = (1 to R).map { k =>
+          val v = graft.Caching.materialize(s, powerIterate(frame, 3))
+          val lam = c0.crossJoin(broadcast(v))
+            .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
+              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+            .agg((sum(expr(
+              "CAST(round(sc * sc * 1000000000000.0, 0) AS DECIMAL(38,0))"))
+              .cast("double") / lit(1e12) / lit(n.toDouble)).as("lam0"))
+          val out = v.crossJoin(lam)
+            .select(lit(k.toLong).as("step"), round(col("lam0"), 6).as("lam"),
+              posexplode(col("v")))
+            .select(col("step"), col("lam"),
+              col("pos").cast("long").as("idx"),
+              round(col("col"), 6).as("val"))
+          if (k < R) {
+            val next = graft.Caching.materialize(s,
+              frame.crossJoin(broadcast(v))
+                .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
+                  (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+                .select(col("vec_id"), zip_with(col("cv"), col("v"),
+                  (a, b) => a - col("proj") * b).as("cv")))
+            if (frame ne c0) graft.Caching.release(frame)
+            frame = next
+          }
+          out
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("lam").desc, col("step").asc)
+        parts.reduce(_.unionAll(_))
+          .withColumn("comp", dense_rank().over(w).cast("long"))
+          .select(col("comp"), col("idx"), col("val"), col("lam"))
+          .orderBy("comp", "idx")
+      },
+      Some {
+        // residual/power chains for steps 2..4, prefixed so all coexist
+        // in one WITH; step 1 is the unprefixed v3 chain. Each step k
+        // also gets l$k — the exact Rayleigh quotient of its direction
+        // against the ORIGINAL centered corpus c.
+        val chains = (2 to 4).map { k =>
+          val src = if (k == 2) "c" else s"g${k - 1}rr"
+          val vc = if (k == 2) "v3" else s"g${k - 1}v3"
+          sqlDeflate(src, vc, s"g$k") + ",\n" +
+            sqlPowerSteps(s"g${k}rr", s"g$k", 3)
+        }.mkString(",\n")
+        val lams = (1 to 4).map { k =>
+          val vc = if (k == 1) "v3" else s"g${k}v3"
+          s"""l$k AS (SELECT CAST(sum(CAST(round(sc * sc * 1000000000000.0, 0)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0 / nn.n AS lam0
+      FROM (SELECT list_sum(list_transform(range(1, len(cv) + 1),
+              i -> cv[i] * v[i])) AS sc FROM c, $vc), nn
+      GROUP BY nn.n)"""
+        }.mkString(",\n")
+        val arms = (1 to 4).map { k =>
+          val vc = if (k == 1) "v3" else s"g${k}v3"
+          s"""SELECT CAST($k AS BIGINT) AS step, round(lam0, 6) AS lam,
+       unnest(list_transform(range(1, len(v) + 1),
+         i -> {'idx': i - 1, 'val': round(v[i], 6)}), recursive := true)
+FROM $vc, l$k"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+WITH ${sqlPcaChain(3)},
+$chains,
+nn AS (SELECT count(*) AS n FROM c),
+$lams
+SELECT CAST(dense_rank() OVER (ORDER BY lam DESC, step ASC) AS BIGINT) AS comp,
+       idx, val, lam
+FROM ($arms)
+ORDER BY comp, idx"""
+      })
   )
 
   /** Row-local squared Euclidean distance: a left fold over the dim
@@ -472,6 +574,25 @@ FROM a2 ORDER BY vec_id"""))
        FROM c, v3),
 rr AS (SELECT vec_id, list_transform(range(1, len(cv) + 1),
          i -> cv[i] - proj * v[i]) AS rv FROM pr)"""
+
+  /** Parametrized deflation step for the top-R chain: project the
+    * direction in `$vcte(v)` out of `$src(vec_id, cv)`, emitting
+    * `${p}rr(vec_id, cv)` so [[sqlPowerSteps]] can consume it as a
+    * source directly — the generalization of [[sqlAbttResiduals]]
+    * (which keeps its `rv` name for its three existing consumers).
+    * The residual corpus is MATERIALIZED: each downstream power chain
+    * references it 3 times, so without the hint DuckDB's CTE inlining
+    * re-evaluates every upstream chain per reference — exponential in
+    * the number of deflation levels (measured: the R=4 oracle ran
+    * minutes inlined, sub-second materialized).
+    */
+  private def sqlDeflate(src: String, vcte: String, p: String): String =
+    s"""${p}pr AS (SELECT vec_id, cv, v,
+         list_sum(list_transform(range(1, len(cv) + 1),
+           i -> cv[i] * v[i])) AS proj
+       FROM $src, $vcte),
+${p}rr AS MATERIALIZED (SELECT vec_id, list_transform(range(1, len(cv) + 1),
+         i -> cv[i] - proj * v[i]) AS cv FROM ${p}pr)"""
 
   /** DuckDB CTE chain for [[centeredVectors]], ending in
     * `c(vec_id, cv)` — shared by the mean-center oracle and

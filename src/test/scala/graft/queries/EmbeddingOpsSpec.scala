@@ -119,6 +119,67 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(l2 > 0.0 && l2 <= l1 + 1e-9, s"lambda order violated: $l1 / $l2")
   }
 
+  test("top-R PCA: unit components, pairwise orthogonal, descending " +
+    "eigenvalues that are true Rayleigh quotients, trace bound, and the " +
+    "step-1 direction is the single-component query's vector") {
+    val rows = Registry.queries("emb_pca_topr")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val comps = rows.groupBy(_._1).view.mapValues { es =>
+      (es.sortBy(_._2).map(_._3), es.head._4)
+    }.toMap
+    assert(comps.keySet == Set(1L, 2L, 3L, 4L))
+    val dim = comps(1L)._1.length
+    comps.values.foreach { case (v, _) => assert(v.length == dim) }
+    // unit components (6dp output rounding bounds the drift)
+    comps.foreach { case (k, (v, _)) =>
+      val unit = v.map(x => x * x).sum
+      assert(math.abs(unit - 1.0) < 1e-4, s"comp $k not unit: $unit")
+    }
+    // pairwise orthogonality — deflation removes each direction exactly,
+    // so every later iteration stays in the joint orthogonal complement
+    // (tolerance covers the 6dp output rounding: dim terms of ≤1e-6)
+    for (i <- 1L to 4L; j <- (i + 1) to 4L) {
+      val dot = comps(i)._1.zip(comps(j)._1).map { case (a, b) => a * b }.sum
+      assert(math.abs(dot) <= 1e-4 + 4 * dim * 1e-6,
+        s"components $i,$j not orthogonal: $dot")
+    }
+    // spectral order λ₁ ≥ λ₂ ≥ λ₃ ≥ λ₄ > 0
+    val lams = (1L to 4L).map(comps(_)._2)
+    assert(lams.forall(_ > 0.0), s"non-positive eigenvalue: $lams")
+    lams.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"lambda order violated: $lams")
+    }
+    // every λ is the TRUE Rayleigh quotient of its own vector against
+    // the centered corpus (recomputed here from the raw fixture), so
+    // the descending order can never be bought with fabricated values
+    val vs = vectors().toSeq.sortBy(_._1).map(_._2)
+    val n = vs.size
+    val mean = (0 until dim).map(j => vs.map(_(j)).sum / n).toArray
+    val c = vs.map(v => v.zip(mean).map { case (x, m) => x - m })
+    comps.foreach { case (k, (v, lam)) =>
+      val quot = c.map { cv =>
+        val s = cv.zip(v).map { case (x, w) => x * w }.sum
+        s * s
+      }.sum / n
+      assert(math.abs(quot - lam) < 1e-4,
+        s"comp $k lambda $lam is not its Rayleigh quotient $quot")
+    }
+    // Σλ over orthonormal directions is bounded by the covariance trace
+    val trace = (0 until dim).map { j =>
+      c.map(cv => cv(j) * cv(j)).sum / n
+    }.sum
+    assert(lams.sum <= trace + 1e-6,
+      s"sum of eigenvalues ${lams.sum} exceeds trace $trace")
+    // the deflation-step-1 direction IS emb_pca_top_component's vector
+    // (identical machinery); after the λ-sort it sits at SOME comp slot
+    val s1 = Registry.queries("emb_pca_top_component")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      .map(_._2).toSeq
+    assert(comps.values.exists(_._1.toSeq == s1),
+      "no topr component matches emb_pca_top_component's direction")
+  }
+
   test("nn-descent refinement never loses recall vs brute-force top-3") {
     val vs = vectors()
     def cosine(a: Array[Double], b: Array[Double]): Double = {
