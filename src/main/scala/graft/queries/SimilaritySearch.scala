@@ -839,47 +839,150 @@ SELECT src, rk, dst, cos FROM kg ORDER BY src, rk""")),
         VectorExpressions.register(s)
         val g = graft.Caching.materialize(s,
           knnEdges(s, d).select("src", "dst"))
-        val hop2 = g.select(col("src"), col("dst").as("mid"))
-          .join(g.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
-          .filter(col("src") =!= col("dst2"))
-          .select(col("src"), col("dst2").as("dst"))
-        val cand = g.union(hop2).distinct()
-        val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            expr("norm_f(embedding)").as("nrm"))
-        val scored = cand
-          .join(emb.select(col("vec_id").as("src"),
-            col("embedding").as("e_a"), col("nrm").as("n_a")), "src")
-          .join(emb.select(col("vec_id").as("dst"),
-            col("embedding").as("e_b"), col("nrm").as("n_b")), "dst")
-          .withColumn("cos",
-            round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
-        val w = Window.partitionBy("src")
-          .orderBy(col("cos").desc, col("dst").asc)
-        scored.withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 3)
-          .select(col("src"), col("rk"), col("dst"), col("cos"))
-          .orderBy("src", "rk")
+        refineRound(g, normedEmb(s, d)).orderBy("src", "rk")
       },
       Some(s"""
 WITH $sqlKnnEdges,
 g AS (SELECT src, dst FROM kg),
-h2 AS (SELECT a.src, b.dst AS dst
-       FROM g a JOIN g b ON a.dst = b.src WHERE a.src <> b.dst),
-cand2 AS (SELECT DISTINCT src, dst FROM (
-            SELECT src, dst FROM g UNION ALL SELECT src, dst FROM h2)),
-sc2 AS (
-  SELECT cand2.src, cand2.dst,
+${sqlRefineRound("g", "g2")}
+SELECT src, rk, dst, cos FROM g2 ORDER BY src, rk""")),
+
+    // NN-descent run to CONVERGENCE — the full iteration graph builders
+    // (NN-Descent, Efanna) actually execute: repeat the 2-hop
+    // expand-and-re-rank round until the edge set reaches a fixed point
+    // (a round adds candidates and keeps per-node bests, so the graph
+    // is monotone in the per-node (cos desc, dst asc) order and recall
+    // vs brute-force truth can only improve round over round — both
+    // laws spec-pinned in EmbeddingOpsSpec, plus converged > round-1).
+    // Each round's graph is materialized with the PREVIOUS round
+    // released (the connected-components per-round discipline), so
+    // lineage and memory stay bounded by one round. The fixed-point
+    // check is two set-differences over a 3·N-row edge list — cheap,
+    // and it lets the engine stop early while the oracle unrolls the
+    // full MaxRefineRounds: past the fixed point every further round is
+    // a no-op, so the results agree by construction. At 100 TB each
+    // round is one degree-bounded self-join (≤ k² candidates per node)
+    // + a per-node window — shuffle ∝ edges, never N²; rounds to
+    // convergence is a data property (small-world graphs: ~3-4).
+    Q("simsearch_knn_converged",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = normedEmb(s, d)
+        var g = graft.Caching.materialize(s, knnEdges(s, d))
+        var r = 0
+        var converged = false
+        while (r < MaxRefineRounds && !converged) {
+          val next = graft.Caching.materialize(s, refineRound(g, emb))
+          r += 1
+          // a round only moves per-node lists up the (cos desc, dst)
+          // order, so next ⊆ prev as an edge SET implies equality; the
+          // check is skipped on the last round, whose result exits the
+          // loop regardless
+          if (r < MaxRefineRounds)
+            converged = next.select("src", "dst")
+              .except(g.select("src", "dst")).isEmpty
+          graft.Caching.release(g)
+          g = next
+        }
+        g.orderBy("src", "rk")
+      },
+      Some {
+        val rounds = (1 to MaxRefineRounds).map { k =>
+          sqlRefineRound(s"cg${k - 1}", s"cg$k")
+        }.mkString(",\n")
+        s"""
+WITH $sqlKnnEdges,
+cg0 AS MATERIALIZED (SELECT src, dst FROM kg),
+$rounds
+SELECT src, rk, dst, cos FROM cg$MaxRefineRounds ORDER BY src, rk"""
+      })
+  )
+
+  /** Refinement rounds an engine run may need before the k-NN graph's
+    * edge set stops changing on any of the test fixtures — the oracle
+    * unrolls exactly this many; the engine stops at the fixed point
+    * (measured: 2 rounds on sf0.01, 3 on sf0.1; past it, rounds are
+    * no-ops, so engine and oracle agree at any early-exit point).
+    */
+  val MaxRefineRounds = 4
+
+  /** (vec_id, embedding, nrm) over the fixture — the re-rank side every
+    * knn/refine consumer joins against.
+    */
+  private def normedEmb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        expr("norm_f(embedding)").as("nrm"))
+
+  /** One NN-descent round over `g(src, dst, ...)`: candidates = current
+    * edges ∪ 2-hop expansion (self excluded), exact cosine re-rank
+    * against `emb`, per-node (cos desc, dst asc) top-3. The old edges
+    * compete in the re-rank, so the per-node neighbor list is monotone
+    * non-degrading — the property behind both the convergence loop and
+    * the monotone-recall law.
+    */
+  private def refineRound(g: DataFrame, emb: DataFrame): DataFrame = {
+    val ge = g.select("src", "dst")
+    val hop2 = ge.select(col("src"), col("dst").as("mid"))
+      .join(ge.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+      .filter(col("src") =!= col("dst2"))
+      .select(col("src"), col("dst2").as("dst"))
+    val cand = ge.union(hop2).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"),
+        col("embedding").as("e_a"), col("nrm").as("n_a")), "src")
+      .join(emb.select(col("vec_id").as("dst"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), "dst")
+      .withColumn("cos",
+        round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("src"), col("rk"), col("dst"), col("cos"))
+  }
+
+  /** Every round's graph, round 0 = the LSH-seeded graph, each
+    * materialized with its predecessor kept alive — the spec hook for
+    * the per-round monotone-recall law (the caller releases).
+    */
+  private[queries] def knnRounds(s: SparkSession, d: String,
+      rounds: Int): Seq[DataFrame] = {
+    VectorExpressions.register(s)
+    val emb = normedEmb(s, d)
+    val out = Seq.newBuilder[DataFrame]
+    var g = graft.Caching.materialize(s, knnEdges(s, d))
+    out += g
+    for (_ <- 1 to rounds) {
+      g = graft.Caching.materialize(s, refineRound(g, emb))
+      out += g
+    }
+    out.result()
+  }
+
+  /** DuckDB twin of [[refineRound]]: one expand-and-re-rank round from
+    * `$in(src, dst)` to `$out(src, rk, dst, cos)`, assuming `e`
+    * (vec_id, v, nrm) in scope. `$out` is MATERIALIZED — each
+    * successive round references its predecessor three times, and CTE
+    * inlining would re-evaluate the whole chain per reference
+    * (exponential in rounds; the emb_pca_topr lesson).
+    */
+  private def sqlRefineRound(in: String, out: String): String = s"""
+${out}_h AS (SELECT a.src, b.dst AS dst
+       FROM $in a JOIN $in b ON a.dst = b.src WHERE a.src <> b.dst),
+${out}_c AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM $in UNION ALL SELECT src, dst FROM ${out}_h)),
+${out}_s AS (
+  SELECT ${out}_c.src, ${out}_c.dst,
          round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
                (a.nrm * c.nrm), 6) AS cos
-  FROM cand2 JOIN e a ON cand2.src = a.vec_id
-  JOIN e c ON cand2.dst = c.vec_id),
-r2 AS (SELECT src, dst, cos,
-              CAST(row_number() OVER (PARTITION BY src
-                     ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
-       FROM sc2)
-SELECT src, rk, dst, cos FROM r2 WHERE rk <= 3 ORDER BY src, rk"""))
-  )
+  FROM ${out}_c JOIN e a ON ${out}_c.src = a.vec_id
+  JOIN e c ON ${out}_c.dst = c.vec_id),
+$out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
+  SELECT src, dst, cos,
+         CAST(row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
+  FROM ${out}_s) WHERE rk <= 3)"""
 
   /** The k-NN graph (src, rk, dst, cos): per-node top-3 over SRP
     * band-collision candidates, both directions of each pair — shared

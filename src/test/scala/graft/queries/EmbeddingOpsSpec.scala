@@ -207,6 +207,52 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       s"refinement lost recall: $base -> $refined")
   }
 
+  test("nn-descent to convergence: per-round recall monotone, fixed " +
+    "point within MaxRefineRounds, converged beats round 1") {
+    val vs = vectors()
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = vs.map { case (id, v) =>
+      id -> vs.collect { case (j, w) if j != id => (cosine(v, w), j) }
+        .toSeq.sortBy(t => (-t._1, t._2)).take(3).map(_._2).toSet
+    }
+    val rounds = SimilaritySearch.knnRounds(spark, TestSpark.Sf0001,
+      SimilaritySearch.MaxRefineRounds)
+    def edgesOf(g: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      g.select("src", "dst").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val perRound = rounds.map(edgesOf)
+    def recall(e: Map[Long, Set[Long]]): Double =
+      truth.toSeq.map { case (id, t) =>
+        (t & e.getOrElse(id, Set.empty)).size
+      }.sum.toDouble / truth.map(_._2.size).sum
+    val recalls = perRound.map(recall)
+    // monotone: each round's per-node list only moves up the
+    // (cos desc, dst asc) order, so true neighbors are never displaced
+    // by non-neighbors
+    recalls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - 1e-12, s"recall regressed across a round: $recalls")
+    }
+    // the edge sets reach a fixed point within the unrolled budget —
+    // the premise that lets the engine early-exit under a fixed-round
+    // oracle
+    assert(perRound.takeRight(2).distinct.size == 1,
+      "edge set still changing at MaxRefineRounds")
+    // the converged graph strictly improves on the LSH-seeded round-1
+    // graph on this fixture
+    assert(recalls.last > recalls.head,
+      s"convergence bought no recall: $recalls")
+    // and the registered converged query returns exactly the fixed point
+    val reg = edgesOf(Registry.queries("simsearch_knn_converged")(
+      spark, TestSpark.Sf0001))
+    assert(reg == perRound.last,
+      "simsearch_knn_converged drifted from the round ladder")
+    rounds.foreach(graft.Caching.release)
+  }
+
   test("knn graph: contiguous ranks ordered by (cos desc, dst), " +
     "exact cosine arithmetic, no self-loops") {
     val vs = vectors()
