@@ -262,6 +262,27 @@ ${p}_asg AS (SELECT vec_id, cent_id AS cell FROM (
     FROM $e CROSS JOIN ${p}_cent)
   WHERE rnc = 1)"""
 
+  /** One coherence CTE for the retrain-decision oracle: global average
+    * top-1 assignment cosine of `$corpus(vec_id, v, nrm)` against
+    * `$cents(cent_id, c_v, c_nrm)`, micro-unit exact like
+    * simsearch_cell_quality, emitted as `(stage, n_vecs, avg_cos)`.
+    */
+  private def sqlCoherence(name: String, stage: String, corpus: String,
+      cents: String): String = s"""
+$name AS (
+  SELECT '$stage' AS stage, CAST(count(*) AS BIGINT) AS n_vecs,
+         round(CAST(sum(CAST(round(cos_c * 1000000) AS BIGINT)) AS DOUBLE)
+               / (count(*) * 1000000), 6) AS avg_cos
+  FROM (SELECT vec_id, cos_c,
+               row_number() OVER (PARTITION BY vec_id
+                 ORDER BY cos_c DESC, cent_id ASC) AS rnc
+        FROM (SELECT $corpus.vec_id, $cents.cent_id,
+                     round(list_sum(list_transform(range(1, len($corpus.v)+1),
+                              i -> $corpus.v[i] * $cents.c_v[i]))
+                           / ($corpus.nrm * $cents.c_nrm), 6) AS cos_c
+              FROM $corpus CROSS JOIN $cents))
+  WHERE rnc = 1)"""
+
   /** IVF nprobe=1 top-5 oracle text — also the approximate arm of
     * simsearch_recall_report.
     */
@@ -895,7 +916,93 @@ WITH $sqlKnnEdges,
 cg0 AS MATERIALIZED (SELECT src, dst FROM kg),
 $rounds
 SELECT src, rk, dst, cos FROM cg$MaxRefineRounds ORDER BY src, rk"""
-      })
+      }),
+
+    // IVF index-maintenance DECISION — the consumer simsearch_cell_quality
+    // was missing: appends cannot move centroids (AnnIndex.append's
+    // documented staleness trade), so an append-heavy index needs an
+    // operational trigger for the rebuild. This query runs the full
+    // loop on a deterministic drift scenario derived from the fixture
+    // (the corpus re-appended shifted by +0.5 per dimension — a mean
+    // shift the stale quantizer cannot represent): global assignment
+    // coherence of the base corpus under the base quantizer (before),
+    // of the grown corpus under the SAME quantizer (after_append), and
+    // under a retrained quantizer (retrained); the decision column
+    // flags 'rebuild' when after_append coherence falls more than 5%
+    // relative to before (measured here: ~13% drop, retrain nearly
+    // triples coherence — the seeds rule picks up drifted-region
+    // centroids because the shifted ids keep vec_id % 100). All
+    // arithmetic is the cell_quality pattern: 6dp cosines summed as
+    // exact bigint micro-units, one final division; the drift transform
+    // itself is float32 addition in BOTH engines so the widened doubles
+    // agree bit-for-bit. At 100 TB: three broadcast-assign passes + two
+    // quantizer trainings over sampled corpora — the decision costs a
+    // monitoring pass, never an index rebuild, which is exactly its
+    // point. SimilaritySearchSpec pins the flip (undrifted append →
+    // keep) and that the rebuild restores the recall floor.
+    Q("simsearch_ivf_retrain_decision",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val e = normedEmb(s, d)
+        val delta = Tables.embeddings(s, d)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+          .withColumn("nrm", expr("norm_f(embedding)"))
+        val grown = e.unionAll(delta)
+        val centsBase = kmeansCents(e)
+        val centsNew = kmeansCents(grown)
+        def coherence(corpus: DataFrame, cents: DataFrame,
+            stage: String): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)
+          graft.Caching.materialize(s, corpus.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              round(expr("dot_f(embedding, c_emb)") /
+                (col("nrm") * col("c_nrm")), 6))
+            .withColumn("rnc", row_number().over(w))
+            .filter(col("rnc") === 1)
+            .withColumn("micro",
+              expr("CAST(round(cos_c * 1000000) AS BIGINT)"))
+            .agg(count(lit(1)).as("n_vecs"),
+              expr("round(CAST(sum(micro) AS DOUBLE) / (count(*) * 1000000), 6)")
+                .as("avg_cos"))
+            .select(lit(stage).as("stage"), col("n_vecs"), col("avg_cos")))
+        }
+        val before = coherence(e, centsBase, "1_before")
+        val after = coherence(grown, centsBase, "2_after_append")
+        val retr = coherence(grown, centsNew, "3_retrained")
+        before.unionAll(after).unionAll(retr)
+          .crossJoin(broadcast(before.select(col("avg_cos").as("cb"))))
+          .crossJoin(broadcast(after.select(col("avg_cos").as("ca"))))
+          .withColumn("decision",
+            when(col("stage") === "2_after_append",
+              when(col("ca") < col("cb") * lit(0.95), lit("rebuild"))
+                .otherwise(lit("keep")))
+              .otherwise(lit(null).cast("string")))
+          .select(col("stage"), col("n_vecs"), col("avg_cos"), col("decision"))
+          .orderBy("stage")
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+d0 AS (SELECT vec_id + 1000000 AS vec_id,
+              list_transform(embedding::FLOAT[], x -> x + 0.5::FLOAT)::DOUBLE[] AS v
+       FROM embeddings),
+ec AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM d0
+       UNION ALL SELECT vec_id, v, nrm FROM e),$sqlKmeansCtes,
+${sqlKmeansCtesFor("rt", "ec")},
+${sqlCoherence("cohb", "1_before", "e", "cent")},
+${sqlCoherence("coha", "2_after_append", "ec", "cent")},
+${sqlCoherence("cohr", "3_retrained", "ec", "rt_cent")}
+SELECT stage, n_vecs, avg_cos,
+       CASE WHEN stage = '2_after_append'
+            THEN (CASE WHEN (SELECT avg_cos FROM coha) <
+                            (SELECT avg_cos FROM cohb) * 0.95
+                  THEN 'rebuild' ELSE 'keep' END)
+            ELSE NULL END AS decision
+FROM (SELECT * FROM cohb UNION ALL SELECT * FROM coha
+      UNION ALL SELECT * FROM cohr)
+ORDER BY stage"""))
   )
 
   /** Refinement rounds an engine run may need before the k-NN graph's

@@ -213,6 +213,79 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
   }
 
+  test("retrain decision: drift flips to rebuild, undrifted append keeps, " +
+    "rebuild restores the recall floor") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorExpressions.register(spark)
+    // the registered query's drifted scenario must flag the rebuild,
+    // and the retrain must actually repair coherence
+    val rows = Registry.queries("simsearch_ivf_retrain_decision")(
+      spark, TestSpark.Sf001).collect()
+    val byStage = rows.map(r => r.getAs[String]("stage") -> r).toMap
+    assert(byStage("2_after_append").getAs[String]("decision") == "rebuild",
+      "drifted append did not flip the decision")
+    assert(byStage("3_retrained").getAs[Double]("avg_cos") >
+      byStage("2_after_append").getAs[Double]("avg_cos"),
+      "retrain did not improve coherence")
+    // control: an append from the SAME distribution (the corpus itself
+    // under fresh ids) must NOT flip — each copy lands exactly where
+    // its twin does, so coherence is unchanged and the 5% rule keeps
+    val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+      .select(col("vec_id"), col("embedding"),
+        expr("norm_f(embedding)").as("nrm"))
+    def coherence(corpus: org.apache.spark.sql.DataFrame,
+        cents: org.apache.spark.sql.DataFrame): Double = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("cos_c").desc, col("cent_id").asc)
+      corpus.crossJoin(broadcast(cents))
+        .withColumn("cos_c", round(expr("dot_f(embedding, c_emb)") /
+          (col("nrm") * col("c_nrm")), 6))
+        .withColumn("rnc", row_number().over(w))
+        .filter(col("rnc") === 1)
+        .agg(avg("cos_c")).head().getDouble(0)
+    }
+    val cents = SimilaritySearch.kmeansCents(emb)
+    val copies = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+      col("embedding"), col("nrm"))
+    val before = coherence(emb, cents)
+    val afterUndrifted = coherence(emb.unionAll(copies), cents)
+    assert(afterUndrifted >= before * 0.95,
+      s"undrifted append would wrongly flip: $before -> $afterUndrifted")
+    // rebuild restores the serving floor: index the drifted corpus with
+    // a RETRAINED quantizer and check recall@5 for drifted queries
+    val shifted = graft.Tables.embeddings(spark, TestSpark.Sf001)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+      .withColumn("nrm", expr("norm_f(embedding)"))
+    val cands = emb.filter(col("vec_id") >= 10)
+      .unionAll(shifted.filter(col("vec_id") >= 1000010L))
+    val queries = shifted.filter(col("vec_id") < 1000010L)
+    val root = graft.Scratch.dir("annidx_retrain")
+    try {
+      AnnIndex.build(spark, emb.unionAll(shifted), cands, root,
+        quantizer = SimilaritySearch.kmeansCents)
+      val got = AnnIndex.query(spark, queries, root, topK = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // brute-force truth over the same candidate set, driver-side
+      def vecs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double])] =
+        df.select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+      val cs = vecs(cands)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      val gt = vecs(queries).flatMap { case (q, qv) =>
+        cs.map { case (c, cv) => (cos(qv, cv), c) }
+          .sortBy(t => (-t._1, t._2)).take(5).map(c => (q, c._2))
+      }.toSet
+      val recall = got.intersect(gt).size.toDouble / gt.size
+      assert(recall >= 0.40,
+        s"rebuild did not restore the recall floor: recall@5 = $recall")
+    } finally graft.Scratch.delete(root)
+  }
+
   test("IVF nprobe=2 dominates nprobe=1 slot-by-slot; brute force dominates both") {
     val one = topkByQuery("simsearch_ivf_bucketed")
     val two = topkByQuery("simsearch_ivf_multiprobe")
