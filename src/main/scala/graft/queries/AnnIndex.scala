@@ -107,6 +107,42 @@ object AnnIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$stateDir/vec")
   }
 
+  /** IDEMPOTENT tagged append — the streaming-ingest shape: like
+    * [[append]], but the write lands under an `ingest=$tag` partition
+    * level via DYNAMIC partition overwrite, so redelivering the same
+    * batch (a foreachBatch retry after a mid-batch crash, or a whole
+    * drain replayed from a checkpoint) REPLACES its own partitions
+    * instead of duplicating them — exactly-once state from at-least-once
+    * delivery, with the batch id as the natural tag. Partitions of other
+    * tags are never touched (delta-proportional, like [[append]]); the
+    * two-level `ingest/cell` layout keeps cell probing as partition
+    * pruning ([[query]] filters on `cell` regardless of nesting). A
+    * long-running stream compacts tags away periodically via
+    * [[compact]]'s counterpart on the ingest level — or simply rebuilds,
+    * per the retrain trade.
+    */
+  def appendBatch(s: SparkSession, newVecs: DataFrame, stateDir: String,
+      tag: String): Unit = {
+    VectorExpressions.register(s)
+    val cents = s.read.parquet(s"$stateDir/cent")
+    val assigned = assignCells(newVecs, cents, nprobe = 1)
+      .withColumn(
+        "ingest", org.apache.spark.sql.functions.lit(tag))
+    // the overwrite-mode conf must land on the session the WRITE runs
+    // under — inside foreachBatch that is the micro-batch's CLONED
+    // session (batch.sparkSession), whose conf is isolated from the
+    // caller's; setting it on `s` alone leaves the clone in static
+    // mode, and a static overwrite wipes every other ingest partition
+    // (observed: only the last batch survived the drain)
+    val sess = assigned.sparkSession
+    val prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try assigned.write.mode("overwrite").partitionBy("ingest", "cell")
+      .parquet(s"$stateDir/vec")
+    finally sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.catalog.refreshByPath(s"$stateDir/vec")
+  }
+
   case class PurgeStats(nPurged: Long, nCellsRewritten: Int, nCellsDeleted: Int)
 
   /** Takedown propagation for the vector index ([[DedupIndex.purge]]'s

@@ -1166,10 +1166,11 @@ r AS (SELECT src, dst, cos,
 kg AS (SELECT src, rk, dst, cos FROM r WHERE rk <= 3)"""
   }
 
-  /** Shared oracle for the nprobe=2 IVF shape (multiprobe and
-    * persisted-index formulations compute identical results).
+  /** Shared oracle for the nprobe=2 IVF shape (multiprobe, persisted-
+    * index, and the streaming-append st17 formulations all compute
+    * identical results).
     */
-  private def sqlIvfNprobe2: String = s"""
+  private[queries] def sqlIvfNprobe2: String = s"""
 WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
 ranked AS (

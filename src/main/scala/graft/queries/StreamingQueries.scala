@@ -737,7 +737,77 @@ j AS (SELECT d.source AS source, cls.score AS score
 SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        sum(CAST(round(score * 10000, 0) AS BIGINT)) / 10000.0 / count(*) AS avg_score
-FROM j GROUP BY source ORDER BY source"""))
+FROM j GROUP BY source ORDER BY source""")),
+
+    // Streaming ANN index maintenance — the st-family analog of
+    // AnnIndex.append: an embedding stream folded into the persistent
+    // IVF state in foreachBatch via the IDEMPOTENT tagged append
+    // (AnnIndex.appendBatch — each batch lands under its own
+    // ingest=<batchId> partition level through dynamic partition
+    // overwrite, so a foreachBatch retry or a drain replayed from the
+    // checkpoint REPLACES its own partitions instead of duplicating:
+    // exactly-once index state from at-least-once delivery, the st11
+    // CDC versioning idea expressed in the partition layout). The
+    // quantizer trains once up front (append never moves centroids —
+    // simsearch_ivf_retrain_decision owns that loop); candidates arrive
+    // in three slices (a pre-stream bootstrap batch + two streamed
+    // ticks), and the final nprobe=2 serve must equal the batch-built
+    // index on the same data — the oracle IS simsearch_ivf_persisted's
+    // (sqlIvfNprobe2). An empty redelivery drain is require()d to leave
+    // the state byte-stable; mid-batch replay idempotence is
+    // StreamingSpec's. At 100 TB: per-batch cost is one broadcast
+    // assign + a write touching only the batch's own partitions, and
+    // serving still prunes cells whatever the ingest nesting.
+    Q("st17_streaming_ann_append",
+      (s, d) => graft.Scratch.withDir(s, "stann") { root =>
+        graft.functions.VectorExpressions.register(s)
+        val emb = graft.Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        // quantizer: trained once, the oracle-exact single-Lloyd build
+        SimilaritySearch.kmeansCents(emb)
+          .write.mode("overwrite").parquet(s"$root/cent")
+        val cands = emb.filter(col("vec_id") >= 10)
+        // bootstrap slice goes through the SAME idempotent append path
+        AnnIndex.appendBatch(s, cands.filter(col("vec_id") % 3 === 0),
+          root, "base")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.select("vec_id", "embedding")
+            .coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = new java.io.File(stageDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.createDirectories(Paths.get(s"$root/in"))
+          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .parquet(s"$root/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              AnnIndex.appendBatch(s,
+                batch.withColumn("nrm", expr("norm_f(embedding)")),
+                root, s"b$id"); ()
+            }
+            .option("checkpointLocation", s"$root/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        stage(cands.filter(col("vec_id") % 3 === 1), "t1"); drain()
+        stage(cands.filter(col("vec_id") % 3 === 2), "t2"); drain()
+        val nAfter = s.read.parquet(s"$root/vec").count()
+        drain() // redelivery: same checkpoint, no new files -> no-op
+        val nRedelivered = s.read.parquet(s"$root/vec").count()
+        require(nAfter == nRedelivered,
+          s"empty redelivery grew the index $nAfter -> $nRedelivered — " +
+            "appendBatch is not idempotent")
+        AnnIndex.query(s, emb.filter(col("vec_id") < 10), root,
+          topK = 5, nprobe = 2)
+      },
+      Some(SimilaritySearch.sqlIvfNprobe2))
   )
 
   /** DuckDB twin of st15: uncapped MinHash signatures → band keys →

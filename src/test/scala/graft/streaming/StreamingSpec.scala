@@ -520,4 +520,45 @@ class StreamingSpec extends AnyFunSuite {
       "short-TTL state outlived its TTL across the restart")
   }
 
+  test("st17 appendBatch: same-tag replay replaces its own partitions and " +
+    "leaves other tags' files byte-identical (mid-batch crash redelivery)") {
+    graft.functions.VectorExpressions.register(spark)
+    val root = graft.Scratch.dir("stann_replay")
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf001)
+        .select(col("vec_id"), col("embedding"),
+          expr("norm_f(embedding)").as("nrm"))
+      graft.queries.SimilaritySearch.kmeansCents(emb)
+        .write.mode("overwrite").parquet(s"$root/cent")
+      val cands = emb.filter(col("vec_id") >= 10)
+      graft.queries.AnnIndex.appendBatch(spark,
+        cands.filter(col("vec_id") % 2 === 0), root, "b0")
+      graft.queries.AnnIndex.appendBatch(spark,
+        cands.filter(col("vec_id") % 2 === 1), root, "b1")
+      def fileCensus(tag: String): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$root/vec/ingest=$tag"))
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified()).toMap
+      }
+      val b0Before = fileCensus("b0")
+      def serve() = graft.queries.AnnIndex.query(spark,
+        emb.filter(col("vec_id") < 10), root, topK = 5, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+          r.getLong(3))).toSeq
+      val before = serve()
+      // the mid-batch-crash scenario: b1 is delivered AGAIN (same tag,
+      // same content) — dynamic overwrite must replace, not duplicate
+      graft.queries.AnnIndex.appendBatch(spark,
+        cands.filter(col("vec_id") % 2 === 1), root, "b1")
+      assert(serve() == before, "same-tag replay changed the served results")
+      assert(fileCensus("b0") == b0Before,
+        "replaying b1 touched b0's partitions")
+      // and the index really holds exactly one copy of every candidate
+      val n = spark.read.parquet(s"$root/vec").count()
+      assert(n == cands.count(), s"index holds $n rows, want ${cands.count()}")
+    } finally graft.Scratch.delete(root)
+  }
+
 }
