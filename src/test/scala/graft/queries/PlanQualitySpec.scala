@@ -389,7 +389,29 @@ class PlanQualitySpec extends AnyFunSuite {
       // its shared exchange prints twice in tree form — uni and vocab
       // both consume it), per-doc rollup + presentation sort; the doc
       // window + (doc,pair) agg pair is paid once inside the checkpoint
-      "text_ngram_lm_score" -> 6)
+      "text_ngram_lm_score" -> 6,
+      // band-bucket self-join + per-node window + presentation sort;
+      // the candidate side never shuffles against corpus size
+      "simsearch_knn_graph" -> 3,
+      // one refine round over the materialized graph: 2-hop self-join,
+      // candidate distinct, re-rank window + presentation sort (the
+      // seed graph's shuffles are paid inside its checkpoint)
+      "simsearch_knn_refine" -> 5,
+      // the convergence loop materializes every round; the SERVED plan
+      // is the fixed-point graph + one presentation sort. Budgets what
+      // a caller's downstream pays per serve.
+      "simsearch_knn_converged" -> 1,
+      // the O(delta) LSM update happens eagerly at call time; the
+      // returned frame is a pure read of the updated state — ZERO
+      // exchanges is the contract (a shuffle appearing here would mean
+      // serving started re-deriving state)
+      "dedup_index_update" -> 0,
+      // per-component power steps and Rayleigh quotients run inside
+      // checkpoints; the served union pays the rank window + sort
+      "emb_pca_topr" -> 5,
+      // three materialized 1-row coherence frames; the report is a
+      // broadcast-joined union + presentation sort
+      "simsearch_ivf_retrain_decision" -> 1)
     budgets.foreach { case (name, budget) =>
       val p = Registry.queries(name)(spark, TestSpark.Sf001)
         .queryExecution.executedPlan.toString
