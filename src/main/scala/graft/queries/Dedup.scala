@@ -69,14 +69,19 @@ object Dedup {
     * built once per process; the update/compact/purge stage queries and
     * the composed incremental query all read it.
     */
+  /** Classes whose recompilation must invalidate cached dedup-index
+    * warm state (they define the signatures/postings semantics).
+    */
+  private def warmClasses: Seq[Class[_]] =
+    Seq(Dedup.getClass, DedupIndex.getClass,
+      graft.functions.TextHash.getClass)
+
   private def bootstrapDir(s: SparkSession, d: String): String =
-    bootstrapCache.computeIfAbsent(d, _ => {
-      val dir = graft.Scratch.dir("ndidx_v1")
-      DedupIndex.bootstrap(s,
-        Tables.documents(s, d).select("doc_id", "text")
-          .filter(col("doc_id") % 5 =!= 0), dir)
-      dir
-    })
+    bootstrapCache.computeIfAbsent(d, _ =>
+      graft.WarmCache.getOrBuild("ndidx_v1", d, warmClasses, dir =>
+        DedupIndex.bootstrap(s,
+          Tables.documents(s, d).select("doc_id", "text")
+            .filter(col("doc_id") % 5 =!= 0), dir)))
 
   private val updateCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -87,13 +92,14 @@ object Dedup {
     * stages time ONLY their own work.
     */
   private def fullStateDir(s: SparkSession, d: String): String =
-    updateCache.computeIfAbsent(d, _ => {
-      val dir = graft.Scratch.dir("ndidx_v2")
-      DedupIndex.update(s,
-        Tables.documents(s, d).select("doc_id", "text"),
-        bootstrapDir(s, d), dir)
-      dir
-    })
+    updateCache.computeIfAbsent(d, _ =>
+      // same fingerprint classes as the bootstrap, so the two states
+      // can only hit or rebuild TOGETHER (v2's meta references v1's
+      // absolute paths — both are stable under the cache root)
+      graft.WarmCache.getOrBuild("ndidx_v2", d, warmClasses, dir =>
+        DedupIndex.update(s,
+          Tables.documents(s, d).select("doc_id", "text"),
+          bootstrapDir(s, d), dir)))
 
   /** Build the process-cached index states eagerly — for callers that
     * time individual stage queries (Bench): without this, whichever

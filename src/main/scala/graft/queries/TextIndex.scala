@@ -170,13 +170,18 @@ WHERE rn <= 10 ORDER BY rn"""
   /** Durable 80%-corpus index (docs with doc_id % 5 ≠ 0) per sf dir,
     * built once per process — the base state the append stage copies.
     */
+  /** Classes whose recompilation must invalidate cached BM25 warm
+    * state (index layout + tokenization semantics).
+    */
+  private def warmClasses: Seq[Class[_]] =
+    Seq(TextIndex.getClass, TextAnalysis.getClass,
+      graft.functions.TextHash.getClass)
+
   private def bootstrapStateDir(s: SparkSession, d: String): String =
-    bootstrapCache.computeIfAbsent(d, _ => {
-      val dir = graft.Scratch.dir("bm25idx_v1")
-      build(s, Tables.documents(s, d).select("doc_id", "text")
-        .filter(col("doc_id") % 5 =!= 0), dir)
-      dir
-    })
+    bootstrapCache.computeIfAbsent(d, _ =>
+      graft.WarmCache.getOrBuild("bm25idx_v1", d, warmClasses, dir =>
+        build(s, Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 5 =!= 0), dir)))
 
   private val fullCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -185,13 +190,14 @@ WHERE rn <= 10 ORDER BY rn"""
     * appended) per sf dir — what the cold-serve stage reads.
     */
   private def fullStateDir(s: SparkSession, d: String): String =
-    fullCache.computeIfAbsent(d, _ => {
-      val dir = graft.Scratch.dir("bm25idx_v2")
-      copyState(bootstrapStateDir(s, d), dir)
-      append(s, Tables.documents(s, d).select("doc_id", "text")
-        .filter(col("doc_id") % 5 === 0), dir)
-      dir
-    })
+    fullCache.computeIfAbsent(d, _ =>
+      graft.WarmCache.getOrBuild("bm25idx_v2", d, warmClasses, dir => {
+        // WarmCache hands over an EMPTY dir, so append() starts from
+        // exactly the bootstrap copy
+        copyState(bootstrapStateDir(s, d), dir)
+        append(s, Tables.documents(s, d).select("doc_id", "text")
+          .filter(col("doc_id") % 5 === 0), dir)
+      }))
 
   /** Build the process-cached states eagerly — called by Bench outside
     * the timed region (same attribution rule as Dedup.warmSharedState).
