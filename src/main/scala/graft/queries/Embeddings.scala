@@ -484,6 +484,79 @@ SELECT CAST(dense_rank() OVER (ORDER BY lam DESC, step ASC) AS BIGINT) AS comp,
        idx, val, lam
 FROM ($arms)
 ORDER BY comp, idx"""
+      }),
+
+    // PCA whitening over the top-2 components: each vector's whitened
+    // coordinate z_k = (c·v_k)/√λ_k — the decorrelate-and-rescale step
+    // retrieval stacks apply before product quantization or linear
+    // probes (unit variance per retained direction by construction:
+    // λ_k IS the mean of (c·v_k)², so var(z_k)=1 up to rounding — the
+    // law EmbeddingOpsSpec pins along with cross-component
+    // decorrelation). Long format (vec_id, comp, z): one broadcast of
+    // each (v_k, λ_k) pair onto the centered corpus, a row-local fold
+    // per coordinate — two map passes, zero new shuffle shapes beyond
+    // the PCA chain it reuses. λ rounds to 6dp BEFORE the √ on both
+    // engines so the divisor is bit-identical; the z division is then
+    // IEEE-exact on identical inputs.
+    Q("emb_whitening",
+      (s, d) => {
+        val R = 2
+        val c0 = graft.Caching.materialize(s, centeredVectors(s, d))
+        val n = c0.count()
+        var frame = c0
+        val comps = (1 to R).map { k =>
+          val v = graft.Caching.materialize(s, powerIterate(frame, 3))
+          val lam = c0.crossJoin(broadcast(v))
+            .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
+              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+            .agg(round(sum(expr(
+              "CAST(round(sc * sc * 1000000000000.0, 0) AS DECIMAL(38,0))"))
+              .cast("double") / lit(1e12) / lit(n.toDouble), 6).as("lam"))
+          val comp = v.crossJoin(lam)
+            .select(lit(k.toLong).as("comp"), col("v"), col("lam"))
+          if (k < R) {
+            val next = graft.Caching.materialize(s,
+              frame.crossJoin(broadcast(v))
+                .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
+                  (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+                .select(col("vec_id"), zip_with(col("cv"), col("v"),
+                  (a, b) => a - col("proj") * b).as("cv")))
+            if (frame ne c0) graft.Caching.release(frame)
+            frame = next
+          }
+          comp
+        }
+        comps.map { cdf =>
+          c0.crossJoin(broadcast(cdf))
+            .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
+              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
+            .select(col("vec_id"), col("comp"),
+              round(col("sc") / sqrt(col("lam")), 6).as("z"))
+        }.reduce(_.unionAll(_)).orderBy("vec_id", "comp")
+      },
+      Some {
+        val deflate2 = sqlDeflate("c", "v3", "g2") + ",\n" +
+          sqlPowerSteps("g2rr", "g2", 3)
+        val lams = Seq(1 -> "v3", 2 -> "g2v3").map { case (k, vc) =>
+          s"""wl$k AS (SELECT round(CAST(sum(CAST(round(sc * sc * 1000000000000.0, 0)
+             AS DECIMAL(38,0))) AS DOUBLE) / 1000000000000.0 / nn.n, 6) AS lam
+      FROM (SELECT list_sum(list_transform(range(1, len(cv) + 1),
+              i -> cv[i] * v[i])) AS sc FROM c, $vc), nn
+      GROUP BY nn.n)"""
+        }.mkString(",\n")
+        val arms = Seq(1 -> "v3", 2 -> "g2v3").map { case (k, vc) =>
+          s"""SELECT vec_id, CAST($k AS BIGINT) AS comp,
+       round(list_sum(list_transform(range(1, len(cv) + 1),
+         i -> cv[i] * v[i])) / sqrt(lam), 6) AS z
+FROM c, $vc, wl$k"""
+        }.mkString("\nUNION ALL\n")
+        s"""
+WITH ${sqlPcaChain(3)},
+$deflate2,
+nn AS (SELECT count(*) AS n FROM c),
+$lams
+SELECT vec_id, comp, z FROM ($arms)
+ORDER BY vec_id, comp"""
       })
   )
 

@@ -497,6 +497,91 @@ v AS (SELECT doc_id, n, i,
 SELECT doc_id, true AS fmt_ok, CAST(n AS BIGINT) AS n_vals,
        CAST(i AS BIGINT) AS i,
        (1.0 + m / 8388608.0) * pow(2.0, e - 127) AS val
-FROM v ORDER BY doc_id, i"""))
+FROM v ORDER BY doc_id, i""")),
+
+    // Perceptual-hash image near-dup — the multimodal arm of the dedup
+    // family (what PDQ/pHash pipelines run before training a vision
+    // model): a 16-bit dHash per image from REALLY-parsed BMP bytes
+    // (gray = channel mean at a 5×4 nearest-neighbor sample grid, bit k
+    // set iff gray(x+1,y) > gray(x,y) — gradients survive re-encode /
+    // brightness shifts, which is the point of dHash), then near-dups
+    // via BANDED Hamming join: 4 nibble bands, candidates share any
+    // (band, nibble) — an equi-join, shuffle ∝ band collisions, never
+    // all image pairs — exact filter bit_count(xor) ≤ 2. Per-image
+    // report keeps the output N-bounded however dense the collisions.
+    // The oracle derives hash and pairs from the pixel FORMULA, never
+    // bytes, so a stride/flip/offset bug in the decode breaks the hash.
+    Q("mm_image_phash",
+      (s, d) => {
+        def gray(sx: String, sy: String): String = {
+          val off = s"(55 + (img_h - 1 - ($sy)) * row_size + 3 * ($sx))"
+          s"((${leRead(off, 1)} + ${leRead(s"($off + 1)", 1)} + " +
+            s"${leRead(s"($off + 2)", 1)}) div 3)"
+        }
+        val hashes = Tables.documents(s, d).filter(col("doc_id") < 100)
+          .select(col("doc_id"), expr(bmpExpr).as("media"))
+          .withColumn("img_w", expr(leRead("19", 4)))
+          .withColumn("img_h", expr(leRead("23", 4)))
+          .withColumn("row_size", expr("((3 * img_w + 3) div 4) * 4"))
+          .withColumn("k", explode(expr("sequence(0, 15)")))
+          .withColumn("gx", expr("k % 4"))
+          .withColumn("gy", expr("k div 4"))
+          .withColumn("g1",
+            expr(gray("(gx * img_w) div 5", "(gy * img_h) div 4")))
+          .withColumn("g2",
+            expr(gray("((gx + 1) * img_w) div 5", "(gy * img_h) div 4")))
+          .groupBy("doc_id")
+          .agg(sum(expr("IF(g2 > g1, shiftleft(cast(1 as bigint), " +
+            "cast(k as int)), cast(0 as bigint))")).as("phash"))
+        val b = hashes
+          .withColumn("band", explode(expr("sequence(0, 3)")))
+          .withColumn("bval",
+            expr("shiftright(phash, cast(band * 4 as int)) % 16"))
+        val l = b.select(col("band"), col("bval"), col("doc_id").as("i"),
+          col("phash").as("hi"))
+        val r = b.select(col("band"), col("bval"), col("doc_id").as("j"),
+          col("phash").as("hj"))
+        val nd = l.join(r, Seq("band", "bval")).filter(col("i") < col("j"))
+          .select("i", "j", "hi", "hj").distinct()
+          .filter(expr("bit_count(hi ^ hj) <= 2"))
+        val sides = nd.select(col("i").as("doc_id"), col("j").as("partner"))
+          .unionAll(nd.select(col("j").as("doc_id"), col("i").as("partner")))
+        val agg = sides.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_neardup"), min("partner").as("min_partner"))
+        hashes.join(agg, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("phash"),
+            coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+            col("min_partner"))
+          .orderBy("doc_id")
+      },
+      Some("""
+WITH base AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+              FROM documents WHERE doc_id < 100),
+px AS (SELECT doc_id, k,
+              (((k % 4) * w) // 5) AS x1, ((((k % 4) + 1) * w) // 5) AS x2,
+              (((k // 4) * h) // 4) AS sy
+       FROM base, UNNEST(range(0, 16)) AS t(k)),
+gr AS (SELECT doc_id, k,
+         (((doc_id*7 + x1*13 + sy*29) % 256) + ((doc_id*7 + x1*13 + sy*29 + 97) % 256)
+          + ((doc_id*7 + x1*13 + sy*29 + 194) % 256)) // 3 AS g1,
+         (((doc_id*7 + x2*13 + sy*29) % 256) + ((doc_id*7 + x2*13 + sy*29 + 97) % 256)
+          + ((doc_id*7 + x2*13 + sy*29 + 194) % 256)) // 3 AS g2
+       FROM px),
+hsh AS (SELECT doc_id, CAST(sum(CASE WHEN g2 > g1 THEN 1 << k ELSE 0 END) AS BIGINT) AS phash
+        FROM gr GROUP BY doc_id),
+b AS (SELECT doc_id, phash, band, (phash >> (band * 4)) % 16 AS bval
+      FROM hsh, UNNEST(range(0, 4)) AS t(band)),
+nd AS (SELECT i, j FROM (
+         SELECT DISTINCT l.doc_id AS i, r.doc_id AS j, l.phash AS hi, r.phash AS hj
+         FROM b l JOIN b r ON l.band = r.band AND l.bval = r.bval AND l.doc_id < r.doc_id)
+       WHERE bit_count(xor(hi, hj)) <= 2),
+sides AS (SELECT i AS doc_id, j AS partner FROM nd
+          UNION ALL SELECT j AS doc_id, i AS partner FROM nd),
+ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neardup, min(partner) AS min_partner
+       FROM sides GROUP BY doc_id)
+SELECT h.doc_id, h.phash,
+       COALESCE(ag.n_neardup, 0) AS n_neardup, ag.min_partner
+FROM hsh h LEFT JOIN ag ON h.doc_id = ag.doc_id
+ORDER BY h.doc_id"""))
   )
 }

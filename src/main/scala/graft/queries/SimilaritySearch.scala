@@ -1002,7 +1002,74 @@ SELECT stage, n_vecs, avg_cos,
             ELSE NULL END AS decision
 FROM (SELECT * FROM cohb UNION ALL SELECT * FROM coha
       UNION ALL SELECT * FROM cohr)
-ORDER BY stage"""))
+ORDER BY stage""")),
+
+    // Semantic dedup (the SemDeDup recipe: cluster the embedding
+    // corpus, then look for near-duplicates ONLY inside each cluster —
+    // the curation-scale move that turns corpus-wide cosine dedup into
+    // per-cell work). Every vector lands in its top-1 k-means cell
+    // (broadcast centroids + one per-vector window), candidate pairs
+    // come from a cell-keyed self-equi-join — shuffle ∝ Σ|cell|²,
+    // bounded by the quantizer's balance, never N² — and a vector is
+    // DROPPED when a lower-id cell-mate sits at cos ≥ 0.4, partner
+    // recorded under the deterministic (cos desc, id asc) order. One
+    // row per vector: cell, verdict, evicting partner. vs the LSH-band
+    // dedup (dedup_embedding_cosine): exact within a cell, blind to
+    // pairs straddling a cell boundary — the documented SemDeDup
+    // recall trade; DedupSpec pins the dropped pairs as a subset of
+    // the exact baseline's and measures what the cells retain.
+    Q("dedup_semantic_kmeans",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val e = normedEmb(s, d)
+        val cents = kmeansCents(e)
+        val w = Window.partitionBy("vec_id")
+          .orderBy(col("cos_c").desc, col("cent_id").asc)
+        val asg = e.crossJoin(broadcast(cents))
+          .withColumn("cos_c",
+            round(expr("dot_f(embedding, c_emb)") /
+              (col("nrm") * col("c_nrm")), 6))
+          .withColumn("rnc", row_number().over(w))
+          .filter(col("rnc") === 1)
+          .select(col("vec_id"), col("cent_id").as("cell"),
+            col("embedding"), col("nrm"))
+        val a = asg.select(col("cell"), col("vec_id").as("i"),
+          col("embedding").as("e_a"), col("nrm").as("n_a"))
+        val b = asg.select(col("cell"), col("vec_id").as("j"),
+          col("embedding").as("e_b"), col("nrm").as("n_b"))
+        val dupPairs = a.join(b, "cell").filter(col("i") < col("j"))
+          .withColumn("cos",
+            round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
+          .filter(col("cos") >= 0.4)
+        val wp = Window.partitionBy("j")
+          .orderBy(col("cos").desc, col("i").asc)
+        val evict = dupPairs.withColumn("rp", row_number().over(wp))
+          .filter(col("rp") === 1)
+          .select(col("j").as("vec_id"), col("i").as("dup_of"),
+            col("cos").as("dup_cos"))
+        asg.select("vec_id", "cell")
+          .join(evict, Seq("vec_id"), "left")
+          .select(col("vec_id"), col("cell"),
+            col("dup_of").isNull.as("kept"), col("dup_of"), col("dup_cos"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+${sqlKmeansCtesFor("sd", "e")},
+m AS (SELECT sd_asg.vec_id, sd_asg.cell, e.v, e.nrm
+      FROM sd_asg JOIN e ON sd_asg.vec_id = e.vec_id),
+pr AS (SELECT a.vec_id AS i, b.vec_id AS j,
+              round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * b.v[k])) /
+                    (a.nrm * b.nrm), 6) AS cos
+       FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+ev AS (SELECT j AS vec_id, i AS dup_of, cos AS dup_cos FROM (
+         SELECT *, row_number() OVER (PARTITION BY j ORDER BY cos DESC, i ASC) AS rp
+         FROM pr WHERE cos >= 0.4)
+       WHERE rp = 1)
+SELECT m.vec_id, m.cell, ev.dup_of IS NULL AS kept, ev.dup_of, ev.dup_cos
+FROM m LEFT JOIN ev ON m.vec_id = ev.vec_id
+ORDER BY m.vec_id"""))
   )
 
   /** Refinement rounds an engine run may need before the k-NN graph's

@@ -257,4 +257,39 @@ class DedupSpec extends AnyFunSuite {
     assert(bucketed.subsetOf(exact),
       s"bucketed emitted ${(bucketed -- exact).size} pairs the exact kernel rejects")
   }
+
+  test("semantic dedup: verdicts partition the corpus, every eviction " +
+    "pair exists in the exact-cosine baseline (same cos), and cell " +
+    "recall clears the measured floor") {
+    val sem = Registry.queries("dedup_semantic_kmeans")(
+      TestSpark.spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    val exact = Registry.queries("dedup_embedding_cosine_exact")(
+      TestSpark.spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // one verdict per vector, kept <=> no evicting partner
+    assert(sem.map(_._1).distinct.length == sem.length)
+    sem.foreach { case (id, kept, dupOf, dupCos) =>
+      assert(kept == dupOf.isEmpty, s"vec $id verdict inconsistent")
+      assert(dupOf.isEmpty == dupCos.isEmpty, s"vec $id partner/cos split")
+      dupOf.foreach { p =>
+        assert(p < id, s"vec $id evicted by a HIGHER id $p")
+        // the documented SemDeDup trade: a drop is exact WITHIN a cell,
+        // so every eviction pair must exist in the all-pairs baseline
+        assert(exact.get((p, id)).contains(dupCos.get),
+          s"eviction pair ($p, $id) not in the exact baseline")
+      }
+    }
+    val dropped = sem.count(!_._2)
+    assert(dropped > 0, "no duplicates found -- vacuous fixture")
+    // recall vs the exact baseline's droppable set (vectors with ANY
+    // lower-id partner at cos >= 0.4): bounded by the quantizer's cell
+    // boundaries; measured 29/62 on this fixture, floored with slack
+    val droppable = exact.keySet.map(_._2).size
+    assert(dropped <= droppable, "dropped a vector the baseline would keep")
+    assert(dropped.toDouble / droppable >= 0.35,
+      s"cell recall collapsed: $dropped/$droppable")
+  }
 }

