@@ -1155,6 +1155,51 @@ x AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
 SELECT doc_id, (start // 40)::BIGINT AS chunk_idx,
        least(n - start, 50)::BIGINT AS chunk_tokens,
        ${TextHash.sqlTokenHash("array_to_string(toks[start+1:start+50], ' ')")} AS chunk_hash
-FROM x ORDER BY doc_id, chunk_idx"""))
+FROM x ORDER BY doc_id, chunk_idx""")),
+
+    // Curriculum ordering — the training-schedule operator: documents
+    // serve easy-to-hard (quality-descending quartile STAGES), shuffled
+    // WITHIN each stage by the salted reproducible-shuffle hash so a
+    // stage never replays in corpus order. Stage boundaries are exact
+    // integer rank arithmetic (((rn-1)*4) div n + 1 — no percentile
+    // interpolation), the within-stage order is the md5-family hkey,
+    // and curriculum_rank is the global serve position. The output IS
+    // a total order, so a rank window is inherent to the semantics; at
+    // 100 TB the same schedule ships as (stage, hkey) SORT KEYS plus
+    // o5_scalable_row_number's two-phase offset rank — this fixture
+    // form keeps the single window for oracle exactness.
+    Q("curation_curriculum_order",
+      (s, d) => {
+        TextHash.register(s)
+        val q = TextAnalysis.qualityScored(s, d)
+          .select(col("doc_id"), col("quality"))
+        val wq = Window.orderBy(col("quality").desc, col("doc_id").asc)
+        val n1 = q.agg(count(lit(1)).as("n"))
+        val staged = q
+          .withColumn("rn", row_number().over(wq).cast("long"))
+          .crossJoin(broadcast(n1))
+          .withColumn("stage", expr("((rn - 1) * 4) div n + 1"))
+          .withColumn("hkey", expr(hkeyExpr))
+        val wo = Window.orderBy(col("stage").asc, col("hkey").asc,
+          col("doc_id").asc)
+        staged
+          .withColumn("curriculum_rank", row_number().over(wo).cast("long"))
+          .select("doc_id", "quality", "stage", "curriculum_rank")
+          .orderBy("curriculum_rank")
+      },
+      Some(s"""
+WITH q AS (${TextAnalysis.sqlQualityScored}),
+nn AS (SELECT count(*) AS n FROM q),
+r AS (SELECT doc_id, quality,
+             row_number() OVER (ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM q),
+st AS (SELECT doc_id, quality,
+              CAST(((rn - 1) * 4) // nn.n + 1 AS BIGINT) AS stage,
+              $sqlHkey AS hkey
+       FROM r, nn)
+SELECT doc_id, quality, stage,
+       CAST(row_number() OVER (ORDER BY stage ASC, hkey ASC, doc_id ASC)
+            AS BIGINT) AS curriculum_rank
+FROM st ORDER BY curriculum_rank"""))
   )
 }

@@ -206,8 +206,67 @@ object Graph {
        |FROM nodes n LEFT JOIN pern p ON n.node = p.node
        |ORDER BY n_triangles DESC, nationkey""".stripMargin
 
+  private val LpaRounds = 3
+
+  /** graph_knn_communities: synchronous label propagation over the
+    * k-NN graph — graph-based semantic clustering (the community step
+    * of Louvain-style pipelines, run on the same edges HNSW/NSG
+    * builders maintain). Labels start as each node's own id; every
+    * round each node adopts the most frequent label among its top-3
+    * out-neighbors, ties to the MIN label — fully deterministic, no
+    * RNG, so the oracle unrolls the same [[LpaRounds]] rounds as CTEs.
+    * Every node of the graph has out-edges by construction (it is a
+    * src of its own top-3 list), so the vote join never drops a node;
+    * vectors with no band collision at all have no edges and no
+    * community — documented. Each round is one edges⋈labels equi-join
+    * + a (node, label) count + a per-node argmax window: shuffle ∝
+    * edge count per round, never N² — pagerank's scale shape with a
+    * categorical payload instead of a rank.
+    */
+  def knnCommunities(s: SparkSession, d: String): DataFrame = {
+    val g = graft.Caching.materialize(s,
+      SimilaritySearch.knnEdges(s, d).select("src", "dst"))
+    var labels = graft.Caching.materialize(s,
+      g.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("lbl")))
+    for (_ <- 1 to LpaRounds) {
+      val votes = g
+        .join(labels.select(col("node").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("c").desc, col("lbl").asc)
+      val next = graft.Caching.materialize(s,
+        votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("src").as("node"), col("lbl")))
+      graft.Caching.release(labels)
+      labels = next
+    }
+    graft.Caching.releasing(s, g, labels)(
+      labels.select(col("node").as("vec_id"), col("lbl").as("community"))
+        .orderBy("vec_id"))
+  }
+
+  private def knnCommunitiesSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (SELECT node, lbl FROM (
+         |  SELECT g.src AS node, l.lbl, count(*) AS c,
+         |         row_number() OVER (PARTITION BY g.src
+         |           ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |  FROM g JOIN $prev l ON g.dst = l.node
+         |  GROUP BY g.src, l.lbl) WHERE rn = 1)""".stripMargin
+    val rounds = (1 to LpaRounds)
+      .map(k => round(s"l${k - 1}", s"l$k")).mkString(",\n")
+    s"""WITH ${SimilaritySearch.sqlKnnEdges},
+       |g AS (SELECT src, dst FROM kg),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM g),
+       |$rounds
+       |SELECT node AS vec_id, lbl AS community FROM l$LpaRounds
+       |ORDER BY vec_id""".stripMargin
+  }
+
   def qs: Seq[Q] = Seq(
     Q("graph_pagerank", pagerank, Some(pagerankSql)),
-    Q("graph_triangle_count", triangles, Some(trianglesSql))
+    Q("graph_triangle_count", triangles, Some(trianglesSql)),
+    Q("graph_knn_communities", knnCommunities, Some(knnCommunitiesSql))
   )
 }

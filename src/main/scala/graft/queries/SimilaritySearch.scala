@@ -823,6 +823,116 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
        min(cos) AS min_cos
 FROM asgc GROUP BY cell ORDER BY cell""")),
 
+    // The nprobe tuning curve — the third operational report next to
+    // recall_report (one arm) and cell_quality (index health): recall@5
+    // AND scan cost, measured together across nprobe ∈ {1,2,4} against
+    // the brute-force truth, so the recall-per-candidate trade the IVF
+    // dial buys is a table, not folklore. Cost axis n_scored counts the
+    // exact (query, candidate) pairs each arm scores — ∝ probed-cell
+    // population, the number a capacity planner multiplies by corpus
+    // size. One candidate-assignment pass is shared by all arms (only
+    // the 10-query side re-assigns per arm), so the report costs barely
+    // more than its widest arm. Recall is n_match/50.0 — one IEEE
+    // division of exact integers per row.
+    Q("simsearch_probe_curve",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"),
+            expr("norm_f(embedding)").as("nrm"))
+        val cents = kmeansCents(emb)
+        def assign(df: DataFrame, nprobe: Int): DataFrame = {
+          val w = Window.partitionBy("vec_id")
+            .orderBy(col("cos_c").desc, col("cent_id").asc)
+          df.crossJoin(broadcast(cents))
+            .withColumn("cos_c",
+              round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
+            .withColumn("rnc", row_number().over(w))
+            .filter(col("rnc") <= nprobe)
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("cent_id").as("cell"))
+        }
+        val cands = graft.Caching.materialize(s,
+          assign(emb.filter(col("vec_id") >= 10), 1)
+            .select(col("vec_id").as("c_id"), col("embedding").as("c_emb2"),
+              col("nrm").as("c_norm"), col("cell")))
+        val bt = graft.Caching.materialize(s,
+          qs.find(_.name == "simsearch_bruteforce_topk").get.fn(s, d)
+            .select("q_id", "c_id"))
+        val armFrames = Seq(1, 2, 4).map { np =>
+          val q = assign(emb.filter(col("vec_id") < 10), np)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+              col("nrm").as("q_norm"), col("cell"))
+          val scored = graft.Caching.materialize(s,
+            cands.join(q, Seq("cell"))
+              .withColumn("cos", round(expr("dot_f(q_emb, c_emb2)") /
+                (col("q_norm") * col("c_norm")), 6))
+              .select("q_id", "c_id", "cos"))
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("cos").desc, col("c_id").asc)
+          val top = scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+          val m = bt.join(top.select(col("q_id").as("tq"), col("c_id").as("tc")),
+              col("q_id") === col("tq") && col("c_id") === col("tc"), "left")
+            .agg(count(col("tc")).as("n_match"))
+          (scored, m.crossJoin(scored.agg(count(lit(1)).as("n_scored")))
+            .select(lit(np.toLong).as("nprobe"), col("n_scored"),
+              col("n_match"),
+              (col("n_match").cast("double") / lit(50.0)).as("recall_at_5")))
+        }
+        val out = armFrames.map(_._2).reduce(_.unionAll(_)).orderBy("nprobe")
+        graft.Caching.releasing(s,
+          (cands +: bt +: armFrames.map(_._1)): _*)(out)
+      },
+      Some {
+        def qAssign(np: Int): String = s"""
+aq$np AS (SELECT vec_id AS q_id, v, nrm, cell FROM (
+    SELECT e.vec_id, e.v, e.nrm, cent.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                        i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
+             cent.cent_id ASC) AS rnc
+    FROM e CROSS JOIN cent WHERE e.vec_id < 10)
+  WHERE rnc <= $np),
+ap$np AS (SELECT q.q_id, c.c_id,
+             round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                   (q.nrm * c.nrm), 6) AS cos
+          FROM aq$np q JOIN cq c ON q.cell = c.cell),
+ar$np AS (SELECT q_id, c_id,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+          FROM ap$np),
+am$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+                 (SELECT CAST(count(*) AS BIGINT) FROM ap$np) AS n_scored,
+                 CAST(count(t.c_id) AS BIGINT) AS n_match
+          FROM bt LEFT JOIN (SELECT q_id, c_id FROM ar$np WHERE rn <= 5) t
+            ON bt.q_id = t.q_id AND bt.c_id = t.c_id)"""
+        s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),$sqlKmeansCtes,
+cq AS (SELECT vec_id AS c_id, v, nrm, cell FROM (
+    SELECT e.vec_id, e.v, e.nrm, cent.cent_id AS cell,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(e.v)+1),
+                        i -> e.v[i] * cent.c_v[i])) / (e.nrm * cent.c_nrm), 6) DESC,
+             cent.cent_id ASC) AS rnc
+    FROM e CROSS JOIN cent WHERE e.vec_id >= 10)
+  WHERE rnc = 1),
+btp AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               round(list_sum(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.v[i])) /
+                     (q.nrm * c.nrm), 6) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+bt AS (SELECT q_id, c_id FROM (
+         SELECT q_id, c_id,
+                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id ASC) AS rn
+         FROM btp) WHERE rn <= 5),
+${qAssign(1)},
+${qAssign(2)},
+${qAssign(4)}
+SELECT nprobe, n_scored, n_match, n_match / 50.0 AS recall_at_5
+FROM (SELECT * FROM am1 UNION ALL SELECT * FROM am2 UNION ALL SELECT * FROM am4)
+ORDER BY nprobe"""
+      }),
+
     // k-NN graph construction — every vector's top-3 neighbors among
     // its SRP band-collision candidates, both directions of each pair.
     // The batch primitive under graph-based ANN serving (HNSW/NSG build
@@ -1166,7 +1276,7 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     * same tax the medallion pipeline's population stage paid before
     * exploding both id roles from a single fact subtree).
     */
-  private def knnEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def knnEdges(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -1206,7 +1316,7 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     * `kg(src, rk, dst, cos)`; also leaves `e(vec_id, v, nrm)` in scope
     * for consumers that re-rank against the embeddings.
     */
-  private val sqlKnnEdges: String = {
+  private[queries] val sqlKnnEdges: String = {
     val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
       s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM e"
     }.mkString("\nUNION ALL\n")

@@ -807,7 +807,65 @@ FROM j GROUP BY source ORDER BY source""")),
         AnnIndex.query(s, emb.filter(col("vec_id") < 10), root,
           topK = 5, nprobe = 2)
       },
-      Some(SimilaritySearch.sqlIvfNprobe2))
+      Some(SimilaritySearch.sqlIvfNprobe2)),
+
+    // Streaming BM25 index maintenance — st17's treatment for the THIRD
+    // durable-state subsystem: the document stream folds into the
+    // persisted inverted index in foreachBatch via TextIndex.appendBatch
+    // (postings under their own ingest=<batchId> partition level, the
+    // batch's stats row under statsp/ingest=<batchId>, both dynamic
+    // partition overwrite — a retry or checkpoint replay REPLACES its
+    // own partitions, so the additive doc/length totals can never
+    // double-fold). Corpus arrives in three slices (bootstrap + two
+    // streamed ticks); the final serve must equal the inline
+    // full-corpus scorer — the same oracle the batch index queries use,
+    // so streamed maintenance is proven indistinguishable from a
+    // from-scratch build. An empty redelivery drain is require()d to
+    // leave the totals byte-stable. At 100 TB/day: per-batch cost is
+    // the batch's own postings shuffle + a write touching only its own
+    // partitions; serving still prunes to the query terms' buckets
+    // whatever the ingest nesting.
+    Q("st18_streaming_text_index",
+      (s, d) => graft.Scratch.withDir(s, "stbm25") { root =>
+        val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+        // bootstrap slice through the SAME idempotent append path
+        TextIndex.appendBatch(s, docs.filter(col("doc_id") % 3 === 0),
+          root, "base")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = new java.io.File(stageDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.createDirectories(Paths.get(s"$root/in"))
+          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema("doc_id BIGINT, text STRING")
+            .parquet(s"$root/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              TextIndex.appendBatch(s, batch, root, s"b$id"); ()
+            }
+            .option("checkpointLocation", s"$root/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        stage(docs.filter(col("doc_id") % 3 === 1), "t1"); drain()
+        stage(docs.filter(col("doc_id") % 3 === 2), "t2"); drain()
+        val nAfter = s.read.parquet(s"$root/statsp")
+          .agg(sum("n_docs")).head().getLong(0)
+        drain() // redelivery: same checkpoint, no new files -> no-op
+        val nRedelivered = s.read.parquet(s"$root/statsp")
+          .agg(sum("n_docs")).head().getLong(0)
+        require(nAfter == nRedelivered,
+          s"empty redelivery changed the index totals $nAfter -> " +
+            s"$nRedelivered — appendBatch is not idempotent")
+        TextIndex.queryStreamed(s, root, 10)
+      },
+      Some(TextIndex.topkOracle))
   )
 
   /** DuckDB twin of st15: uncapped MinHash signatures → band keys →

@@ -95,6 +95,50 @@ object TextIndex {
     s.catalog.refreshByPath(s"$stateDir/stats")
   }
 
+  /** Idempotent tagged append — the streaming-maintenance form of
+    * [[append]] (the AnnIndex.appendBatch idea on the text index):
+    * the batch's postings land under their own `ingest=<tag>` partition
+    * level via dynamic partition overwrite, and the batch's stats row
+    * lands under `statsp/ingest=<tag>` the same way, so a foreachBatch
+    * retry or a drain replayed from the checkpoint REPLACES its own
+    * partitions instead of duplicating postings or double-folding the
+    * additive stats — exactly-once index state from at-least-once
+    * delivery. [[append]]'s in-place stats fold stays the batch path
+    * (one fewer read at serve time); this layout derives the totals by
+    * summing the per-ingest rows at serve time instead.
+    */
+  def appendBatch(s: SparkSession, newDocs: DataFrame, stateDir: String,
+      tag: String): Unit = {
+    val tagged = postings(s, newDocs).withColumn("ingest", lit(tag))
+    // conf must land on the session the write runs under — inside
+    // foreachBatch that is the micro-batch's cloned session
+    val sess = tagged.sparkSession
+    val prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      tagged.write.mode("overwrite").partitionBy("ingest", "bucket")
+        .parquet(s"$stateDir/post")
+      newDocs.select(size(split(col("text"), " ")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+        .withColumn("ingest", lit(tag))
+        .write.mode("overwrite").partitionBy("ingest")
+        .parquet(s"$stateDir/statsp")
+    } finally sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    s.catalog.refreshByPath(s"$stateDir/post")
+    s.catalog.refreshByPath(s"$stateDir/statsp")
+  }
+
+  /** Serve from tagged-append state: totals are the sum of the
+    * per-ingest stats rows (each ingest partition owns its own row, so
+    * the sum is replay-stable); postings pruning is unchanged — bucket
+    * stays a partition column one level down.
+    */
+  def queryStreamed(s: SparkSession, stateDir: String, k: Int): DataFrame = {
+    val stats = s.read.parquet(s"$stateDir/statsp")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_dl").as("sum_dl"))
+    serve(prunedPostings(s, stateDir, Terms), stats, k)
+  }
+
   /** The pruned postings scan for `terms` — exposed so the spec can
     * assert the bucket partition pruning on the exact serving plan.
     */
@@ -114,9 +158,14 @@ object TextIndex {
     * scores exactly 0 inline, and every matching doc scores > 0 since
     * idf > 0, so any top-k that inline fills with matches is equal).
     */
-  def query(s: SparkSession, stateDir: String, k: Int): DataFrame = {
-    val post = prunedPostings(s, stateDir, Terms)
-    val stats = s.read.parquet(s"$stateDir/stats")
+  def query(s: SparkSession, stateDir: String, k: Int): DataFrame =
+    serve(prunedPostings(s, stateDir, Terms),
+      s.read.parquet(s"$stateDir/stats"), k)
+
+  /** Scoring body shared by the batch and streamed serve paths:
+    * `stats` is one (n_docs, sum_dl) row however the layout stores it.
+    */
+  private def serve(post: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val dfCols = Terms.zipWithIndex.map { case (t, i) =>
       coalesce(max(when(col("term") === t, col("df"))), lit(0L))
         .as(s"df${i + 1}")
@@ -150,7 +199,7 @@ object TextIndex {
       .orderBy("rn")
   }
 
-  private val topkOracle = s"""
+  private[queries] val topkOracle = s"""
 WITH ${TextAnalysis.bm25ScoredSql}
 SELECT doc_id, score, rn FROM (
   SELECT doc_id, score,

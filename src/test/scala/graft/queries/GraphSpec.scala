@@ -76,4 +76,35 @@ class GraphSpec extends AnyFunSuite {
         rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("knn communities: every node labeled once, labels shrink to real " +
+    "communities, and each label is reachable within the propagation " +
+    "radius") {
+    val rows = Registry.queries("graph_knn_communities")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val nComms = rows.map(_._2).distinct.length
+    assert(nComms > 1, "all nodes collapsed into one community")
+    assert(nComms < rows.length, "no label ever propagated -- vacuous")
+    // a node's label can only have travelled along out-edges, one hop
+    // per round: the label must be reachable within LpaRounds=3 hops
+    val edges = SimilaritySearch.knnEdges(spark, graft.TestSpark.Sf0001)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (node, lbl) =>
+      var frontier = Set(node)
+      var seen = frontier
+      var found = node == lbl
+      for (_ <- 1 to 3 if !found) {
+        frontier = frontier.flatMap(edges.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        found = frontier.contains(lbl) || found
+      }
+      assert(found || seen.contains(lbl),
+        s"node $node carries label $lbl not reachable in 3 hops")
+    }
+  }
 }

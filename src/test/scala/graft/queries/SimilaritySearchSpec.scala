@@ -302,4 +302,26 @@ class SimilaritySearchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("probe curve: recall and scan cost are monotone in nprobe, and " +
+    "the nprobe=1 arm agrees with the per-query recall report") {
+    val curve = Registry.queries("simsearch_probe_curve")(
+      spark, graft.TestSpark.Sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    curve.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2, s"scan cost not increasing: $a -> $b")
+      assert(b._3 >= a._3, s"recall dropped with more probes: $a -> $b")
+    }
+    curve.foreach { case (np, _, m, rec) =>
+      assert(math.abs(rec - m / 50.0) < 1e-12, s"nprobe $np recall wrong")
+    }
+    // cross-check: the report's per-query matches sum to the curve's
+    // nprobe=1 total (same index, same truth, independent formulation)
+    val reportTotal = Registry.queries("simsearch_recall_report")(
+      spark, graft.TestSpark.Sf001).collect().map(_.getLong(1)).sum
+    assert(curve.head._3 == reportTotal,
+      s"curve nprobe=1 ${curve.head._3} != recall_report $reportTotal")
+  }
 }

@@ -561,4 +561,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+
+  test("st18 TextIndex.appendBatch: same-tag replay replaces its own " +
+    "partitions (postings AND stats), and streamed serve == batch build") {
+    val root = graft.Scratch.dir("stbm25_replay")
+    try {
+      val docs = graft.Tables.documents(spark, TestSpark.Sf001)
+        .select("doc_id", "text")
+      graft.queries.TextIndex.appendBatch(spark,
+        docs.filter(col("doc_id") % 2 === 0), root, "b0")
+      graft.queries.TextIndex.appendBatch(spark,
+        docs.filter(col("doc_id") % 2 === 1), root, "b1")
+      def serve() = graft.queries.TextIndex.queryStreamed(spark, root, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSeq
+      val before = serve()
+      val statsBefore = spark.read.parquet(s"$root/statsp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._3).toSeq
+      // mid-batch-crash redelivery: b1 arrives again with the same tag
+      graft.queries.TextIndex.appendBatch(spark,
+        docs.filter(col("doc_id") % 2 === 1), root, "b1")
+      assert(serve() == before, "same-tag replay changed the served top-k")
+      val statsAfter = spark.read.parquet(s"$root/statsp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._3).toSeq
+      assert(statsAfter == statsBefore,
+        "replay double-folded the per-ingest stats")
+      // streamed maintenance is indistinguishable from a batch build
+      val batchRoot = graft.Scratch.dir("stbm25_batch")
+      try {
+        graft.queries.TextIndex.build(spark, docs, batchRoot)
+        val batch = graft.queries.TextIndex.query(spark, batchRoot, 10)
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+          .toSeq
+        assert(before == batch, "streamed index serves differently from batch")
+      } finally graft.Scratch.delete(batchRoot)
+    } finally graft.Scratch.delete(root)
+  }
+
 }
