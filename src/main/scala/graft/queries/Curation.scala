@@ -1200,6 +1200,128 @@ st AS (SELECT doc_id, quality,
 SELECT doc_id, quality, stage,
        CAST(row_number() OVER (ORDER BY stage ASC, hkey ASC, doc_id ASC)
             AS BIGINT) AS curriculum_rank
-FROM st ORDER BY curriculum_rank"""))
+FROM st ORDER BY curriculum_rank""")),
+
+    // Reservoir sample — a fixed-size uniform sample (k=100) without
+    // replacement, as the order statistics of a salted md5 draw: keep
+    // the k SMALLEST draws. Distribution-identical to reservoir
+    // sampling but deterministic and MERGEABLE — each partition keeps
+    // its local k smallest, the driver merges (TakeOrderedAndProject:
+    // no global sort, no full shuffle), and two corpus halves' samples
+    // merge into the whole corpus' sample by the same rule, which is
+    // what makes the operator streamable and union-friendly at 100 TB.
+    // The final rank window runs over exactly k rows.
+    Q("curation_reservoir_sample",
+      (s, d) => {
+        val k = 100
+        val wr = Window.orderBy(col("draw").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("draw",
+            Sketches.h60(concat(lit("rsv_"), col("doc_id").cast("string"))))
+          .select("doc_id", "source", "draw")
+          .orderBy(col("draw").asc, col("doc_id").asc)
+          .limit(k)
+          .withColumn("sample_rank", row_number().over(wr).cast("long"))
+      },
+      Some("""
+WITH drawn AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('rsv_' || doc_id::VARCHAR), 1, 15))
+              AS BIGINT) AS draw
+  FROM documents)
+SELECT doc_id, source, draw,
+       CAST(row_number() OVER (ORDER BY draw ASC, doc_id ASC) AS BIGINT)
+         AS sample_rank
+FROM drawn ORDER BY draw ASC, doc_id ASC LIMIT 100""")),
+
+    // 13-gram span decontamination — the GPT-3/PaLM-style benchmark
+    // scrub at SPAN grain: curation_decontam_overlap flags whole
+    // documents; this one locates the exact contaminated windows so a
+    // mostly-clean doc is trimmed, not discarded. Every 13-token gram
+    // of the held-out set (source='src3') becomes a 16-char md5 key;
+    // train docs mark positions whose gram hits that set; marked
+    // positions stitch into maximal spans by the substring-span
+    // gaps-and-islands rule (gap ≤ K merges). Output = one row per
+    // span + per-doc contamination fraction + the drop-vs-trim verdict
+    // (drop past 20% contaminated). Scale shape: the benchmark gram
+    // set is benchmark-sized, BROADCAST against the train corpus — the
+    // train side never shuffles for the probe; the only wide ops are
+    // the distinct on the (small) test grams and the per-doc window
+    // over MATCHED positions only (hits, not the corpus).
+    Q("curation_ngram_decontam_spans",
+      (s, d) => {
+        val K = 13
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")))
+        def grams(df: DataFrame) = df
+          .filter(col("n") >= K)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), col("n") - K)).as("i"), col("toks"))
+          .withColumn("gkey", substring(md5(concat_ws(" ",
+            slice(col("toks"), col("i") + 1, lit(K)))), 1, 16))
+          .select("doc_id", "i", "gkey")
+        val testKeys = grams(docs.filter(col("source") === "src3"))
+          .select("gkey").distinct()
+        val covered = grams(docs.filter(col("source") =!= "src3"))
+          .join(broadcast(testKeys), "gkey")
+          .select("doc_id", "i")
+        val w = Window.partitionBy("doc_id").orderBy("i")
+        val spans = covered
+          .withColumn("brk",
+            when(col("i") - lag("i", 1).over(w) <= K, 0).otherwise(1))
+          .withColumn("sid", sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "sid")
+          .agg(min("i").as("st"), (max("i") + K - 1).as("en"))
+        val perDoc = spans.groupBy("doc_id")
+          .agg(sum(col("en") - col("st") + 1).cast("long").as("contam_tokens"))
+        spans.join(perDoc, "doc_id")
+          .join(docs.select(col("doc_id"), col("n").cast("long").as("n_tokens")),
+            "doc_id")
+          .withColumn("contam_frac",
+            round(col("contam_tokens").cast("double") / col("n_tokens"), 6))
+          .withColumn("action",
+            when(col("contam_frac") > 0.2, lit("drop")).otherwise(lit("trim_span")))
+          .select(col("doc_id"), col("st").cast("long").as("span_start"),
+            col("en").cast("long").as("span_end"), col("contam_tokens"),
+            col("n_tokens"), col("contam_frac"), col("action"))
+          .orderBy("doc_id", "span_start")
+      },
+      Some("""
+WITH dn AS (SELECT doc_id, source, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents),
+testg AS (SELECT DISTINCT substr(md5(list_aggregate(t[i+1:i+13],
+                 'string_agg', ' ')), 1, 16) AS gkey
+          FROM dn, unnest(range(0, n - 12)) AS u(i)
+          WHERE source = 'src3' AND n >= 13),
+traing AS (SELECT doc_id, i, substr(md5(list_aggregate(t[i+1:i+13],
+                  'string_agg', ' ')), 1, 16) AS gkey
+           FROM dn, unnest(range(0, n - 12)) AS u(i)
+           WHERE source <> 'src3' AND n >= 13),
+cov AS (SELECT doc_id, i FROM traing JOIN testg USING (gkey)),
+brk AS (SELECT doc_id, i,
+               CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 13
+                    THEN 0 ELSE 1 END AS brk
+        FROM cov),
+sid AS (SELECT doc_id, i,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS sid
+        FROM brk),
+spans AS (SELECT doc_id, sid, min(i) AS st, max(i) + 12 AS en
+          FROM sid GROUP BY doc_id, sid),
+perdoc AS (SELECT doc_id, sum(en - st + 1) AS contam_tokens
+           FROM spans GROUP BY doc_id)
+SELECT s.doc_id AS doc_id, CAST(s.st AS BIGINT) AS span_start,
+       CAST(s.en AS BIGINT) AS span_end,
+       CAST(p.contam_tokens AS BIGINT) AS contam_tokens,
+       CAST(dn.n AS BIGINT) AS n_tokens,
+       round(p.contam_tokens::DOUBLE / dn.n, 6) AS contam_frac,
+       CASE WHEN round(p.contam_tokens::DOUBLE / dn.n, 6) > 0.2
+            THEN 'drop' ELSE 'trim_span' END AS action
+FROM spans s JOIN perdoc p ON s.doc_id = p.doc_id
+             JOIN dn ON s.doc_id = dn.doc_id
+ORDER BY doc_id, span_start"""))
   )
 }

@@ -264,9 +264,64 @@ object Graph {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** graph_link_prediction: common-neighbor / Jaccard link scoring over
+    * the k-NN graph — the "which vectors SHOULD be neighbors" operator
+    * under graph-growing ANN maintenance (NN-Descent's candidate rule)
+    * and near-dup cluster repair: a pair sharing many neighbors but no
+    * edge is an edge the builder missed. Candidates come from the
+    * 2-hop wedge join (two edge lists meeting on the middle node), so
+    * work is Σ deg² — degree-bounded at k=3, shuffle ∝ edges, never
+    * N². Already-linked pairs leave via an anti-join on the symmetric
+    * edge set; cn/degree counts are exact integers and the one float
+    * (Jaccard) rounds at the output edge; top-20 is TakeOrdered on
+    * (cn desc, a, b) — fully deterministic.
+    */
+  def linkPrediction(s: SparkSession, d: String): DataFrame = {
+    val g = graft.Caching.materialize(s,
+      SimilaritySearch.knnEdges(s, d).select("src", "dst"))
+    val deg = g.groupBy("src").agg(count(lit(1)).as("deg"))
+    val cn = g.select(col("src").as("a"), col("dst").as("m"))
+      .join(g.select(col("src").as("b"), col("dst").as("m")), Seq("m"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cn"))
+    val existing = g
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val scored = cn.join(existing, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("jaccard",
+        round(col("cn").cast("double") /
+          (col("deg_a") + col("deg_b") - col("cn")), 6))
+    graft.Caching.releasing(s, g)(
+      scored.select("a", "b", "cn", "deg_a", "deg_b", "jaccard")
+        .orderBy(col("cn").desc, col("a").asc, col("b").asc)
+        .limit(20))
+  }
+
+  private def linkPredictionSql: String =
+    s"""WITH ${SimilaritySearch.sqlKnnEdges},
+       |g AS (SELECT src, dst FROM kg),
+       |deg AS (SELECT src, count(*) AS deg FROM g GROUP BY src),
+       |cn AS (SELECT g1.src AS a, g2.src AS b, count(*) AS cn
+       |       FROM g g1 JOIN g g2 ON g1.dst = g2.dst AND g1.src < g2.src
+       |       GROUP BY g1.src, g2.src),
+       |lp_cand AS (SELECT * FROM cn WHERE NOT EXISTS (
+       |  SELECT 1 FROM g WHERE least(g.src, g.dst) = cn.a
+       |                    AND greatest(g.src, g.dst) = cn.b))
+       |SELECT lp_cand.a AS a, lp_cand.b AS b, lp_cand.cn AS cn,
+       |       da.deg AS deg_a, db.deg AS deg_b,
+       |       round(lp_cand.cn::DOUBLE / (da.deg + db.deg - lp_cand.cn), 6)
+       |         AS jaccard
+       |FROM lp_cand JOIN deg da ON lp_cand.a = da.src
+       |          JOIN deg db ON lp_cand.b = db.src
+       |ORDER BY cn DESC, a ASC, b ASC LIMIT 20""".stripMargin
+
   def qs: Seq[Q] = Seq(
     Q("graph_pagerank", pagerank, Some(pagerankSql)),
     Q("graph_triangle_count", triangles, Some(trianglesSql)),
-    Q("graph_knn_communities", knnCommunities, Some(knnCommunitiesSql))
+    Q("graph_knn_communities", knnCommunities, Some(knnCommunitiesSql)),
+    Q("graph_link_prediction", linkPrediction, Some(linkPredictionSql))
   )
 }

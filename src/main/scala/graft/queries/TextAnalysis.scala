@@ -658,7 +658,62 @@ t2 AS (SELECT doc_id, pos - 1 AS pos FROM toks WHERE tok = 'stream')
 SELECT t1.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_phrase,
        CAST(min(t1.pos) AS BIGINT) AS first_pos
 FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id AND t1.pos = t2.pos
-GROUP BY t1.doc_id ORDER BY doc_id"""))
+GROUP BY t1.doc_id ORDER BY doc_id""")),
+
+    // TF-IDF keyword extraction — each document's top-3 most
+    // characteristic terms (the per-doc summary that feeds tagging,
+    // routing, and retrieval-index boosting). tf is a per-(doc, term)
+    // count, idf = ln((N+1)/(df+1)) smoothed so corpus-universal terms
+    // score ~0 instead of dividing by zero. Portability: idf rounds to
+    // a ×10⁴ scaled BIGINT at the term grain (the text_term_cooccurrence
+    // ln rule), so score = tf · idf_scaled is EXACT integer arithmetic
+    // and the per-doc top-3 window has no float order anywhere.
+    // Plan shape: one (doc_id, tok) count shuffle, df aggregated FROM
+    // tf (no second corpus pass), df broadcast back (vocab-sized —
+    // the PMI unigram-table rule), one doc_id window. At 100 TB the
+    // df table outgrows broadcast and the join key flips to tok —
+    // noted, not silently assumed.
+    Q("text_tfidf_keywords",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score_scaled").desc, col("tok").asc)
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn("idf_scaled",
+            round(log((col("n") + 1).cast("double") / (col("df") + 1))
+              * 10000).cast("long"))
+          .select("tok", "df", "idf_scaled")
+        tf.join(broadcast(df), Seq("tok"))
+          .withColumn("score_scaled", col("tf") * col("idf_scaled"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "rn", "tok", "tf", "df", "score_scaled")
+          .orderBy("doc_id", "rn")
+      },
+      Some("""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok),
+n AS (SELECT count(*) AS n FROM documents),
+df AS (
+  SELECT tok, count(*) AS df,
+         CAST(round(ln((n.n + 1)::DOUBLE / (count(*) + 1)) * 10000) AS BIGINT)
+           AS idf_scaled
+  FROM tf, n GROUP BY tok, n.n),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         tf.tf * df.idf_scaled AS score_scaled,
+         row_number() OVER (PARTITION BY tf.doc_id
+           ORDER BY tf.tf * df.idf_scaled DESC, tf.tok ASC) AS rn
+  FROM tf JOIN df ON tf.tok = df.tok)
+SELECT doc_id, CAST(rn AS BIGINT) AS rn, tok, tf, df, score_scaled
+FROM scored WHERE rn <= 3 ORDER BY doc_id, rn"""))
   )
 
   /** (doc_id, n_bigrams, lm_score) for the whole corpus — the bigram-LM

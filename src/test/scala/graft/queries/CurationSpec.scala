@@ -308,4 +308,73 @@ class CurationSpec extends AnyFunSuite {
     assert(bySrc("src2") == 2L * docCount("src2"))
   }
 
+  test("reservoir sample is exactly the k smallest salted draws and " +
+    "merges: sampling the halves then merging equals sampling the whole") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).substring(0, 15), 16)
+    val ids = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0))
+    val drawn = ids.map(id => (h60(s"rsv_$id"), id)).sorted
+    val expected = drawn.take(100).zipWithIndex
+      .map { case ((draw, id), i) => (id, draw, (i + 1).toLong) }
+    val rows = Registry.queries("curation_reservoir_sample")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("draw"),
+        r.getAs[Long]("sample_rank")))
+      .sortBy(_._3)
+    assert(rows.toSeq == expected.toSeq)
+    // merge law: the k smallest of the union = k smallest of the two
+    // halves' k-smallest sets — the property that makes the sample
+    // computable per-partition / per-day and folded later
+    val (a, b) = drawn.partition(_._2 % 2 == 0)
+    val merged = (a.take(100) ++ b.take(100)).sorted.take(100)
+    assert(merged.toSeq == drawn.take(100).toSeq)
+  }
+
+  test("13-gram decontamination spans match an in-memory replica built " +
+    "from raw gram strings (no hashing on the replica side)") {
+    val K = 13
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(text: String): Seq[(Int, String)] = {
+      val t = text.split(" ", -1)
+      if (t.length < K) Seq.empty
+      else (0 to t.length - K).map(i => i -> t.slice(i, i + K).mkString(" "))
+    }
+    val testGrams = docs.filter(_._2 == "src3")
+      .flatMap(d => grams(d._3).map(_._2)).toSet
+    assert(testGrams.nonEmpty)
+    val expected = docs.filter(_._2 != "src3").flatMap { case (id, _, text) =>
+      val hits = grams(text).collect {
+        case (i, g) if testGrams.contains(g) => i
+      }.sorted
+      if (hits.isEmpty) Seq.empty
+      else {
+        // stitch: starts within K tokens merge into one span
+        val spans = hits.tail.foldLeft(List((hits.head, hits.head))) {
+          case ((st, last) :: rest, i) =>
+            if (i - last <= K) (st, i) :: rest else (i, i) :: (st, last) :: rest
+          case (Nil, i) => List((i, i))
+        }.reverse
+        val nTokens = text.split(" ", -1).length.toLong
+        val contam = spans.map { case (st, en) => en + K - 1 - st + 1 }.sum.toLong
+        spans.map { case (st, en) =>
+          (id, st.toLong, (en + K - 1).toLong, contam, nTokens)
+        }
+      }
+    }.sortBy(x => (x._1, x._2))
+    val rows = Registry.queries("curation_ngram_decontam_spans")(
+      spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("contam_tokens"),
+        r.getAs[Long]("n_tokens")))
+      .sortBy(x => (x._1, x._2))
+    assert(rows.nonEmpty)
+    assert(rows.toSeq == expected.toSeq)
+  }
+
 }

@@ -107,4 +107,29 @@ class GraphSpec extends AnyFunSuite {
         s"node $node carries label $lbl not reachable in 3 hops")
     }
   }
+
+  test("link prediction: pairs are unlinked, counts match brute-force " +
+    "common-neighborhoods, degrees are real") {
+    val g = SimilaritySearch.knnEdges(spark, graft.TestSpark.Sf0001)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = g.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val linked = g.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    val preds = Registry.queries("graph_link_prediction")(
+      spark, graft.TestSpark.Sf0001).collect()
+    assert(preds.nonEmpty)
+    preds.foreach { r =>
+      val a = r.getAs[Long]("a"); val b = r.getAs[Long]("b")
+      assert(a < b, s"pair not canonically ordered: $a,$b")
+      assert(!linked.contains((a, b)), s"predicted pair $a-$b already linked")
+      val common = adj(a).intersect(adj(b))
+      assert(common.nonEmpty, s"$a-$b predicted with no shared neighbor")
+      assert(r.getAs[Long]("cn") == common.size.toLong,
+        s"$a-$b cn ${r.getAs[Long]("cn")} != brute ${common.size}")
+      assert(r.getAs[Long]("deg_a") == adj(a).size.toLong)
+      assert(r.getAs[Long]("deg_b") == adj(b).size.toLong)
+    }
+  }
 }

@@ -76,4 +76,36 @@ class TextModelSpec extends AnyFunSuite {
       assert(score > 0.0 && score < 1.0)
     }
   }
+
+  test("text_tfidf_keywords matches an independent in-memory TF-IDF") {
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toSeq
+    val n = docs.length.toLong
+    val tf = docs.flatMap { case (id, text) =>
+      text.split(" ", -1).groupBy(identity).map {
+        case (tok, occ) => (id, tok, occ.length.toLong)
+      }
+    }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def idfScaled(dfv: Long): Long =
+      JBD.valueOf(math.log((n + 1).toDouble / (dfv + 1)) * 10000)
+        .setScale(0, RoundingMode.HALF_UP).longValue()
+    val expected = tf.groupBy(_._1).flatMap { case (id, toks) =>
+      toks.map { case (_, tok, tfv) =>
+        (id, tok, tfv, df(tok), tfv * idfScaled(df(tok)))
+      }.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+        .map { case ((_, tok, tfv, dfv, sc), i) =>
+          (id, (i + 1).toLong, tok, tfv, dfv, sc)
+        }
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val rows = Registry.queries("text_tfidf_keywords")(spark, TestSpark.Sf0001)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn"),
+        r.getAs[String]("tok"), r.getAs[Long]("tf"), r.getAs[Long]("df"),
+        r.getAs[Long]("score_scaled")))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.nonEmpty)
+    assert(rows.toSeq == expected)
+  }
 }
