@@ -865,7 +865,50 @@ FROM j GROUP BY source ORDER BY source""")),
             s"$nRedelivered — appendBatch is not idempotent")
         TextIndex.queryStreamed(s, root, 10)
       },
-      Some(TextIndex.topkOracle))
+      Some(TextIndex.topkOracle)),
+
+    // Streaming reservoir sample — the online form of
+    // curation_reservoir_sample: per-doc salted md5 draws fold into
+    // per-salt-group min-k state (DocsStream.reservoirCandidates),
+    // and the read side merges the groups' candidates and takes the
+    // global k smallest — the min-k merge law (CurationSpec) is what
+    // makes the group-local answers composable. The fixture delivers
+    // the corpus TWICE (a.parquet + b.parquet): the fold dedupes by
+    // doc_id before trimming, so at-least-once delivery provably
+    // cannot perturb the sample, and the oracle is the same SQL shape
+    // as the batch operator's. Update-mode emissions: keep each
+    // group's LAST state row (max updates), the st10 convention.
+    Q("st19_streaming_reservoir",
+      (s, d) => graft.Scratch.withDir(s, "strsv") { root =>
+        copyDocs(s, d, s"$root/in", "a.parquet")
+        copyDocs(s, d, s"$root/in", "b.parquet") // redelivery
+        val cands = graft.streaming.DocsStream.reservoirCandidates(s,
+          graft.streaming.DocsStream.readDocs(s, s"$root/in"))
+        withStatePartitions(s, 8)(
+          EventsStream.drainToMemory(cands, "st19_rsv", s"$root/ck",
+            org.apache.spark.sql.streaming.OutputMode.Update()))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("salt").orderBy(col("updates").desc)
+        val last = s.table("st19_rsv")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(explode(col("entries")).as("e"))
+          .select(col("e._2").as("doc_id"), col("e._1").as("draw"))
+        val wr = org.apache.spark.sql.expressions.Window
+          .orderBy(col("draw").asc, col("doc_id").asc)
+        last.orderBy(col("draw").asc, col("doc_id").asc)
+          .limit(graft.streaming.DocsStream.RsvK)
+          .withColumn("sample_rank", row_number().over(wr).cast("long"))
+      },
+      Some("""
+WITH drawn AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('rsv_' || doc_id::VARCHAR), 1, 15))
+              AS BIGINT) AS draw
+  FROM documents)
+SELECT doc_id, draw,
+       CAST(row_number() OVER (ORDER BY draw ASC, doc_id ASC) AS BIGINT)
+         AS sample_rank
+FROM drawn ORDER BY draw ASC, doc_id ASC LIMIT 100"""))
   )
 
   /** DuckDB twin of st15: uncapped MinHash signatures → band keys →

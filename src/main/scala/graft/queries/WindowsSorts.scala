@@ -33,6 +33,63 @@ object WindowsSorts {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
       .mkString(" + ")
 
+  /** Hilbert d-index of an 8-bit (x, y) cell (order-8 curve, 256×256
+    * grid) — the classic xy2d scale fold: at each scale s the quadrant
+    * pays s²·((3·rx) xor ry) into d, then the frame reflects/swaps so
+    * the next scale walks its sub-quadrant in curve order. The
+    * reflection uses the full-width complement (255−v): on the bits
+    * below s — the only ones later scales read — it equals the
+    * textbook s−1−v, and it never goes negative. Unlike the Morton
+    * interleave (o6), consecutive Hilbert keys are always GRID
+    * NEIGHBORS (no 2^k boundary jumps), which is why Hilbert layouts
+    * get tighter per-file min/max envelopes on the same data
+    * ([[HilbertSpec]] proves the adjacency law and measures the win).
+    * Eight unrolled scale steps, pure integer CASE arithmetic —
+    * codegen-friendly, no UDF.
+    */
+  private[queries] def withHilbertKey(df: org.apache.spark.sql.DataFrame,
+      xCol: String, yCol: String, out: String): org.apache.spark.sql.DataFrame = {
+    var cur = df.withColumn("hx", col(xCol)).withColumn("hy", col(yCol))
+      .withColumn("hd", lit(0L))
+    for (s <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+      cur = cur
+        .withColumn("rx",
+          when(col("hx").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn("ry",
+          when(col("hy").bitwiseAND(lit(s)) > 0, 1).otherwise(0))
+        .withColumn("hd",
+          col("hd") + lit(s.toLong * s) * expr("CAST((3 * rx) ^ ry AS BIGINT)"))
+        .withColumn("nhx", when(col("ry") === 0,
+          when(col("rx") === 1, lit(255) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")))
+        .withColumn("nhy", when(col("ry") === 0,
+          when(col("rx") === 1, lit(255) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")))
+        .withColumn("hx", col("nhx")).withColumn("hy", col("nhy"))
+        .drop("rx", "ry", "nhx", "nhy")
+    }
+    cur.withColumn(out, col("hd")).drop("hx", "hy", "hd")
+  }
+
+  /** DuckDB twin of [[withHilbertKey]]: the same eight scale steps as
+    * a generated CTE chain (`carry` = columns to thread through);
+    * expects a CTE named `hh0` providing carry + hx, hy, hd.
+    */
+  private def hilbertDuckSteps(carry: String): String =
+    Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map { case (s, k) =>
+      s"""hh${k + 1} AS (
+  SELECT $carry,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - hy ELSE hy END
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN 255 - hx ELSE hx END
+              ELSE hy END AS hy,
+         hd + ${s.toLong * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT *,
+               CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS ry
+        FROM hh$k))"""
+    }.mkString(",\n")
+
   def qs: Seq[Q] = Seq(
     // W1 per-group top-k by score with explicit tiebreak (datamart.py:28-47)
     Q("w1_topk_per_group",
@@ -623,6 +680,77 @@ f AS (
          CAST(ntile(16) OVER (ORDER BY zkey ASC, o_orderkey ASC) AS BIGINT)
            AS file_id
   FROM z)
+SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+       min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+       CAST(min(od_day) AS BIGINT) AS min_day,
+       CAST(max(od_day) AS BIGINT) AS max_day,
+       max(o_custkey) - min(o_custkey) + 1 AS ck_span,
+       CAST(max(od_day) - min(od_day) + 1 AS BIGINT) AS day_span
+FROM f GROUP BY file_id ORDER BY file_id""")),
+
+    // O7 Hilbert-curve layout — o6's Morton layout with the stronger
+    // curve: same 8-bit quantization of (o_custkey, order day), same
+    // 16-file assignment along key order, same per-file min/max
+    // envelopes, but the cell order is the order-8 Hilbert walk
+    // ([[withHilbertKey]]), whose consecutive cells are always grid
+    // neighbors — no Morton 2^k jumps — so file envelopes (the
+    // data-skipping payoff both layouts exist for) come out tighter on
+    // the same rows. The key is eight unrolled integer CASE steps
+    // inside codegen; the one wide op is the layout sort itself, which
+    // at corpus scale is repartitionByRange on the key (o5's
+    // technique) rather than this fixture's single window.
+    Q("o7_hilbert_layout",
+      (s, d) => {
+        val bounds = Tables.orders(s, d).agg(
+          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+          min(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+            .as("min_day"),
+          max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+            .as("max_day"))
+        val keyed = Tables.orders(s, d)
+          .withColumn("od_day",
+            datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+          .crossJoin(broadcast(bounds))
+          .withColumn("qx", expr(
+            "CAST((o_custkey - min_ck) * 256 div (max_ck - min_ck + 1) AS INT)"))
+          .withColumn("qy", expr(
+            "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)"))
+        val w = Window.orderBy(col("hkey").asc, col("o_orderkey").asc)
+        withHilbertKey(keyed, "qx", "qy", "hkey")
+          .withColumn("file_id", ntile(16).over(w).cast("long"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+            min("od_day").cast("long").as("min_day"),
+            max("od_day").cast("long").as("max_day"))
+          .withColumn("ck_span", col("max_ck") - col("min_ck") + 1)
+          .withColumn("day_span", col("max_day") - col("min_day") + 1)
+          .orderBy("file_id")
+      },
+      Some(s"""
+WITH b AS (
+  SELECT min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
+         min(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS min_day,
+         max(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+           AS max_day
+  FROM orders),
+hh0 AS (
+  SELECT o_orderkey, o_custkey,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+           AS od_day,
+         CAST((o_custkey - min_ck) * 256 // (max_ck - min_ck + 1) AS INTEGER)
+           AS hx,
+         CAST((date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               - min_day) * 256 // (max_day - min_day + 1) AS INTEGER) AS hy,
+         CAST(0 AS BIGINT) AS hd
+  FROM orders CROSS JOIN b),
+${hilbertDuckSteps("o_orderkey, o_custkey, od_day")},
+f AS (
+  SELECT o_custkey, od_day,
+         CAST(ntile(16) OVER (ORDER BY hd ASC, o_orderkey ASC) AS BIGINT)
+           AS file_id
+  FROM hh8)
 SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
        min(o_custkey) AS min_ck, max(o_custkey) AS max_ck,
        CAST(min(od_day) AS BIGINT) AS min_day,

@@ -144,4 +144,43 @@ object DocsStream extends Serializable {
         sum((col("score") >= 0.5).cast("long")).as("n_kept"),
         sum(expr("CAST(round(score * 10000, 0) AS BIGINT)")).as("sx4"))
   }
+
+  /** Streaming reservoir-sample candidates — the streaming twin of
+    * `curation_reservoir_sample`: the k smallest salted md5 draws seen
+    * so far, folded in mapGroupsWithState. The draw is row-local map
+    * work; docs shard into [[RsvSalts]] salt groups so per-group
+    * traffic (and state) is bounded — each group keeps ITS k smallest
+    * in a ≤k-entry sorted vector, and the consumer merges the groups'
+    * candidates and takes the global k smallest, which the min-k merge
+    * law (CurationSpec) proves equals sampling the whole corpus in one
+    * pass. The fold DEDUPES by doc_id before trimming, so redelivery
+    * is a no-op by construction (min-k of a set is idempotent under
+    * re-insertion) — at-least-once delivery needs no further fencing.
+    * State per group: ≤k (draw, doc_id) pairs at any stream length.
+    */
+  def reservoirCandidates(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val k = RsvK
+    val drawn = docs.select(
+      pmod(col("doc_id"), lit(RsvSalts.toLong)).cast("int").as("salt"),
+      graft.queries.Sketches.h60(
+        concat(lit("rsv_"), col("doc_id").cast("string"))).as("draw"),
+      col("doc_id")).as[(Int, Long, Long)]
+    drawn.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Seq[(Long, Long)]),
+        (Int, Long, Seq[(Long, Long)])](GroupStateTimeout.NoTimeout) {
+        case (salt, rows, state) =>
+          val (updates, prev) =
+            state.getOption.getOrElse((0L, Seq.empty[(Long, Long)]))
+          val next = (prev ++ rows.map(r => (r._2, r._3)))
+            .distinct.sorted.take(k)
+          state.update((updates + 1, next))
+          (salt, updates + 1, next)
+      }
+      .toDF("salt", "updates", "entries")
+  }
+
+  val RsvK = 100
+  val RsvSalts = 8
 }

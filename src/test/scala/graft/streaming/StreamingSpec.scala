@@ -600,4 +600,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+  test("st19 reservoir sample: slicing invariant, redelivery-idempotent, " +
+    "and equal to the batch sample") {
+    def stageDocsSlice(dir: Path, name: String,
+        pred: org.apache.spark.sql.Column): Unit = {
+      val stage = tmpDir("t19_stage")
+      graft.Tables.documents(spark, TestSpark.Sf0001).filter(pred)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val f = stage.toFile.listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(f.toPath, dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def sample(in: Path, tag: String, ck: Path,
+        maxFiles: Option[Int]): Seq[(Long, Long)] = {
+      EventsStream.drainToMemory(
+        DocsStream.reservoirCandidates(spark,
+          DocsStream.readDocs(spark, in.toString, maxFiles)),
+        s"t19_$tag", ck.toString, OutputMode.Update())
+      val last = spark.table(s"t19_$tag").collect()
+        .groupBy(_.getInt(0)).values.map(_.maxBy(_.getLong(1))).toSeq
+      last.flatMap(_.getSeq[org.apache.spark.sql.Row](2)
+        .map(e => (e.getLong(0), e.getLong(1))))
+        .sorted.take(DocsStream.RsvK).map { case (draw, id) => (id, draw) }
+    }
+    val in1 = tmpDir("t19_in1")
+    stageDocsSlice(in1, "a.parquet", org.apache.spark.sql.functions.lit(true))
+    val single = sample(in1, "single", tmpDir("t19_ck1"), None)
+    assert(single.size == DocsStream.RsvK)
+    // three disjoint slices, one file per micro-batch: min-k state
+    // must carry candidates across the seams
+    val in2 = tmpDir("t19_in2")
+    (0 to 2).foreach { k =>
+      stageDocsSlice(in2, f"part$k%02d.parquet",
+        org.apache.spark.sql.functions.col("doc_id") % 3 === k)
+    }
+    val multi = sample(in2, "multi", tmpDir("t19_ck2"), Some(1))
+    assert(multi == single, "sample diverges across slicings")
+    // redelivery: whole corpus twice — dedup-by-id makes the fold
+    // idempotent, the sample cannot move
+    stageDocsSlice(in1, "b.parquet", org.apache.spark.sql.functions.lit(true))
+    val redelivered = sample(in1, "redel", tmpDir("t19_ck1b"), None)
+    assert(redelivered == single, "redelivery moved the sample")
+    // and the streamed sample IS the batch sample
+    val batch = graft.queries.Registry.queries("curation_reservoir_sample")(
+      spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("draw"))).toSeq
+    assert(single == batch, "streamed sample differs from batch operator")
+  }
+
 }
