@@ -409,7 +409,97 @@ est AS (SELECT min(row_est) AS cm_est FROM (
 exact AS (SELECT CAST(sum(n * n) AS BIGINT) AS exact_sjs FROM (
             SELECT key, count(*) AS n FROM items GROUP BY key))
 SELECT cm_est, exact_sjs, cm_est - exact_sjs AS overcount
-FROM est, exact"""))
+FROM est, exact""")),
+
+    // KMV set algebra — the property that makes KMV more than a
+    // distinct counter: two groups' sketches COMPOSE. The union sketch
+    // is the K smallest of the two sketches' pooled hashes (the min-k
+    // merge law: identical to sketching A∪B directly), the Jaccard
+    // estimate is the fraction of the union sketch present in BOTH
+    // input sketches (ρ = m/K — a uniform sample of A∪B probed for
+    // membership), and |A∩B| ≈ ρ·|A∪B|. This is how a catalog answers
+    // "how much do these two partitions/datasets overlap" from
+    // kilobyte summaries without rescanning either side — the exact
+    // sides ride along to show the error honestly. All arithmetic is
+    // exact-integer until the two display divisions.
+    Q("a25_kmv_set_algebra",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, d)
+        def sk(flag: String) = kmvState(
+          li.filter(col("l_returnflag") === flag)
+            .select(lit(flag).as("grp"), col("l_orderkey").as("key")))
+          .select(col("h"))
+        val ska = sk("A")
+        val skb = sk("R")
+        val wu = Window.orderBy("h")
+        val uk = ska.union(skb).distinct()
+          .withColumn("rn", row_number().over(wu)).filter(col("rn") <= K)
+        val m = uk.select("h").intersect(ska).intersect(skb)
+          .agg(count(lit(1)).as("m"))
+        val u = uk.agg(count(lit(1)).as("n_u"),
+          max(when(col("rn") === K, col("h"))).as("hk"))
+          .withColumn("est_u",
+            when(col("n_u") < K, col("n_u").cast("double"))
+              .otherwise(lit((K - 1).toDouble) * pow(lit(2.0), 60)
+                / col("hk").cast("double")))
+        val exact = li.filter(col("l_returnflag").isin("A", "R"))
+          .select("l_returnflag", "l_orderkey").distinct()
+          .groupBy("l_orderkey").agg(count(lit(1)).as("nf"))
+          .agg(count(lit(1)).as("exact_union"),
+            sum((col("nf") === 2).cast("long")).as("exact_inter"))
+        m.crossJoin(u).crossJoin(exact)
+          .select(col("n_u"), col("m"),
+            round(col("m").cast("double") / col("n_u"), 6).as("est_jaccard"),
+            round(col("est_u"), 3).as("est_union"),
+            round(col("est_u") * col("m") / col("n_u"), 3).as("est_inter"),
+            col("exact_union"), col("exact_inter"),
+            round(col("exact_inter").cast("double") / col("exact_union"), 6)
+              .as("exact_jaccard"))
+      },
+      Some(s"""
+WITH ha AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT ${h60Sql("l_orderkey")} AS h
+      FROM lineitem WHERE l_returnflag = 'A'))
+  WHERE rn <= $K),
+hb AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT ${h60Sql("l_orderkey")} AS h
+      FROM lineitem WHERE l_returnflag = 'R'))
+  WHERE rn <= $K),
+uk AS (
+  SELECT h, rn FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT h FROM ha UNION SELECT h FROM hb))
+  WHERE rn <= $K),
+mm AS (SELECT count(*) AS m FROM
+        (SELECT h FROM uk INTERSECT SELECT h FROM ha
+         INTERSECT SELECT h FROM hb)),
+uu AS (
+  SELECT n_u, CASE WHEN n_u < $K THEN CAST(n_u AS DOUBLE)
+                   ELSE ${K - 1}.0 * pow(2.0, 60) / CAST(hk AS DOUBLE)
+              END AS est_u
+  FROM (SELECT count(*) AS n_u,
+               max(CASE WHEN rn = $K THEN h END) AS hk
+        FROM uk)),
+ex AS (
+  SELECT count(*) AS exact_union,
+         CAST(sum(CASE WHEN nf = 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS exact_inter
+  FROM (SELECT l_orderkey, count(*) AS nf FROM (
+          SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+          WHERE l_returnflag IN ('A', 'R'))
+        GROUP BY l_orderkey))
+SELECT n_u, m,
+       round(CAST(m AS DOUBLE) / n_u, 6) AS est_jaccard,
+       round(est_u, 3) AS est_union,
+       round(est_u * m / n_u, 3) AS est_inter,
+       exact_union, exact_inter,
+       round(CAST(exact_inter AS DOUBLE) / exact_union, 6) AS exact_jaccard
+FROM mm, uu, ex"""))
   )
 
   private[graft] val MgK = 256 // Misra-Gries capacity: 4x the 1/64 bar

@@ -233,4 +233,37 @@ class SketchSpec extends AnyFunSuite {
     assert(est <= exact * 2, s"estimate $est vs exact $exact — too loose to use")
   }
 
+  test("KMV set algebra: union-of-sketches IS the sketch of the union, " +
+    "and the Jaccard estimate lands within the sketch's error band") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, TestSpark.Sf001)
+    def hashes(flag: String): Seq[Long] = Sketches.kmvState(
+      li.filter(col("l_returnflag") === flag)
+        .select(lit(flag).as("grp"), col("l_orderkey").as("key")))
+      .select("h").collect().map(_.getLong(0)).toSeq
+    val ska = hashes("A"); val skb = hashes("R")
+    assert(ska.length == Sketches.K && skb.length == Sketches.K)
+    // merge law: K smallest of (sketch(A) ∪ sketch(B)) == sketch(A∪B)
+    // built directly from the pooled keys — EXACT equality, the same
+    // min-k law the reservoir sample rests on
+    val merged = (ska ++ skb).distinct.sorted.take(Sketches.K)
+    val direct = Sketches.kmvState(
+      li.filter(col("l_returnflag").isin("A", "R"))
+        .select(lit("u").as("grp"), col("l_orderkey").as("key")))
+      .select("h").collect().map(_.getLong(0)).toSeq.sorted
+    assert(merged == direct, "union-of-sketches differs from direct sketch")
+    // estimator sanity on the declared query: at K=64 the Jaccard
+    // std error is ~sqrt(J(1-J)/K) ≈ 0.06; a 0.2 band is ~3σ
+    val r = Registry.queries("a25_kmv_set_algebra")(spark, TestSpark.Sf001)
+      .head()
+    val estJ = r.getAs[Double]("est_jaccard")
+    val exJ = r.getAs[Double]("exact_jaccard")
+    assert(math.abs(estJ - exJ) <= 0.2,
+      s"Jaccard estimate $estJ vs exact $exJ outside the 3-sigma band")
+    val estU = r.getAs[Double]("est_union")
+    val exU = r.getAs[Long]("exact_union").toDouble
+    assert(math.abs(estU - exU) / exU <= 0.4,
+      s"union estimate $estU vs exact $exU outside the error band")
+  }
+
 }
