@@ -1322,6 +1322,49 @@ SELECT s.doc_id AS doc_id, CAST(s.st AS BIGINT) AS span_start,
             THEN 'drop' ELSE 'trim_span' END AS action
 FROM spans s JOIN perdoc p ON s.doc_id = p.doc_id
              JOIN dn ON s.doc_id = dn.doc_id
-ORDER BY doc_id, span_start"""))
+ORDER BY doc_id, span_start""")),
+
+    // Cluster-safe k-fold cross-validation — curation_leakage_safe_split
+    // generalized from one 8/1/1 draw to a 5-fold ROTATION: the fold id
+    // is one md5 draw per NEAR-DUP CLUSTER (verified MinHash pairs →
+    // connected components), so in every rotation r (train = folds ≠ r,
+    // eval = fold r) a near-dup pair still cannot straddle the
+    // boundary — the leakage guarantee CV inherits by assigning at
+    // cluster grain, which per-doc fold hashing silently loses. Same
+    // scale shape as the split: the expensive part is the pair
+    // verification the dedup family already runs; folding is one draw
+    // per cluster broadcast back.
+    Q("curation_crossval_folds",
+      (s, d) => {
+        val clusters = Dedup.labelPropagation(s,
+          Dedup.minhashVerifiedPairs(s, d).select("i", "j"),
+          Tables.documents(s, d))
+        val assign = clusters.select("cluster").distinct()
+          .withColumn("fold",
+            pmod(Sketches.h60(
+              concat(lit("cvfold_"), col("cluster").cast("string"))),
+              lit(5L)))
+          .select("cluster", "fold")
+        clusters.join(assign, "cluster")
+          .select("doc_id", "cluster", "fold")
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + Dedup.minhashCtesBody + """,
+und AS (SELECT i AS a, j AS b FROM verified
+        UNION ALL SELECT j AS a, i AS b FROM verified),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, und.b FROM reach JOIN und ON reach.r = und.a
+),
+clusters AS (SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id),
+assign AS (
+  SELECT cluster,
+         CAST(('0x' || substr(md5('cvfold_' || cluster::VARCHAR), 1, 15))
+              AS BIGINT) % 5 AS fold
+  FROM (SELECT DISTINCT cluster FROM clusters))
+SELECT c.doc_id, c.cluster, a.fold
+FROM clusters c JOIN assign a ON c.cluster = a.cluster
+ORDER BY c.doc_id"""))
   )
 }

@@ -334,6 +334,24 @@ class CurationSpec extends AnyFunSuite {
     assert(merged.toSeq == drawn.take(100).toSeq)
   }
 
+  test("crossval folds: every doc in exactly one of 5 populated folds, " +
+    "and no verified near-dup pair straddles a fold boundary") {
+    val rows = Registry.queries("curation_crossval_folds")(
+      spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("fold")))
+    val total = Tables.documents(spark, TestSpark.Sf0001).count()
+    assert(rows.length.toLong == total)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.map(_._2).distinct.sorted.toSeq == (0L to 4L),
+      "not all 5 folds populated")
+    val foldOf = rows.toMap
+    Dedup.minhashVerifiedPairs(spark, TestSpark.Sf0001)
+      .select("i", "j").collect().foreach { p =>
+      assert(foldOf(p.getLong(0)) == foldOf(p.getLong(1)),
+        s"pair ${p.getLong(0)}/${p.getLong(1)} straddles folds")
+    }
+  }
+
   test("13-gram decontamination spans match an in-memory replica built " +
     "from raw gram strings (no hashing on the replica side)") {
     val K = 13
