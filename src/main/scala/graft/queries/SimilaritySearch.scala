@@ -1214,16 +1214,22 @@ ORDER BY m.vec_id""")),
             round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
           .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
           .select(col("qid"), col("cid").as("entry"))
-        val kg = knnEdges(s, d, ServeDegree).select("src", "dst")
-        def rescore(cand: DataFrame): DataFrame = cand
-          .join(queries, "qid")
-          .join(emb.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn")), "cid")
+        // the serve graph builds ONCE (checkpoint) — without it the
+        // three beam rounds each re-derive the SRP band join and the
+        // served plan carries 38 exchanges; with it, every hop is the
+        // edge list joined against a BROADCAST beam and every rescore
+        // is one emb scan probed by a broadcast candidate set — the
+        // corpus never shuffles (plan budget pinned in PlanQualitySpec)
+        val kg = graft.Caching.materialize(s,
+          knnEdges(s, d, ServeDegree).select("src", "dst"))
+        def rescore(cand: DataFrame): DataFrame = emb
+          .join(broadcast(cand), col("vec_id") === col("cid"))
+          .join(broadcast(queries), "qid")
           .filter(col("cid") =!= col("qid"))
           .withColumn("cos",
-            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
         val c1 = entry.select(col("qid"), col("entry").as("cid"))
-          .union(entry.join(kg, col("entry") === col("src"))
+          .union(kg.join(broadcast(entry), col("entry") === col("src"))
             .select(col("qid"), col("dst").as("cid")))
           .distinct()
         def expand(cand: DataFrame): DataFrame = {
@@ -1231,15 +1237,16 @@ ORDER BY m.vec_id""")),
             .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
             .select(col("qid"), col("cid").as("b"))
           cand
-            .union(beam.join(kg, col("b") === col("src"))
+            .union(kg.join(broadcast(beam), col("b") === col("src"))
               .select(col("qid"), col("dst").as("cid")))
             .distinct()
         }
-        rescore(expand(expand(c1)))
-          .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
-          .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
-            col("cos"))
-          .orderBy("qid", "rk")
+        graft.Caching.releasing(s, kg)(
+          rescore(expand(expand(c1)))
+            .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
+            .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
+              col("cos"))
+            .orderBy("qid", "rk"))
       },
       Some(s"""
 WITH ${sqlKnnEdgesK(ServeDegree)},

@@ -411,7 +411,30 @@ class PlanQualitySpec extends AnyFunSuite {
       "emb_pca_topr" -> 5,
       // three materialized 1-row coherence frames; the report is a
       // broadcast-joined union + presentation sort
-      "simsearch_ivf_retrain_decision" -> 1)
+      "simsearch_ivf_retrain_decision" -> 1,
+      // serve graph builds inside its checkpoint; every hop joins the
+      // edge list against a BROADCAST beam and every rescore probes
+      // the emb scan with a broadcast candidate set — the served plan
+      // must never shuffle the corpus (it was 38 exchanges before the
+      // checkpoint+broadcast restructure)
+      "simsearch_graph_route" -> 0,
+      // wedge join + degree joins run over the materialized edge
+      // checkpoint; TakeOrdered cut
+      "graph_link_prediction" -> 0,
+      // tf count, df-from-tf aggregate, broadcast df back, one doc_id
+      // window + presentation sort
+      "text_tfidf_keywords" -> 6,
+      // per-partition min-k then TakeOrderedAndProject — a reservoir
+      // sample must never globally sort the corpus
+      "curation_reservoir_sample" -> 0,
+      // test grams distinct + broadcast probe + matched-positions
+      // window + per-doc rollup joins
+      "curation_ngram_decontam_spans" -> 5,
+      // quantize (1-row bounds broadcast) + layout window + rollup
+      "o7_hilbert_layout" -> 2,
+      // two KMV sketch windows, the union window, intersect, exact
+      // side — all over ≤K-row or distinct-key frames
+      "a25_kmv_set_algebra" -> 9)
     budgets.foreach { case (name, budget) =>
       val p = Registry.queries(name)(spark, TestSpark.Sf001)
         .queryExecution.executedPlan.toString
