@@ -66,7 +66,16 @@ object Ladder {
     Family("graph_pagerank", "lineitem", 1.5,
       "5 damped rounds, each one edge-keyed aggregate: O(E x rounds)"),
     Family("curation_leakage_safe_split", "documents", 1.6,
-      "verified pairs -> connected components -> one draw per cluster"))
+      "verified pairs -> connected components -> one draw per cluster"),
+    Family("simsearch_graph_route", "embeddings", 1.4,
+      "deg-16 serve-graph build O(N + collisions) dominates; per-query " +
+        "serve is a CONSTANT ~150-candidate broadcast probe (query count " +
+        "here also grows with N via the % 97 sample)"),
+    Family("graph_link_prediction", "embeddings", 1.4,
+      "wedge join over the materialized k-NN edge list: O(N x deg^2)"),
+    Family("curation_ngram_decontam_spans", "documents", 1.4,
+      "benchmark 13-gram keys broadcast against train positional grams: " +
+        "O(tokens) probe, spans stitched over hits only"))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
