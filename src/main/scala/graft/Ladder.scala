@@ -88,7 +88,10 @@ object Ladder {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // JIT/codegen warm-up only — a warm-up failure must not mask the
+    // real run, but fatal errors (OOM, linkage) still propagate
+    try SparkEntry.entry(spark).count()
+    catch { case scala.util.control.NonFatal(_) => }
 
     // rows per (sf, table) — the x-axis
     val tables = families.map(_.table).distinct
