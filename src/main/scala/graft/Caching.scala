@@ -67,11 +67,15 @@ object Caching extends Logging {
   }
 
   /** Eagerly materialize a SMALL `result`, then release the persisted
-    * intermediates it derived from; see class doc.
+    * intermediates it derived from; see class doc. Handles BOTH kinds
+    * of intermediate: `.persist()`ed frames (unpersist) and
+    * [[materialize]]d frames (whose localCheckpoint blocks unpersist
+    * cannot see — those go through [[release]], which only touches
+    * RDDs this object registered).
     */
   def releasing(s: SparkSession, cached: DataFrame*)(result: DataFrame): DataFrame = {
     val out = materialize(s, result)
-    cached.foreach(_.unpersist(false))
+    cached.foreach { c => c.unpersist(false); release(c) }
     out
   }
 

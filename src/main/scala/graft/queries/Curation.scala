@@ -1238,7 +1238,11 @@ FROM drawn ORDER BY draw ASC, doc_id ASC LIMIT 100""")),
     // scrub at SPAN grain: curation_decontam_overlap flags whole
     // documents; this one locates the exact contaminated windows so a
     // mostly-clean doc is trimmed, not discarded. Every 13-token gram
-    // of the held-out set (source='src3') becomes a 16-char md5 key;
+    // of the held-out set (source='src3') becomes a full 128-bit md5
+    // key (same equi-join plan as a truncated key, and at 100 TB the
+    // train-gram x benchmark-gram probe count makes 64-bit collisions
+    // expected while 128-bit stays negligible — a collision here is a
+    // false contamination span that can flip a clean doc to 'drop');
     // train docs mark positions whose gram hits that set; marked
     // positions stitch into maximal spans by the substring-span
     // gaps-and-islands rule (gap ≤ K merges). Output = one row per
@@ -1259,8 +1263,8 @@ FROM drawn ORDER BY draw ASC, doc_id ASC LIMIT 100""")),
           .filter(col("n") >= K)
           .select(col("doc_id"),
             explode(sequence(lit(0), col("n") - K)).as("i"), col("toks"))
-          .withColumn("gkey", substring(md5(concat_ws(" ",
-            slice(col("toks"), col("i") + 1, lit(K)))), 1, 16))
+          .withColumn("gkey", md5(concat_ws(" ",
+            slice(col("toks"), col("i") + 1, lit(K)))))
           .select("doc_id", "i", "gkey")
         val testKeys = grams(docs.filter(col("source") === "src3"))
           .select("gkey").distinct()
@@ -1293,12 +1297,12 @@ FROM drawn ORDER BY draw ASC, doc_id ASC LIMIT 100""")),
 WITH dn AS (SELECT doc_id, source, string_split(text, ' ') AS t,
                    len(string_split(text, ' ')) AS n
             FROM documents),
-testg AS (SELECT DISTINCT substr(md5(list_aggregate(t[i+1:i+13],
-                 'string_agg', ' ')), 1, 16) AS gkey
+testg AS (SELECT DISTINCT md5(list_aggregate(t[i+1:i+13],
+                 'string_agg', ' ')) AS gkey
           FROM dn, unnest(range(0, n - 12)) AS u(i)
           WHERE source = 'src3' AND n >= 13),
-traing AS (SELECT doc_id, i, substr(md5(list_aggregate(t[i+1:i+13],
-                  'string_agg', ' ')), 1, 16) AS gkey
+traing AS (SELECT doc_id, i, md5(list_aggregate(t[i+1:i+13],
+                  'string_agg', ' ')) AS gkey
            FROM dn, unnest(range(0, n - 12)) AS u(i)
            WHERE source <> 'src3' AND n >= 13),
 cov AS (SELECT doc_id, i FROM traing JOIN testg USING (gkey)),

@@ -416,8 +416,10 @@ FROM a2 ORDER BY vec_id""")),
         val c0 = graft.Caching.materialize(s, centeredVectors(s, d))
         val n = c0.count()
         var frame = c0
+        val vFrames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         val parts = (1 to R).map { k =>
           val v = graft.Caching.materialize(s, powerIterate(frame, 3))
+          vFrames += v
           val lam = c0.crossJoin(broadcast(v))
             .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
               (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
@@ -444,10 +446,16 @@ FROM a2 ORDER BY vec_id""")),
         }
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("lam").desc, col("step").asc)
-        parts.reduce(_.unionAll(_))
+        val out = parts.reduce(_.unionAll(_))
           .withColumn("comp", dense_rank().over(w).cast("long"))
           .select(col("comp"), col("idx"), col("val"), col("lam"))
           .orderBy("comp", "idx")
+        // release c0, every eigenvector frame, and the last residual
+        // once the (R·dim)-row result is eagerly materialized — the
+        // same discipline the route/community queries follow
+        val pins = Seq(c0) ++ vFrames.result() ++
+          (if (frame ne c0) Seq(frame) else Nil)
+        graft.Caching.releasing(s, pins: _*)(out)
       },
       Some {
         // residual/power chains for steps 2..4, prefixed so all coexist
@@ -504,8 +512,10 @@ ORDER BY comp, idx"""
         val c0 = graft.Caching.materialize(s, centeredVectors(s, d))
         val n = c0.count()
         var frame = c0
+        val vFrames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
         val comps = (1 to R).map { k =>
           val v = graft.Caching.materialize(s, powerIterate(frame, 3))
+          vFrames += v
           val lam = c0.crossJoin(broadcast(v))
             .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
               (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
@@ -526,13 +536,16 @@ ORDER BY comp, idx"""
           }
           comp
         }
-        comps.map { cdf =>
+        val out = comps.map { cdf =>
           c0.crossJoin(broadcast(cdf))
             .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
               (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
             .select(col("vec_id"), col("comp"),
               round(col("sc") / sqrt(col("lam")), 6).as("z"))
         }.reduce(_.unionAll(_)).orderBy("vec_id", "comp")
+        val pins = Seq(c0) ++ vFrames.result() ++
+          (if (frame ne c0) Seq(frame) else Nil)
+        graft.Caching.releasing(s, pins: _*)(out)
       },
       Some {
         val deflate2 = sqlDeflate("c", "v3", "g2") + ",\n" +

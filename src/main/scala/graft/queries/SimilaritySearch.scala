@@ -832,8 +832,9 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
     // population, the number a capacity planner multiplies by corpus
     // size. One candidate-assignment pass is shared by all arms (only
     // the 10-query side re-assigns per arm), so the report costs barely
-    // more than its widest arm. Recall is n_match/50.0 — one IEEE
-    // division of exact integers per row.
+    // more than its widest arm. Recall is n_match over the brute-force
+    // truth SIZE (computed, not a literal, so it tracks the query set)
+    // — one IEEE division of exact integers per row.
     Q("simsearch_probe_curve",
       (s, d) => {
         VectorExpressions.register(s)
@@ -859,6 +860,11 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
         val bt = graft.Caching.materialize(s,
           qs.find(_.name == "simsearch_bruteforce_topk").get.fn(s, d)
             .select("q_id", "c_id"))
+        // recall denominator = the brute-force truth SIZE, not a
+        // literal: if the query-set predicate or k ever changes, the
+        // denominator follows in both engines instead of silently
+        // going stale
+        val truth = bt.agg(count(lit(1)).as("n_truth"))
         val armFrames = Seq(1, 2, 4).map { np =>
           val q = assign(emb.filter(col("vec_id") < 10), np)
             .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
@@ -876,9 +882,11 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
               col("q_id") === col("tq") && col("c_id") === col("tc"), "left")
             .agg(count(col("tc")).as("n_match"))
           (scored, m.crossJoin(scored.agg(count(lit(1)).as("n_scored")))
+            .crossJoin(broadcast(truth))
             .select(lit(np.toLong).as("nprobe"), col("n_scored"),
               col("n_match"),
-              (col("n_match").cast("double") / lit(50.0)).as("recall_at_5")))
+              (col("n_match").cast("double") / col("n_truth"))
+                .as("recall_at_5")))
         }
         val out = armFrames.map(_._2).reduce(_.unionAll(_)).orderBy("nprobe")
         graft.Caching.releasing(s,
@@ -928,7 +936,8 @@ bt AS (SELECT q_id, c_id FROM (
 ${qAssign(1)},
 ${qAssign(2)},
 ${qAssign(4)}
-SELECT nprobe, n_scored, n_match, n_match / 50.0 AS recall_at_5
+SELECT nprobe, n_scored, n_match,
+       CAST(n_match AS DOUBLE) / (SELECT count(*) FROM bt) AS recall_at_5
 FROM (SELECT * FROM am1 UNION ALL SELECT * FROM am2 UNION ALL SELECT * FROM am4)
 ORDER BY nprobe"""
       }),
