@@ -69,8 +69,8 @@ object Ladder {
       "verified pairs -> connected components -> one draw per cluster"),
     Family("simsearch_graph_route", "embeddings", 1.4,
       "deg-16 serve-graph build O(N + collisions) dominates; per-query " +
-        "serve is a CONSTANT ~150-candidate broadcast probe (query count " +
-        "here also grows with N via the % 97 sample)"),
+        "serve is constant at EVERY stage: 64-vector capped entry scan " +
+        "+ beam-bounded hops (query count here grows with N via % 97)"),
     Family("graph_link_prediction", "embeddings", 1.4,
       "wedge join over the materialized k-NN edge list: O(N x deg^2)"),
     Family("curation_ngram_decontam_spans", "documents", 1.4,

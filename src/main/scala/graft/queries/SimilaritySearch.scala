@@ -1192,19 +1192,27 @@ ORDER BY m.vec_id""")),
 
     // Graph-routed ANN serve — the HNSW-shaped query path over the
     // k-NN graph the builder family (knn_graph → refine → converged)
-    // maintains: a small deterministic ENTRY LAYER (vec_id % 16 — the
-    // upper-layer sample) is scanned brute-force to pick each query's
-    // entry point, then two unrolled GREEDY HOPS expand along graph
-    // edges (entry → its top-3 neighbors → best candidate's top-3),
+    // maintains: a FIXED-SIZE entry layer ([[EntryCap]] = 64 vectors,
+    // chosen by a deterministic hash order — HNSW's constant-sized top
+    // layer) is scanned brute-force to pick each query's entry
+    // points, then three unrolled GREEDY HOPS expand along graph edges
+    // (entry beam → its top-16 neighbors, re-rank to beam 3, repeat),
     // and the answer is the top-5 of everything visited. Per query the
-    // route scores |layer1| + ≤7 candidates instead of N — the
-    // logarithmic-ish serve HNSW buys, with the layer hierarchy cut to
-    // one level so every hop is a relational join both engines unroll
-    // identically (greedy argmax per hop = one window, ties to min
-    // id). At 100 TB: layer1 broadcasts (it is the index's top layer),
-    // each hop is an equi-join against the edge list partitioned by
-    // src, and queries batch through the same two-hop plan — no
-    // per-query driver loop. SimilaritySearchSpec measures routed
+    // route scores EntryCap + ≤ 3·beam·ServeDegree candidates — a
+    // CONSTANT at every stage, independent of corpus size (the earlier
+    // fixed-RATE vec_id % 16 sample made the entry scan ∝ N/16 and the
+    // stage asymptotically quadratic; a capped entry set removes that,
+    // trading it for hop count: at deployment scale the number of
+    // unrolled hop rounds grows ~log N, each round the same
+    // constant-cost join — simsearch_beam_curve measures the
+    // (beam, degree) operating point). Every hop is a relational join
+    // both engines unroll identically (greedy argmax per hop = one
+    // window, ties to min id). At 100 TB: the entry layer broadcasts
+    // (it IS the index's top layer, built once by a distributed
+    // hash-order top-k, never a single-partition window), each hop is
+    // an equi-join against the edge list partitioned by src, and
+    // queries batch through the same two-hop plan — no per-query
+    // driver loop. SimilaritySearchSpec measures routed
     // recall@1 against brute force and pins the visited-set bound.
     Q("simsearch_graph_route",
       (s, d) => {
@@ -1213,7 +1221,10 @@ ORDER BY m.vec_id""")),
         val queries = emb.filter(col("vec_id") % 97 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("nrm").as("qn"))
-        val layer1 = emb.filter(col("vec_id") % 16 === 0)
+        val layer1 = emb
+          .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc,
+            col("vec_id").asc)
+          .limit(EntryCap)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"),
             col("nrm").as("cn"))
         def wq = Window.partitionBy("qid")
@@ -1221,7 +1232,7 @@ ORDER BY m.vec_id""")),
         val entry = queries.join(broadcast(layer1), col("qid") =!= col("cid"))
           .withColumn("cos",
             round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
-          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 3)
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 6)
           .select(col("qid"), col("cid").as("entry"))
         // the serve graph builds ONCE (checkpoint) — without it the
         // three beam rounds each re-derive the SRP band join and the
@@ -1251,7 +1262,7 @@ ORDER BY m.vec_id""")),
             .distinct()
         }
         graft.Caching.releasing(s, kg)(
-          rescore(expand(expand(c1)))
+          rescore(expand(expand(expand(c1))))
             .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
             .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
               col("cos"))
@@ -1260,7 +1271,8 @@ ORDER BY m.vec_id""")),
       Some(s"""
 WITH ${sqlKnnEdgesK(ServeDegree)},
 q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
-l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e WHERE vec_id % 16 = 0),
+l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
+       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT 64),
 es AS (SELECT qid, cid,
          round(list_sum(list_transform(range(1, len(qe)+1),
                  k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
@@ -1268,7 +1280,7 @@ es AS (SELECT qid, cid,
 entry AS (SELECT qid, cid AS entry FROM (
   SELECT qid, cid,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM es) WHERE rn <= 3),
+  FROM es) WHERE rn <= 6),
 c1 AS (SELECT qid, entry AS cid FROM entry
        UNION
        SELECT entry.qid, kg.dst FROM entry JOIN kg ON entry.entry = kg.src),
@@ -1303,12 +1315,36 @@ c3s AS (SELECT c3.qid, c3.cid,
                   k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
         FROM c3 JOIN q ON c3.qid = q.qid
                 JOIN e e2 ON c3.cid = e2.vec_id
-        WHERE c3.cid <> c3.qid)
+        WHERE c3.cid <> c3.qid),
+b3 AS (SELECT qid, cid AS b FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM c3s) WHERE rn <= 3),
+c4 AS (SELECT qid, cid FROM c3
+       UNION
+       SELECT b3.qid, kg.dst FROM b3 JOIN kg ON b3.b = kg.src),
+c4s AS (SELECT c4.qid, c4.cid,
+          round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+        FROM c4 JOIN q ON c4.qid = q.qid
+                JOIN e e2 ON c4.cid = e2.vec_id
+        WHERE c4.cid <> c4.qid)
 SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
   SELECT qid, cid, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM c3s) WHERE rn <= 5 ORDER BY qid, rk"""))
+  FROM c4s) WHERE rn <= 5 ORDER BY qid, rk"""))
   )
+
+  /** Fixed size of simsearch_graph_route's entry layer (HNSW's
+    * constant-sized top layer): the 64 corpus vectors first in a
+    * deterministic hash order ((vec_id·131 + 7) mod 1009, ties to
+    * vec_id — the same arithmetic in both engines), selected by a
+    * distributed top-k (TakeOrdered — no global window). A fixed CAP,
+    * not a fixed RATE: the per-query entry scan stays 64 dot products
+    * at any corpus size, which is what keeps the serve cost constant
+    * per query end-to-end.
+    */
+  private[queries] val EntryCap = 64
 
   /** Serve-graph out-degree for simsearch_graph_route (HNSW's M): the
     * build graph keeps top-3, but greedy routing on a 3-degree graph
