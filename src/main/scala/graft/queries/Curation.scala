@@ -988,16 +988,18 @@ ORDER BY c.doc_id""")),
     // make the 4 draws distinct; the hash ring makes them
     // pseudo-random. cross_source flags the (majority) draws that
     // cross provenance — the consumer's hard/easy negative split.
-    // At 100 TB the ring is a repartitionByRange global rank (the o5
-    // technique) and the join co-partitions on position.
+    // The ring position IS the o5 two-phase offset rank
+    // (globalRowNumber — no corpus-sized single-task window), and the
+    // join co-partitions on position.
     Q("curation_negative_pairs",
       (s, d) => {
-        val wPos = Window.orderBy(col("hkey").asc, col("doc_id").asc)
-        val ring = Tables.documents(s, d)
-          .withColumn("hkey", Sketches.h60(
-            concat(lit("ring_"), col("doc_id").cast("string"))))
-          .withColumn("pos", row_number().over(wPos).cast("long") - 1)
-          .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        val n1 = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+        val ring = WindowsSorts.globalRowNumber(s,
+            Tables.documents(s, d).withColumn("hkey", Sketches.h60(
+              concat(lit("ring_"), col("doc_id").cast("string")))),
+            "pos1", 8, col("hkey").asc, col("doc_id").asc)
+          .withColumn("pos", col("pos1") - 1)
+          .crossJoin(broadcast(n1))
           .select("doc_id", "source", "pos", "n")
         val anchors = ring.filter(col("doc_id") % 20 === 0)
           .select(col("doc_id").as("anchor_id"),
@@ -1164,26 +1166,24 @@ FROM x ORDER BY doc_id, chunk_idx""")),
     // integer rank arithmetic (((rn-1)*4) div n + 1 — no percentile
     // interpolation), the within-stage order is the md5-family hkey,
     // and curriculum_rank is the global serve position. The output IS
-    // a total order, so a rank window is inherent to the semantics; at
-    // 100 TB the same schedule ships as (stage, hkey) SORT KEYS plus
-    // o5_scalable_row_number's two-phase offset rank — this fixture
-    // form keeps the single window for oracle exactness.
+    // a total order — and BOTH ranks run through globalRowNumber (the
+    // o5 two-phase offset rank: range-repartition, number within
+    // partitions, add broadcast offsets), so no corpus-sized window
+    // ever lands in one task; the oracle keeps the plain window form,
+    // which is rank-identical because the sort keys are total orders.
     Q("curation_curriculum_order",
       (s, d) => {
         TextHash.register(s)
         val q = TextAnalysis.qualityScored(s, d)
           .select(col("doc_id"), col("quality"))
-        val wq = Window.orderBy(col("quality").desc, col("doc_id").asc)
         val n1 = q.agg(count(lit(1)).as("n"))
-        val staged = q
-          .withColumn("rn", row_number().over(wq).cast("long"))
+        val staged = WindowsSorts.globalRowNumber(s, q, "rn", 8,
+            col("quality").desc, col("doc_id").asc)
           .crossJoin(broadcast(n1))
           .withColumn("stage", expr("((rn - 1) * 4) div n + 1"))
           .withColumn("hkey", expr(hkeyExpr))
-        val wo = Window.orderBy(col("stage").asc, col("hkey").asc,
-          col("doc_id").asc)
-        staged
-          .withColumn("curriculum_rank", row_number().over(wo).cast("long"))
+        WindowsSorts.globalRowNumber(s, staged, "curriculum_rank", 8,
+            col("stage").asc, col("hkey").asc, col("doc_id").asc)
           .select("doc_id", "quality", "stage", "curriculum_rank")
           .orderBy("curriculum_rank")
       },

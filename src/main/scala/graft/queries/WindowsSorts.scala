@@ -15,6 +15,77 @@ import graft.Tables
   */
 object WindowsSorts {
 
+  /** Two-phase scalable GLOBAL row numbering — the engine-side total
+    * order every corpus-sized ranking in this library routes through
+    * (o5_scalable_row_number is its oracle-verified reference): a bare
+    * `row_number()` over an unpartitioned window collapses the whole
+    * dataset into ONE task, so instead (1) range-repartition on the
+    * sort key — partitions become globally ordered — and number rows
+    * WITHIN each partition (distributed), then (2) add per-partition
+    * offsets computed from the tiny #partitions-row count table (the
+    * only single-partition window left runs over `parts` rows, and the
+    * offsets broadcast back). `sortCols` must be a TOTAL order
+    * (include a tie-break key) — then the result is identical to the
+    * single-task window under any partitioning. Appends `out`
+    * (1-based, long); helper columns are dropped.
+    *
+    * The locally-ranked frame is materialized ONCE before the offsets
+    * branch and the join branch read it: both branches otherwise
+    * re-execute the range exchange, and AQE may pick different
+    * partition boundaries per execution — then per-partition counts
+    * attach to pids that do not match the join side's pids and the
+    * global ranks come out overlapping (observed: ntile buckets off by
+    * up to 15% on the layout queries). One materialization pins one
+    * set of boundaries; at deployment scale that is a single write of
+    * the ranked corpus — the natural cost of a total-order layout op.
+    */
+  private[queries] def globalRowNumber(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame,
+      out: String, parts: Int, sortCols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame = {
+    val local = graft.Caching.materialize(s,
+      rankedWithinPartitions(df, parts, sortCols: _*))
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", sum("__cnt").over(wOff) - col("__cnt"))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(out, (col("__lrn") + col("__off")).cast("long"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Phase 1 of [[globalRowNumber]], exposed so PlanQualitySpec can
+    * pin its shape (the materialization hides it from the final
+    * plan): range-repartitioned, sorted within partitions, with the
+    * per-partition `__lrn` rank — the row_number window here MUST
+    * carry the `__pid` partition spec, never a global window.
+    */
+  private[queries] def rankedWithinPartitions(
+      df: org.apache.spark.sql.DataFrame, parts: Int,
+      sortCols: org.apache.spark.sql.Column*)
+      : org.apache.spark.sql.DataFrame = {
+    val byKey = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(sortCols: _*)
+    byKey.withColumn("__lrn", row_number().over(wLocal))
+  }
+
+  /** Exact engine-side replica of `ntile(k)` over a global order, fed
+    * by [[globalRowNumber]] instead of a single-task window: given the
+    * global 1-based rank `rn` and total count `n` (both columns), the
+    * first n%k buckets take n/k+1 rows and the rest n/k — the standard
+    * ntile fill rule, as integer CASE arithmetic both engines agree
+    * on. The oracle keeps the literal `ntile` window; this is the
+    * shape that survives a 1000-executor corpus.
+    */
+  private[queries] def ntileExpr(rn: String, n: String, k: Int): String =
+    s"CASE WHEN $rn <= ($n % $k) * ($n div $k + 1) " +
+      s"THEN ($rn - 1) div ($n div $k + 1) + 1 " +
+      s"ELSE ($n % $k) + ($rn - ($n % $k) * ($n div $k + 1) - 1) " +
+      s"div ($n div $k) + 1 END"
+
   /** 16-bit Morton (Z-order) key: interleave the low 8 bits of `x`
     * (even positions) and `y` (odd positions). Both builders emit the
     * same sum-of-terms structure so the two engines compute
@@ -582,24 +653,10 @@ FROM it GROUP BY user_id ORDER BY user_id""")),
     // plain row_number().
     Q("o5_scalable_row_number",
       (s, d) => {
-        val byKey = Tables.orders(s, d)
-          .select("o_orderkey", "o_totalprice")
-          .repartitionByRange(8, col("o_totalprice").desc, col("o_orderkey").asc)
-          .sortWithinPartitions(col("o_totalprice").desc, col("o_orderkey").asc)
-          .withColumn("pid", spark_partition_id())
-        val wLocal = Window.partitionBy("pid")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        val local = byKey.withColumn("local_rn", row_number().over(wLocal))
-        // per-partition row counts: #partitions rows, a driver-safe
-        // scalar table; the running sum gives each partition's offset
-        val wOff = Window.orderBy("pid")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offsets = local.groupBy("pid").agg(count(lit(1)).as("cnt"))
-          .withColumn("offset", sum("cnt").over(wOff) - col("cnt"))
-          .select("pid", "offset")
-        local.join(broadcast(offsets), "pid")
-          .select(col("o_orderkey"), col("o_totalprice"),
-            (col("local_rn") + col("offset")).cast("long").as("global_rn"))
+        globalRowNumber(s,
+          Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
+          "global_rn", 8, col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_totalprice", "global_rn")
           .filter(col("global_rn") <= 500)
           .orderBy("global_rn")
       },
@@ -643,8 +700,11 @@ QUALIFY global_rn <= 500 ORDER BY global_rn""")),
           .withColumn("qy", expr(
             "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)"))
           .withColumn("zkey", expr(zkeySpark("qx", "qy")))
-        val w = Window.orderBy(col("zkey").asc, col("o_orderkey").asc)
-        keyed.withColumn("file_id", ntile(16).over(w).cast("long"))
+        val n1 = Tables.orders(s, d).agg(count(lit(1)).as("__n"))
+        globalRowNumber(s, keyed, "__rn", 8,
+          col("zkey").asc, col("o_orderkey").asc)
+          .crossJoin(broadcast(n1))
+          .withColumn("file_id", expr(ntileExpr("__rn", "__n", 16)).cast("long"))
           .groupBy("file_id")
           .agg(count(lit(1)).as("n_rows"),
             min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
@@ -715,9 +775,11 @@ FROM f GROUP BY file_id ORDER BY file_id""")),
             "CAST((o_custkey - min_ck) * 256 div (max_ck - min_ck + 1) AS INT)"))
           .withColumn("qy", expr(
             "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)"))
-        val w = Window.orderBy(col("hkey").asc, col("o_orderkey").asc)
-        withHilbertKey(keyed, "qx", "qy", "hkey")
-          .withColumn("file_id", ntile(16).over(w).cast("long"))
+        val n1 = Tables.orders(s, d).agg(count(lit(1)).as("__n"))
+        globalRowNumber(s, withHilbertKey(keyed, "qx", "qy", "hkey"), "__rn", 8,
+          col("hkey").asc, col("o_orderkey").asc)
+          .crossJoin(broadcast(n1))
+          .withColumn("file_id", expr(ntileExpr("__rn", "__n", 16)).cast("long"))
           .groupBy("file_id")
           .agg(count(lit(1)).as("n_rows"),
             min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),

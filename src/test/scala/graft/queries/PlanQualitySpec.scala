@@ -236,13 +236,48 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("o5: global row numbering range-partitions; the data window stays partitioned") {
-    val p = plan("o5_scalable_row_number")
+    // the ranked frame is materialized inside globalRowNumber, so pin
+    // phase 1's shape directly: range exchange + a row_number window
+    // that carries the __pid partition spec — a bare global window
+    // here would be the single-task shape o5 exists to avoid
+    import org.apache.spark.sql.functions.col
+    val p = WindowsSorts.rankedWithinPartitions(
+      graft.Tables.orders(spark, TestSpark.Sf001)
+        .select("o_orderkey", "o_totalprice"),
+      8, col("o_totalprice").desc, col("o_orderkey").asc)
+      .queryExecution.executedPlan.toString
     assert(p.toLowerCase.contains("rangepartitioning"), p.take(2000))
-    // the per-row window must carry a partition spec (pid) — a bare
-    // global window here would be the single-task shape o5 exists to avoid
     val rnLine = p.linesIterator.find(l =>
-      l.contains("row_number()") && l.contains("local_rn")).getOrElse("")
-    assert(rnLine.contains("pid#"), s"row_number window not partitioned: $rnLine")
+      l.contains("row_number()") && l.contains("__lrn")).getOrElse("")
+    assert(rnLine.contains("__pid#"), s"row_number window not partitioned: $rnLine")
+  }
+
+  test("total-order engine paths: no corpus-sized single-partition window remains") {
+    // curriculum order, negative-pair ring, and both layout queries
+    // rank corpus-sized input; each routes through globalRowNumber
+    // (two-phase offset rank). The executed plan must carry no ntile
+    // and no row_number over an unpartitioned window — the only
+    // SinglePartition exchange allowed per rank is the one feeding the
+    // #partitions-row offsets window.
+    Seq("curation_curriculum_order", "curation_negative_pairs",
+      "o6_zorder_layout", "o7_hilbert_layout").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("ntile("), s"$name still uses an ntile window")
+      p.linesIterator.filter(_.contains("row_number()")).foreach { l =>
+        assert(l.contains("windowspecdefinition(__pid#"),
+          s"$name has an unpartitioned row_number window: $l")
+      }
+      // every remaining SinglePartition exchange must collapse through
+      // an aggregate (pid counts, scalar totals) — never corpus rows
+      val lines = p.linesIterator.toVector
+      lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+        .foreach { case (_, i) =>
+          val next = lines.drop(i + 1).take(2).mkString(" ")
+          assert(next.contains("HashAggregate"),
+            s"$name: SinglePartition exchange over non-aggregate input:\n" +
+              lines.slice(i, i + 3).mkString("\n"))
+        }
+    }
   }
 
   test("f13: pre-explode projection prunes the documents scan to two columns") {
@@ -355,7 +390,10 @@ class PlanQualitySpec extends AnyFunSuite {
       "text_chunk_sliding" -> 1, // map-only + presentation sort
       "text_chunk_sentences" -> 2, // doc window + chunk rollup/sort
       "simsearch_cell_quality" -> 6, // quantizer train + assign + rollup
-      "o6_zorder_layout" -> 2, // global zkey order + file rollup
+      // two-phase offset rank (range exchange inside the pinned
+      // checkpoint; pid-count agg + 8-row offsets window after it) +
+      // file rollup
+      "o6_zorder_layout" -> 5,
       // regs/scaffold/merge/est/exact aggs — all over <= 64-row state
       // after the first groupBy
       "a22_hll_registers" -> 9,
@@ -430,8 +468,9 @@ class PlanQualitySpec extends AnyFunSuite {
       // test grams distinct + broadcast probe + matched-positions
       // window + per-doc rollup joins
       "curation_ngram_decontam_spans" -> 5,
-      // quantize (1-row bounds broadcast) + layout window + rollup
-      "o7_hilbert_layout" -> 2,
+      // quantize (1-row bounds broadcast) + two-phase offset rank +
+      // rollup
+      "o7_hilbert_layout" -> 5,
       // two KMV sketch windows, the union window, intersect, exact
       // side — all over ≤K-row or distinct-key frames
       "a25_kmv_set_algebra" -> 9)
