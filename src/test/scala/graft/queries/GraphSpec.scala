@@ -108,6 +108,47 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("converged knn communities: in-memory LPA flips are non-increasing, " +
+    "hit zero within MaxLpaRounds, and the fixed point matches the query") {
+    val edges = SimilaritySearch.knnEdges(spark, graft.TestSpark.Sf0001)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    val flipSeq = scala.collection.mutable.Buffer.empty[Int]
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      rounds += 1
+      val next = adj.map { case (n, ns) =>
+        // most frequent label among neighbors + the node's own current
+        // label (the self-vote stabilization), ties to MIN label
+        val votes = (labels(n) +: ns.map(labels))
+          .groupBy(identity).view.mapValues(_.size)
+        n -> votes.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }
+      val flips = next.count { case (n, l) => labels(n) != l }
+      flipSeq += flips
+      labels = next
+      converged = flips == 0
+    }
+    assert(converged,
+      s"in-memory LPA did not converge in 20 rounds: $flipSeq")
+    assert(rounds <= Graph.MaxLpaRounds,
+      s"fixture needs $rounds rounds > MaxLpaRounds=${Graph.MaxLpaRounds} " +
+        s"-- raise the oracle unroll: $flipSeq")
+    flipSeq.toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a,
+        s"flip counts not non-increasing: $flipSeq")
+      case _ => ()
+    }
+    val got = Registry.queries("graph_knn_communities_converged")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == labels,
+      "engine fixed point differs from the in-memory LPA fixed point")
+  }
+
   test("link prediction: pairs are unlinked, counts match brute-force " +
     "common-neighborhoods, degrees are real") {
     val g = SimilaritySearch.knnEdges(spark, graft.TestSpark.Sf0001)
