@@ -297,8 +297,16 @@ object DedupIndex {
     // the capped-postings rescue is per-doc, so restricting its input
     // to the recompute set is exact.
     val rawRe = raw.join(recompute, Seq("doc_id"), "left_semi")
+    // content hashes: the batch supplies them for genuinely NEW docs;
+    // re-signed pre-existing docs (cap flips) take theirs from the old
+    // sig table — under the append-only contract the stored hash is
+    // authoritative, and it means `docs` may be the DELTA ALONE (the
+    // streaming ingest shape) rather than a full corpus snapshot
+    val thAll = oldSig.select(col("doc_id"), col("th"))
+      .unionByName(contentHash(docs)
+        .join(indexed, Seq("doc_id"), "left_anti"))
     val sigRe = Dedup.signatures(Dedup.cappedPostings(rawRe, dfT, dfCap))
-      .join(contentHash(docs), Seq("doc_id"))
+      .join(thAll, Seq("doc_id"))
     val sigCols = oldSig.columns.map(col)
     oldSig.join(recompute, Seq("doc_id"), "left_anti").select(sigCols: _*)
       .union(sigRe.select(sigCols: _*))

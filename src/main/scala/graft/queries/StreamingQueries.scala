@@ -867,6 +867,78 @@ FROM j GROUP BY source ORDER BY source""")),
       },
       Some(TextIndex.topkOracle)),
 
+    // Streaming dedup-index maintenance — st17/st18's treatment for
+    // the LSM MinHash index (DedupIndex), the last durable-state
+    // subsystem that updated batch-only: the document stream folds
+    // into the persisted state in foreachBatch, each batch writing its
+    // OWN version directory b<batchId> derived from the latest version
+    // built by a SMALLER batch id. That naming is the idempotency:
+    // a foreachBatch retry or a checkpoint replay of batch id
+    // recomputes from the SAME parent and overwrites b<id> — never
+    // chains a duplicate version — so the state is exactly-once from
+    // at-least-once delivery without any tagged-append machinery
+    // beyond the version pointer itself. Each update is O(delta)
+    // (delta postings written, asymmetric band join; the
+    // dedup_index_update contract), and the batch passes the DELTA
+    // ALONE — re-signed cap-flip docs take their stored content hash
+    // from the previous version. Final state must equal a from-scratch
+    // build over the whole corpus: the oracle recomputes every
+    // signature from raw text. An empty redelivery drain is require()d
+    // to leave the version chain unchanged.
+    Q("st20_streaming_dedup_index",
+      (s, d) => graft.Scratch.withDir(s, "stdidx") { root =>
+        val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+        DedupIndex.bootstrap(s, docs.filter(col("doc_id") % 3 === 0),
+          s"$root/state/v0")
+        def versions(): Seq[String] = {
+          val base = new java.io.File(s"$root/state")
+          base.listFiles().map(_.getName).toSeq
+            .filter(n => n == "v0" || n.matches("b\\d+"))
+        }
+        def parentFor(id: Long): String =
+          versions().filter(n => n == "v0" || n.drop(1).toLong < id)
+            .maxBy(n => if (n == "v0") -1L else n.drop(1).toLong)
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = new java.io.File(stageDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.createDirectories(Paths.get(s"$root/in"))
+          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema("doc_id BIGINT, text STRING")
+            .parquet(s"$root/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              DedupIndex.update(s, batch,
+                s"$root/state/${parentFor(id)}", s"$root/state/b$id"); ()
+            }
+            .option("checkpointLocation", s"$root/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        stage(docs.filter(col("doc_id") % 3 === 1), "t1"); drain()
+        stage(docs.filter(col("doc_id") % 3 === 2), "t2"); drain()
+        val chainAfter = versions().sorted
+        drain() // redelivery: same checkpoint, no new files -> no-op
+        require(versions().sorted == chainAfter,
+          s"empty redelivery grew the version chain $chainAfter -> " +
+            s"${versions().sorted} — the batch-id versioning is not " +
+            "idempotent")
+        val head = parentFor(Long.MaxValue)
+        s.read.parquet(s"$root/state/$head/sig")
+          .select(col("doc_id") +: col("n") +:
+            (0 until 8).map(i => col(s"m$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some("WITH " + Dedup.sigCtes("") + """
+SELECT doc_id, n, m0, m1, m2, m3, m4, m5, m6, m7
+FROM sigt ORDER BY doc_id""")),
+
     // Streaming reservoir sample — the online form of
     // curation_reservoir_sample: per-doc salted md5 draws fold into
     // per-salt-group min-k state (DocsStream.reservoirCandidates),
