@@ -1332,7 +1332,115 @@ c4s AS (SELECT c4.qid, c4.cid,
 SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
   SELECT qid, cid, cos,
          row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM c4s) WHERE rn <= 5 ORDER BY qid, rk"""))
+  FROM c4s) WHERE rn <= 5 ORDER BY qid, rk""")),
+
+    // The (beam, degree) operating-point curve for the graph-routed
+    // serve — probe_curve's treatment for simsearch_graph_route:
+    // routed recall@1/@5 AND candidates-scored, measured together for
+    // beam ∈ {1,3,5} at the serving degree 16 and degree ∈ {8,16,32}
+    // at the serving beam 3, against the brute-force truth on the same
+    // % 97 query set — so the cost/recall trade behind the chosen
+    // (beam 3, M=16) point is a table, not folklore (SCALE.md carries
+    // the sf0.1 numbers). One SRP candidate pass builds ONE degree-32
+    // ranked edge list; each arm's serve graph is a rank cut (rk ≤ M)
+    // of it, the entry scan and the brute truth are shared across
+    // arms, and every per-arm stage is the serve path's own arithmetic
+    // (same rounding, same tie order). n_scored counts the exact
+    // (query, candidate) cosine evaluations an arm pays — entry scan +
+    // every hop rescore — the number a capacity planner multiplies by
+    // query volume; recall denominators are the truth sizes, computed
+    // not hardcoded.
+    Q("simsearch_beam_curve",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = normedEmb(s, d)
+        val queries = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val layer1 = emb
+          .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc,
+            col("vec_id").asc)
+          .limit(EntryCap)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        def wq = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        val pins = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+        def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val m = graft.Caching.materialize(s, df); pins += m; m
+        }
+        val es = mat(queries.join(broadcast(layer1), col("qid") =!= col("cid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+          .select("qid", "cid", "cos"))
+        val entry = es.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+        val kgAll = mat(knnEdges(s, d, 32).select("src", "dst", "rk"))
+        val truth = mat(emb.join(broadcast(queries),
+            col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+          .select(col("qid"), col("vec_id").as("cid"), col("cos"))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+          .select("qid", "cid", "rn"))
+        val den5 = truth.agg(count(lit(1)).as("n_truth5"))
+        val den1 = truth.filter(col("rn") === 1)
+          .agg(count(lit(1)).as("n_truth1"))
+        def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = emb
+          .join(broadcast(cand), col("vec_id") === col("cid"))
+          .join(broadcast(queries), "qid")
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+          .select("qid", "cid", "cos")
+        def arm(beam: Int, deg: Int): org.apache.spark.sql.DataFrame = {
+          val kg = kgAll.filter(col("rk") <= deg).select("src", "dst")
+          var cand = entry.select(col("qid"), col("entry").as("cid"))
+            .union(kg.join(broadcast(entry), col("entry") === col("src"))
+              .select(col("qid"), col("dst").as("cid")))
+            .distinct()
+          val scoredFrames =
+            scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](es)
+          for (_ <- 1 to 3) {
+            val sc = mat(rescore(cand))
+            scoredFrames += sc
+            val beamDf = sc.withColumn("rn", row_number().over(wq))
+              .filter(col("rn") <= beam).select(col("qid"), col("cid").as("b"))
+            cand = cand
+              .union(kg.join(broadcast(beamDf), col("b") === col("src"))
+                .select(col("qid"), col("dst").as("cid")))
+              .distinct()
+          }
+          val scFinal = mat(rescore(cand))
+          scoredFrames += scFinal
+          val nScored = scoredFrames.map(_.agg(count(lit(1)).as("c")))
+            .reduce(_.unionAll(_)).agg(sum("c").as("n_scored"))
+          val top = scFinal.withColumn("rn", row_number().over(wq))
+            .filter(col("rn") <= 5).select("qid", "cid", "rn")
+          val m5 = truth.join(top.select(col("qid").as("tq"),
+              col("cid").as("tc")),
+              col("qid") === col("tq") && col("cid") === col("tc"), "left")
+            .agg(count(col("tc")).as("n_match5"))
+          val m1 = truth.filter(col("rn") === 1)
+            .join(top.filter(col("rn") === 1)
+              .select(col("qid").as("tq"), col("cid").as("tc")),
+              col("qid") === col("tq") && col("cid") === col("tc"), "left")
+            .agg(count(col("tc")).as("n_match1"))
+          nScored.crossJoin(m5).crossJoin(m1)
+            .crossJoin(broadcast(den5)).crossJoin(broadcast(den1))
+            .select(lit(beam.toLong).as("beam"), lit(deg.toLong).as("deg"),
+              col("n_scored"), col("n_match5"),
+              (col("n_match5").cast("double") / col("n_truth5"))
+                .as("recall_at_5"),
+              col("n_match1"),
+              (col("n_match1").cast("double") / col("n_truth1"))
+                .as("recall_at_1"))
+        }
+        val out = BeamCurveArms.map { case (b, m) => arm(b, m) }
+          .reduce(_.unionAll(_)).orderBy("beam", "deg")
+        graft.Caching.releasing(s, pins.toSeq: _*)(out)
+      },
+      Some(sqlBeamCurve))
   )
 
   /** Fixed size of simsearch_graph_route's entry layer (HNSW's
@@ -1346,14 +1454,121 @@ SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
     */
   private[queries] val EntryCap = 64
 
+  /** The (beam, out-degree) grid simsearch_beam_curve measures: the
+    * beam sweep at the serving degree and the degree sweep at the
+    * serving beam — a cross, not a full grid, so the report costs
+    * 5 arms instead of 9 while still isolating each dial.
+    */
+  private[queries] val BeamCurveArms: Seq[(Int, Int)] =
+    Seq((1, 16), (3, 8), (3, 16), (3, 32), (5, 16))
+
+  /** DuckDB twin of simsearch_beam_curve: shared e/kg(32)/q/l1/es/
+    * entry/truth CTEs + one unrolled hop chain per arm, each stage the
+    * serve oracle's own arithmetic.
+    */
+  private def sqlBeamCurve: String = {
+    def hopChain(i: Int, beam: Int, deg: Int): String = {
+      def score(inC: String, outC: String): String =
+        s"""$outC AS (SELECT $inC.qid, $inC.cid,
+           |  round(list_sum(list_transform(range(1, len(q.qe)+1),
+           |          k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+           |FROM $inC JOIN q ON $inC.qid = q.qid
+           |          JOIN e e2 ON $inC.cid = e2.vec_id
+           |WHERE $inC.cid <> $inC.qid)""".stripMargin
+      def beamCut(inS: String, outB: String): String =
+        s"""$outB AS (SELECT qid, cid AS b FROM (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY cos DESC, cid ASC) AS rn
+           |  FROM $inS) WHERE rn <= $beam)""".stripMargin
+      def hop(inC: String, inB: String, outC: String): String =
+        s"""$outC AS (SELECT qid, cid FROM $inC
+           |UNION
+           |SELECT $inB.qid, kg.dst FROM $inB
+           |JOIN kg ON $inB.b = kg.src AND kg.rk <= $deg)""".stripMargin
+      val p = s"a$i"
+      Seq(
+        s"""${p}_c1 AS (SELECT qid, entry AS cid FROM entry
+           |UNION
+           |SELECT entry.qid, kg.dst FROM entry
+           |JOIN kg ON entry.entry = kg.src AND kg.rk <= $deg)""".stripMargin,
+        score(s"${p}_c1", s"${p}_c1s"),
+        beamCut(s"${p}_c1s", s"${p}_b1"),
+        hop(s"${p}_c1", s"${p}_b1", s"${p}_c2"),
+        score(s"${p}_c2", s"${p}_c2s"),
+        beamCut(s"${p}_c2s", s"${p}_b2"),
+        hop(s"${p}_c2", s"${p}_b2", s"${p}_c3"),
+        score(s"${p}_c3", s"${p}_c3s"),
+        beamCut(s"${p}_c3s", s"${p}_b3"),
+        hop(s"${p}_c3", s"${p}_b3", s"${p}_c4"),
+        score(s"${p}_c4", s"${p}_c4s"),
+        s"""${p}_top AS (SELECT qid, cid, rn FROM (
+           |  SELECT qid, cid,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY cos DESC, cid ASC) AS rn
+           |  FROM ${p}_c4s) WHERE rn <= 5)""".stripMargin,
+        s"""${p}_row AS (SELECT CAST($beam AS BIGINT) AS beam,
+           |  CAST($deg AS BIGINT) AS deg,
+           |  (SELECT count(*) FROM es) + (SELECT count(*) FROM ${p}_c1s)
+           |    + (SELECT count(*) FROM ${p}_c2s)
+           |    + (SELECT count(*) FROM ${p}_c3s)
+           |    + (SELECT count(*) FROM ${p}_c4s) AS n_scored,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bt
+           |   JOIN ${p}_top t ON bt.qid = t.qid AND bt.cid = t.cid)
+           |    AS n_match5,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM bt
+           |   JOIN ${p}_top t ON bt.qid = t.qid AND bt.cid = t.cid
+           |   WHERE bt.rn = 1 AND t.rn = 1) AS n_match1)""".stripMargin
+      ).mkString(",\n")
+    }
+    val arms = BeamCurveArms.zipWithIndex
+      .map { case ((b, m), i) => hopChain(i, b, m) }.mkString(",\n")
+    val rows = BeamCurveArms.indices
+      .map(i => s"SELECT * FROM a${i}_row").mkString("\nUNION ALL\n")
+    s"""
+WITH ${sqlKnnEdgesK(32)},
+q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
+l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
+       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT 64),
+es AS (SELECT qid, cid,
+         round(list_sum(list_transform(range(1, len(qe)+1),
+                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
+       FROM q CROSS JOIN l1 WHERE qid <> cid),
+entry AS (SELECT qid, cid AS entry FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM es) WHERE rn <= 6),
+btp AS (SELECT q.qid, c.vec_id AS cid,
+          round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  k -> q.qe[k] * c.v[k])) / (q.qn * c.nrm), 6) AS cos
+        FROM q JOIN e c ON c.vec_id <> q.qid),
+bt AS (SELECT qid, cid, rn FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM btp) WHERE rn <= 5),
+$arms
+SELECT beam, deg, n_scored, n_match5,
+       CAST(n_match5 AS DOUBLE) / (SELECT count(*) FROM bt) AS recall_at_5,
+       n_match1,
+       CAST(n_match1 AS DOUBLE) / (SELECT count(*) FROM bt WHERE rn = 1)
+         AS recall_at_1
+FROM ($rows)
+ORDER BY beam, deg"""
+  }
+
   /** Serve-graph out-degree for simsearch_graph_route (HNSW's M): the
     * build graph keeps top-3, but greedy routing on a 3-degree graph
     * strands in local optima (measured 1/6 routed top-1 agreement on
-    * the fixture); at 16 the same router reaches 5/6 while scoring
-    * ~18% of the corpus per query at fixture size — and a CONSTANT
-    * ~90 candidates per query at any corpus size.
+    * the fixture). simsearch_beam_curve picks the operating point with
+    * data: at sf0.1, beam 3 × M=16 routes only 0.22 recall@5 while
+    * M=32 holds 0.47 recall@5 / 0.62 recall@1 at ~1050 scored
+    * candidates per query — still a CONSTANT at any corpus size (the
+    * beam sweep shows beam buys less than degree at equal cost).
+    * Recall at a FIXED hop count decays as the corpus outgrows the
+    * reachable set; the deployment dial is the unrolled hop count
+    * (~log N), each hop the same constant-cost join.
     */
-  private[queries] val ServeDegree = 16
+  private[queries] val ServeDegree = 32
 
   /** Refinement rounds an engine run may need before the k-NN graph's
     * edge set stops changing on any of the test fixtures — the oracle

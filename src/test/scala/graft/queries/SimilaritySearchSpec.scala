@@ -360,9 +360,10 @@ class SimilaritySearchSpec extends AnyFunSuite {
       }
     }
     // routed quality floor: top-1 agreement with exact brute force on
-    // >= half the queries (measured 3/6 on sf0.001, 4/6 on sf0.01 with
-    // the SRP-built degree-16 serve graph; the exact-graph ceiling at
-    // this beam is 5/6)
+    // >= half the queries (measured with the 64-vector capped entry +
+    // SRP-built degree-32 serve graph: 6/6 on sf0.001 and sf0.01,
+    // 13/21 on sf0.1 — the beam-curve query carries the full
+    // (beam, degree) cost/recall table)
     val queries = rows.map(_._1).distinct
     val agree = queries.count { q =>
       val qe = emb(q)
