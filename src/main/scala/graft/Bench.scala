@@ -75,7 +75,11 @@ object Bench {
         () => queries.StreamingQueries.warmStagingCaches(spark, sfDir)),
       ("text_index",
         selected.keys.exists(_.startsWith("text_index")),
-        () => queries.TextIndex.warmSharedState(spark, sfDir)))
+        () => queries.TextIndex.warmSharedState(spark, sfDir)),
+      ("serve_graph",
+        selected.keys.exists(k => k == "simsearch_graph_route" ||
+          k == "simsearch_beam_curve"),
+        () => queries.SimilaritySearch.warmServeGraph(spark, sfDir)))
     val warmPerSubsystem: Map[String, Double] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration

@@ -6,38 +6,41 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Measured scaling curves — the evidence behind SCALE.md's complexity
-  * claims: runs each family's representative query across the
-  * sf0.001/0.01/0.1 fixture ladder, fits the wall-time scaling exponent
-  * against the family's DRIVER-TABLE row count, and FAILS (exit 1) if
-  * any family scales worse than its claimed O() cap. Writes
-  * `scale_ladder.json`; SCALE.md carries the table.
+  * claims: runs each family's representative query across the fixture
+  * ladder, fits the wall-time scaling exponent against the family's
+  * DRIVER-TABLE row count, and FAILS (exit 1) if any family scales
+  * worse than its claimed O() cap. Writes `scale_ladder.json`;
+  * SCALE.md carries the table.
   *
   * Method notes, so the numbers are read honestly:
-  *  - the x-axis is the family's driver-table ROWS at each sf, not the
-  *    sf label — documents hold 500 rows at BOTH sf0.001 and sf0.01
-  *    (then 5000 at sf0.1) and embeddings 500/500/2000, so doc/emb
-  *    families have exactly two distinct scale points (a 10×/4× step)
-  *    while lineitem families have three (6k/60k/600k). Duplicate sizes
-  *    keep the min time (same workload measured twice).
+  *  - the x-axis is the family's driver-table ROWS at each point, not
+  *    the sf label — documents hold 500 rows at BOTH sf0.001 and
+  *    sf0.01 (then 5000 at sf0.1) and embeddings 500/500/2000, so a
+  *    DERIVED mid point (deterministic subsample of sf0.1: doc_id%10<3
+  *    → 1500 docs, vec_id%2=0 → 1000 vectors, built once under
+  *    fixtures/mid) gives doc/emb families THREE distinct sizes like
+  *    lineitem's. Duplicate sizes keep the min time (same workload
+  *    measured twice).
   *  - the fitted exponent is ln(t_hi/t_lo)/ln(n_hi/n_lo) over the two
   *    LARGEST distinct sizes — the pair least polluted by fixed
   *    per-query overhead (scheduler + plan time, ~0.1-0.3 s), which
   *    deflates small-sf denominators and makes the fit CONSERVATIVE
   *    (a true quadratic still lands far above every cap: 10× rows →
-  *    100× work swamps any constant floor).
+  *    100× work swamps any constant floor). All three points are
+  *    recorded so exponent stability across steps is inspectable.
   *  - caps are the claimed complexity plus slack for log factors and
   *    constant-floor distortion: 1.4 for map/join-shaped linear
   *    families, 1.6 for iterative families whose round count may grow
   *    with the data (label propagation, Lloyd-style loops).
   *
   * Usage: tools/run.sh graft.Ladder  (SPARK_GRAFT_CPUS to override
-  * parallelism; the config is held FIXED across all sf points so the
+  * parallelism; the config is held FIXED across all points so the
   * exponent measures the algorithm, not the cluster).
   */
 object Ladder {
 
   final case class Family(query: String, table: String, cap: Double,
-      claim: String, warmDedup: Boolean = false)
+      claim: String, warmDedup: Boolean = false, warmServe: Boolean = false)
 
   val families: Seq[Family] = Seq(
     Family("dedup_minhash_lsh", "documents", 1.4,
@@ -51,6 +54,11 @@ object Ladder {
       warmDedup = true),
     Family("dedup_substring_spans", "documents", 1.4,
       "positional 8-gram inverted index + per-doc span stitching: O(tokens)"),
+    Family("dedup_semantic_kmeans", "embeddings", 1.6,
+      "K = N/100 seeds keep cell size ~constant, so the cell self-join " +
+        "is O(N x cell); the top-1 assignment scans N x K and is the " +
+        "known super-linear term a deployment caps with fixed K or a " +
+        "coarse-quantizer hierarchy"),
     Family("simsearch_knn_graph", "embeddings", 1.4,
       "SRP band-collision candidates + per-node top-k: O(N + collisions)"),
     Family("simsearch_knn_refine", "embeddings", 1.4,
@@ -68,43 +76,86 @@ object Ladder {
     Family("curation_leakage_safe_split", "documents", 1.6,
       "verified pairs -> connected components -> one draw per cluster"),
     Family("simsearch_graph_route", "embeddings", 1.4,
-      "deg-16 serve-graph build O(N + collisions) dominates; per-query " +
-        "serve is constant at EVERY stage: 64-vector capped entry scan " +
-        "+ beam-bounded hops (query count here grows with N via % 97)"),
+      "serve over the warm-cached refined graph (build = LSH seed O(N) " +
+        "+ one NN-descent refine O(N x M^2), attributed to warm state " +
+        "like the dedup bootstrap); per-query serve is constant at " +
+        "EVERY stage, so time tracks the % 97 query count ~ N",
+      warmServe = true),
     Family("graph_link_prediction", "embeddings", 1.4,
       "wedge join over the materialized k-NN edge list: O(N x deg^2)"),
     Family("curation_ngram_decontam_spans", "documents", 1.4,
       "benchmark 13-gram keys broadcast against train positional grams: " +
-        "O(tokens) probe, spans stitched over hits only"))
+        "O(tokens) probe, spans stitched over hits only"),
+    Family("st17_streaming_ann_append", "embeddings", 1.4,
+      "3 idempotent tagged appends, each one broadcast assign + a write " +
+        "touching only its own partitions: O(N) total, O(batch) per batch"),
+    Family("st18_streaming_text_index", "documents", 1.4,
+      "3 idempotent postings appends + additive stats rows: O(tokens) " +
+        "total, O(batch) per batch; serve prunes to query-term buckets"),
+    Family("st20_streaming_dedup_index", "documents", 1.4,
+      "bootstrap third + 2 O(delta) LSM updates via batch-id versioned " +
+        "foreachBatch: delta postings written, asymmetric band join"),
+    Family("mm_image_phash", "documents", 1.4,
+      "input pinned to doc_id < 100 synthesized BMPs on every fixture, " +
+        "so the exponent pins per-image constancy; the scale mechanism " +
+        "is the banded Hamming join (4 nibble bands), never all pairs"))
+
+  /** Build the derived mid fixture (deterministic subsample of sf0.1)
+    * once; a rebuild overwrites with identical bytes-in-rows, so the
+    * ladder is reproducible from a clean checkout.
+    */
+  private def ensureMid(spark: SparkSession, base: String, mid: String): Unit = {
+    if (!Files.exists(Paths.get(s"$mid/documents.parquet"))) {
+      spark.read.parquet(s"$base/sf0.1/documents.parquet")
+        .filter("doc_id % 10 < 3")
+        .write.mode("overwrite").parquet(s"$mid/documents.parquet")
+      spark.read.parquet(s"$base/sf0.1/embeddings.parquet")
+        .filter("vec_id % 2 = 0")
+        .write.mode("overwrite").parquet(s"$mid/embeddings.parquet")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
+    val mid = sys.env.getOrElse("SPARK_GRAFT_MID_DIR", "fixtures/mid")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT", "scale_ladder.json")
-    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ensureMid(spark, base, mid)
     // JIT/codegen warm-up only — a warm-up failure must not mask the
     // real run, but fatal errors (OOM, linkage) still propagate
     try SparkEntry.entry(spark).count()
     catch { case scala.util.control.NonFatal(_) => }
 
-    // rows per (sf, table) — the x-axis
-    val tables = families.map(_.table).distinct
+    // the fixture ladder: lineitem families have three real sf points;
+    // doc/emb families add the derived mid subsample as a third
+    // distinct size
+    val sfDirs = Seq("sf0.001", "sf0.01", "sf0.1").map(sf => s"$base/$sf")
+    def dirsFor(f: Family): Seq[String] =
+      if (f.table == "lineitem") sfDirs
+      else sfDirs.take(2) ++ Seq(mid) :+ sfDirs.last
+
+    // rows per (dir, table) — the x-axis
     val rows: Map[(String, String), Long] = (for {
-      sf <- sfs; t <- tables
-    } yield (sf, t) -> spark.read.parquet(s"$base/$sf/$t.parquet").count()).toMap
+      f <- families; dir <- dirsFor(f)
+    } yield (dir, f.table)).distinct.map { case (dir, t) =>
+      (dir, t) -> spark.read.parquet(s"$dir/$t.parquet").count()
+    }.toMap
 
     // timings: min of 2, shared dedup state warmed OUTSIDE the timing
     val secs = scala.collection.mutable.Map.empty[(String, String), Double]
-    for (sf <- sfs) {
-      val dir = s"$base/$sf"
-      if (families.exists(_.warmDedup)) queries.Dedup.warmSharedState(spark, dir)
-      for (f <- families) {
+    val allDirs = families.flatMap(dirsFor).distinct
+    for (dir <- allDirs) {
+      if (families.exists(f => f.warmDedup && dirsFor(f).contains(dir)))
+        queries.Dedup.warmSharedState(spark, dir)
+      if (families.exists(f => f.warmServe && dirsFor(f).contains(dir)))
+        queries.SimilaritySearch.warmServeGraph(spark, dir)
+      for (f <- families if dirsFor(f).contains(dir)) {
         def once(): Double = {
           val t0 = System.nanoTime()
           queries.Registry.queries(f.query)(spark, dir).count()
@@ -112,8 +163,8 @@ object Ladder {
           spark.catalog.clearCache(); Caching.flush()
           dt
         }
-        secs((sf, f.query)) = math.min(once(), once())
-        println(f"[ladder] $sf ${f.query}%-32s ${secs((sf, f.query))}%.3f s")
+        secs((dir, f.query)) = math.min(once(), once())
+        println(f"[ladder] $dir ${f.query}%-32s ${secs((dir, f.query))}%.3f s")
       }
     }
 
@@ -121,7 +172,7 @@ object Ladder {
     val results = families.map { f =>
       // collapse duplicate sizes to the min time, then fit on the two
       // largest distinct sizes
-      val pts = sfs.map(sf => (rows((sf, f.table)), secs((sf, f.query))))
+      val pts = dirsFor(f).map(dir => (rows((dir, f.table)), secs((dir, f.query))))
         .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
       val Seq((nLo, tLo), (nHi, tHi)) = pts.takeRight(2)
       val exp = math.log(tHi / tLo) / math.log(nHi.toDouble / nLo)
@@ -136,7 +187,7 @@ object Ladder {
     val violations = results.collect { case (f, exp, false, _) =>
       s"${f.query}: exponent ${r3(exp)} > cap ${f.cap}"
     }
-    val json = s"""{"sfs":${sfs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+    val json = s"""{"dirs":${allDirs.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""cpus":$cpus,"families":{${results.map(_._4).mkString(",")}},""" +
       s""""violations":${violations.map(v => "\"" + v + "\"").mkString("[", ",", "]")}}"""
     Files.write(Paths.get(outPath), json.getBytes(StandardCharsets.UTF_8))

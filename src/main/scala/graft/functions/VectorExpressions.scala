@@ -239,9 +239,29 @@ object VectorExpressions {
     */
   val MaxDim = 1000000
 
+  /** Planes per band for a corpus of `n` vectors: grow with log2(N) so
+    * the expected bucket population stays in (32, 64] — the knob the
+    * EmbBands scaladoc always named for 1000× scale, now computed
+    * instead of hand-tuned. Band-collision candidate pairs are
+    * ∝ Σ bucket_pop² per band; a FIXED plane count lets populations
+    * grow ∝ N and the pair count ∝ N² (the ladder measured exponent
+    * 1.66 on simsearch_knn_graph at the 1000→2000 step before this),
+    * while capped populations keep candidates ∝ N. Floors at
+    * [[SrpPlanes]], so every oracle-checked fixture (embeddings ≤ 500
+    * rows at sf0.001/sf0.01, where the DuckDB twins pin the
+    * ([[SrpBands]], [[SrpPlanes]]) family) computes the IDENTICAL
+    * family — the adaptive count only engages at bench/ladder scale,
+    * where no static oracle runs.
+    */
+  def adaptiveSrpPlanes(n: Long): Int =
+    math.max(SrpPlanes,
+      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+
   /** Register `dot_f` / `norm_f` / `srp_buckets` as SQL-callable temp
     * functions on the session. Idempotent; every query entry calls it.
-    * `srp_buckets` is pinned to the ([[SrpBands]], [[SrpPlanes]]) family.
+    * `srp_buckets` is pinned to the ([[SrpBands]], [[SrpPlanes]]) family;
+    * `srp_buckets_p(vec, planes)` takes the plane count as a literal —
+    * the [[adaptiveSrpPlanes]] call sites use it.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -251,6 +271,10 @@ object VectorExpressions {
       "norm_f", exprs => NormF(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "srp_buckets", exprs => SrpBucketsF(exprs.head, SrpBands, SrpPlanes),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_buckets_p", exprs => SrpBucketsF(exprs(0), SrpBands,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
   }
 }

@@ -188,7 +188,10 @@ object Dedup {
     * lower per-band recall; more bands → recall back up. 8 bands × 3
     * planes: theoretical recall ≈ 0.90 at the cos ≥ 0.4 threshold
     * (measured on sf0.01: see dedup_embedding_cosine comment). At
-    * 1000×, grow planes with log(N) to hold bucket population constant.
+    * scale the plane count GROWS with log(N) to hold bucket population
+    * constant — VectorExpressions.adaptiveSrpPlanes, used by the
+    * embedding band consumers; equals this pinned family at every
+    * oracle-checked fixture size.
     * Aliases [[graft.functions.VectorExpressions.SrpBands]] — the one
     * place the family lives, shared with the srp_buckets registration.
     */
@@ -1019,7 +1022,9 @@ ORDER BY i, j""")),
         // formulation the oracle mirrors; family is shared by definition
         // (EmbBands/BandPlanes alias VectorExpressions.SrpBands/SrpPlanes)
         val banded = emb.select(col("vec_id"),
-          posexplode(expr("srp_buckets(embedding)")).as(Seq("band", "bkt")))
+          posexplode(expr(s"srp_buckets_p(embedding, " +
+            s"${graft.functions.VectorExpressions.adaptiveSrpPlanes(emb.count())})"))
+            .as(Seq("band", "bkt")))
         val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
           .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),
             Seq("band", "bkt"))

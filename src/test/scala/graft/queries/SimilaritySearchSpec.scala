@@ -361,8 +361,8 @@ class SimilaritySearchSpec extends AnyFunSuite {
     }
     // routed quality floor: top-1 agreement with exact brute force on
     // >= half the queries (measured with the 64-vector capped entry +
-    // SRP-built degree-32 serve graph: 6/6 on sf0.001 and sf0.01,
-    // 13/21 on sf0.1 — the beam-curve query carries the full
+    // the NN-descent-refined degree-32 serve graph: 6/6 on sf0.001 and
+    // sf0.01, 15/21 on sf0.1 — the beam-curve query carries the full
     // (beam, degree) cost/recall table)
     val queries = rows.map(_._1).distinct
     val agree = queries.count { q =>
