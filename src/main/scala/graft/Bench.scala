@@ -79,7 +79,10 @@ object Bench {
       ("serve_graph",
         selected.keys.exists(k => k == "simsearch_graph_route" ||
           k == "simsearch_beam_curve"),
-        () => queries.SimilaritySearch.warmServeGraph(spark, sfDir)))
+        () => queries.SimilaritySearch.warmServeGraph(spark, sfDir)),
+      ("st20_boot",
+        selected.keys.exists(_ == "st20_streaming_dedup_index"),
+        () => { queries.StreamingQueries.st20BootstrapDir(spark, sfDir); () }))
     val warmPerSubsystem: Map[String, Double] = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration

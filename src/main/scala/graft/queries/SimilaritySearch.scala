@@ -1400,6 +1400,10 @@ SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
             .union(kg.join(broadcast(entry), col("entry") === col("src"))
               .select(col("qid"), col("dst").as("cid")))
             .distinct()
+          // each hop's scored frame is MATERIALIZED: it feeds both the
+          // n_scored count and the beam cut, and a lazy formulation
+          // doubles the candidate tree per hop (measured 15.9 s -> 35.7
+          // s when these were left lazy — the emb_pca_topr lesson)
           val scoredFrames =
             scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](es)
           for (_ <- 1 to 3) {
