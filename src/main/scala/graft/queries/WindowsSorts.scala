@@ -678,11 +678,12 @@ QUALIFY global_rn <= 500 ORDER BY global_rn""")),
     // zkey order — every file covers a small rectangle of
     // (custkey × orderdate), so a reader filtering on EITHER dim
     // prunes most files; a single-dim sort would give tight envelopes
-    // on one dim and full-range envelopes on the other. At 100 TB the
-    // write is ONE repartitionByRange(zkey) + sortWithinPartitions
-    // shuffle (the ntile here is its oracle-checkable stand-in), and
-    // the stats table is what the format's footer min/max gives
-    // readers for free.
+    // on one dim and full-range envelopes on the other. The file
+    // assignment runs through globalRowNumber + the exact integer
+    // ntile replica (ntileExpr) — ONE repartitionByRange(zkey)
+    // shuffle, no single-task window; the oracle keeps the literal
+    // ntile, which is rank-identical. The stats table is what the
+    // format's footer min/max gives readers for free.
     Q("o6_zorder_layout",
       (s, d) => {
         val bounds = Tables.orders(s, d).agg(
@@ -757,8 +758,9 @@ FROM f GROUP BY file_id ORDER BY file_id""")),
     // data-skipping payoff both layouts exist for) come out tighter on
     // the same rows. The key is eight unrolled integer CASE steps
     // inside codegen; the one wide op is the layout sort itself, which
-    // at corpus scale is repartitionByRange on the key (o5's
-    // technique) rather than this fixture's single window.
+    // runs through globalRowNumber (repartitionByRange on the key, the
+    // o5 technique) + the ntileExpr file assignment — no single-task
+    // window in the engine plan.
     Q("o7_hilbert_layout",
       (s, d) => {
         val bounds = Tables.orders(s, d).agg(
