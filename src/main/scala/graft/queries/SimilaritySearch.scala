@@ -1445,7 +1445,108 @@ SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
           .reduce(_.unionAll(_)).orderBy("beam", "deg")
         graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
-      Some(sqlBeamCurve))
+      Some(sqlBeamCurve)),
+
+    // The HOP-COUNT curve — the third serve-tuning report, and the one
+    // that evidences the DEPLOYMENT dial: at the chosen (beam 3, M=32)
+    // operating point, recall@1/@5 and cumulative candidates-scored at
+    // every greedy depth 0..4 (depth d = entry scan + d
+    // expand-and-re-rank rounds; the serve path ships d=3). ONE chain
+    // computes all depths — depth d's scored set is a prefix of depth
+    // d+1's work — so the report costs a single deepest serve, not
+    // five. As the corpus outgrows a fixed depth's reachable set,
+    // recall falls and THIS curve says how many more rounds buy it
+    // back, each round the same constant-cost join: the log(N)
+    // schedule a 100 TB deployment would pin per corpus.
+    Q("simsearch_hop_curve",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val emb = normedEmb(s, d)
+        val queries = emb.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+        val layer1 = emb
+          .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc,
+            col("vec_id").asc)
+          .limit(EntryCap)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+            col("nrm").as("cn"))
+        def wq = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        val pins = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+        def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val m = graft.Caching.materialize(s, df); pins += m; m
+        }
+        val es = mat(queries.join(broadcast(layer1), col("qid") =!= col("cid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+          .select("qid", "cid", "cos"))
+        val entry = es.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+        val kg = s.read.parquet(s"${serveGraphDir(s, d)}/edges")
+          .select("src", "dst")
+        val truth = mat(emb.join(broadcast(queries),
+            col("vec_id") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+          .select(col("qid"), col("vec_id").as("cid"), col("cos"))
+          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+          .select("qid", "cid", "rn"))
+        val den5 = truth.agg(count(lit(1)).as("n_truth5"))
+        val den1 = truth.filter(col("rn") === 1)
+          .agg(count(lit(1)).as("n_truth1"))
+        def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = emb
+          .join(broadcast(cand), col("vec_id") === col("cid"))
+          .join(broadcast(queries), "qid")
+          .filter(col("cid") =!= col("qid"))
+          .withColumn("cos",
+            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+          .select("qid", "cid", "cos")
+        var cand = entry.select(col("qid"), col("entry").as("cid"))
+          .union(kg.join(broadcast(entry), col("entry") === col("src"))
+            .select(col("qid"), col("dst").as("cid")))
+          .distinct()
+        val scoredFrames =
+          scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](es)
+        val rows = (0 to 4).map { depth =>
+          val sc = mat(rescore(cand))
+          scoredFrames += sc
+          val nScored = scoredFrames.map(_.agg(count(lit(1)).as("c")))
+            .reduce(_.unionAll(_)).agg(sum("c").as("n_scored"))
+          val top = sc.withColumn("rn", row_number().over(wq))
+            .filter(col("rn") <= 5).select("qid", "cid", "rn")
+          val m5 = truth.join(top.select(col("qid").as("tq"),
+              col("cid").as("tc")),
+              col("qid") === col("tq") && col("cid") === col("tc"), "left")
+            .agg(count(col("tc")).as("n_match5"))
+          val m1 = truth.filter(col("rn") === 1)
+            .join(top.filter(col("rn") === 1)
+              .select(col("qid").as("tq"), col("cid").as("tc")),
+              col("qid") === col("tq") && col("cid") === col("tc"), "left")
+            .agg(count(col("tc")).as("n_match1"))
+          val row = nScored.crossJoin(m5).crossJoin(m1)
+            .crossJoin(broadcast(den5)).crossJoin(broadcast(den1))
+            .select(lit(depth.toLong).as("hops"), col("n_scored"),
+              col("n_match5"),
+              (col("n_match5").cast("double") / col("n_truth5"))
+                .as("recall_at_5"),
+              col("n_match1"),
+              (col("n_match1").cast("double") / col("n_truth1"))
+                .as("recall_at_1"))
+          if (depth < 4) {
+            val beamDf = sc.withColumn("rn", row_number().over(wq))
+              .filter(col("rn") <= 3).select(col("qid"), col("cid").as("b"))
+            cand = cand
+              .union(kg.join(broadcast(beamDf), col("b") === col("src"))
+                .select(col("qid"), col("dst").as("cid")))
+              .distinct()
+          }
+          row
+        }
+        graft.Caching.releasing(s, pins.toSeq: _*)(
+          rows.reduce(_.unionAll(_)).orderBy("hops"))
+      },
+      Some(sqlHopCurve))
   )
 
   /** The SERVE graph (src, rk, dst, cos) behind simsearch_graph_route
@@ -1607,6 +1708,88 @@ SELECT beam, deg, n_scored, n_match5,
          AS recall_at_1
 FROM ($rows)
 ORDER BY beam, deg"""
+  }
+
+  /** DuckDB twin of simsearch_hop_curve: one unrolled chain to depth
+    * 4 over the refined serve graph, a report row per depth.
+    */
+  private def sqlHopCurve: String = {
+    def score(inC: String, outC: String): String =
+      s"""$outC AS (SELECT $inC.qid, $inC.cid,
+         |  round(list_sum(list_transform(range(1, len(q.qe)+1),
+         |          k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+         |FROM $inC JOIN q ON $inC.qid = q.qid
+         |          JOIN e e2 ON $inC.cid = e2.vec_id
+         |WHERE $inC.cid <> $inC.qid)""".stripMargin
+    def beamCut(inS: String, outB: String): String =
+      s"""$outB AS (SELECT qid, cid AS b FROM (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM $inS) WHERE rn <= 3)""".stripMargin
+    def hop(inC: String, inB: String, outC: String): String =
+      s"""$outC AS (SELECT qid, cid FROM $inC
+         |UNION
+         |SELECT $inB.qid, sg.dst FROM $inB
+         |JOIN sg ON $inB.b = sg.src)""".stripMargin
+    val chain = (1 to 4).flatMap { i =>
+      Seq(score(s"h_c$i", s"h_c${i}s"), beamCut(s"h_c${i}s", s"h_b$i"),
+        hop(s"h_c$i", s"h_b$i", s"h_c${i + 1}"))
+    }.mkString(",\n") + ",\n" + score("h_c5", "h_c5s")
+    def rowFor(depth: Int): String = {
+      val scored = (1 to depth + 1).map(i => s"(SELECT count(*) FROM h_c${i}s)")
+        .mkString(" + ")
+      val top = s"h_c${depth + 1}t"
+      s"""SELECT CAST($depth AS BIGINT) AS hops,
+         |  (SELECT count(*) FROM es) + $scored AS n_scored,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bt
+         |   JOIN $top t ON bt.qid = t.qid AND bt.cid = t.cid) AS n_match5,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bt
+         |   JOIN $top t ON bt.qid = t.qid AND bt.cid = t.cid
+         |   WHERE bt.rn = 1 AND t.rn = 1) AS n_match1""".stripMargin
+    }
+    val tops = (1 to 5).map { i =>
+      s"""h_c${i}t AS (SELECT qid, cid, rn FROM (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM h_c${i}s) WHERE rn <= 5)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to 4).map(rowFor).mkString("\nUNION ALL\n")
+    s"""
+WITH $sqlServeEdges,
+q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
+l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
+       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT 64),
+es AS (SELECT qid, cid,
+         round(list_sum(list_transform(range(1, len(qe)+1),
+                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
+       FROM q CROSS JOIN l1 WHERE qid <> cid),
+entry AS (SELECT qid, cid AS entry FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM es) WHERE rn <= 6),
+btp AS (SELECT q.qid, c.vec_id AS cid,
+          round(list_sum(list_transform(range(1, len(q.qe)+1),
+                  k -> q.qe[k] * c.v[k])) / (q.qn * c.nrm), 6) AS cos
+        FROM q JOIN e c ON c.vec_id <> q.qid),
+bt AS (SELECT qid, cid, rn FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
+  FROM btp) WHERE rn <= 5),
+h_c1 AS (SELECT qid, entry AS cid FROM entry
+UNION
+SELECT entry.qid, sg.dst FROM entry
+JOIN sg ON entry.entry = sg.src),
+$chain,
+$tops
+SELECT hops, n_scored, n_match5,
+       CAST(n_match5 AS DOUBLE) / (SELECT count(*) FROM bt) AS recall_at_5,
+       n_match1,
+       CAST(n_match1 AS DOUBLE) / (SELECT count(*) FROM bt WHERE rn = 1)
+         AS recall_at_1
+FROM ($rows)
+ORDER BY hops"""
   }
 
   /** Serve-graph out-degree for simsearch_graph_route (HNSW's M): the
