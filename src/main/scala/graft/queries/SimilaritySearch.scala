@@ -1337,10 +1337,10 @@ SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
     // The (beam, degree) operating-point curve for the graph-routed
     // serve — probe_curve's treatment for simsearch_graph_route:
     // routed recall@1/@5 AND candidates-scored, measured together for
-    // beam ∈ {1,3,5} at the serving degree 16 and degree ∈ {8,16,32}
+    // beam ∈ {1,3,5} at the serving degree 32 and degree ∈ {8,16,32}
     // at the serving beam 3, against the brute-force truth on the same
     // % 97 query set — so the cost/recall trade behind the chosen
-    // (beam 3, M=16) point is a table, not folklore (SCALE.md carries
+    // (beam 3, M=32) point is a table, not folklore (SCALE.md carries
     // the sf0.1 numbers). One SRP candidate pass builds ONE degree-32
     // ranked edge list; each arm's serve graph is a rank cut (rk ≤ M)
     // of it, the entry scan and the brute truth are shared across
@@ -1614,7 +1614,7 @@ ${sqlRefineRound("sg0", "sg", ServeDegree)}"""
     * 5 arms instead of 9 while still isolating each dial.
     */
   private[queries] val BeamCurveArms: Seq[(Int, Int)] =
-    Seq((1, 16), (3, 8), (3, 16), (3, 32), (5, 16))
+    Seq((1, 32), (3, 8), (3, 16), (3, 32), (5, 32))
 
   /** DuckDB twin of simsearch_beam_curve: shared e/kg(32)/q/l1/es/
     * entry/truth CTEs + one unrolled hop chain per arm, each stage the
