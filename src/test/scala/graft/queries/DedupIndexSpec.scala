@@ -247,6 +247,46 @@ class DedupIndexSpec extends AnyFunSuite {
     graft.Scratch.delete(root)
   }
 
+  test("st20 version chain: a crashed-and-redelivered update recomputes " +
+    "from the SAME parent and overwrites its own version, leaving the " +
+    "chain and the downstream head unchanged") {
+    // The streaming-maintenance contract behind st20: versions are
+    // named by batch id (b<id>), the parent of batch id is the largest
+    // version BELOW it — so a replay of a crashed batch resolves to the
+    // same parent even if its own partial output exists, recomputes
+    // deterministically, and mode("overwrite") replaces its own files.
+    // Exactly-once state from at-least-once delivery, spec'd at the
+    // DedupIndex grain st20's require() exercises end-to-end.
+    val root = tmpRoot()
+    DedupIndex.bootstrap(s, base, s"$root/v0")
+    val d1 = docsDf(
+      5L -> "the quick brown fox jumps over the lazy dog today")
+    val d2 = docsDf(
+      6L -> "spark catalyst optimizer rewrites logical query planners")
+    def sigRows(dir: String): Seq[Vector[Any]] =
+      s.read.parquet(s"$dir/sig").collect().map(_.toSeq.toVector).toSeq
+        .sortBy(_.head.asInstanceOf[Long])
+    // deltas ALONE (the streaming ingest shape), chained b1 <- v0, b2 <- b1
+    DedupIndex.update(s, d1, s"$root/v0", s"$root/b1")
+    val b1Once = sigRows(s"$root/b1")
+    DedupIndex.update(s, d2, s"$root/b1", s"$root/b2")
+    val headOnce = sigRows(s"$root/b2")
+    // mid-batch-crash redelivery: batch 1 arrives AGAIN — the parent is
+    // still v0 (b1 is not a version below id 1), the replay overwrites
+    DedupIndex.update(s, d1, s"$root/v0", s"$root/b1")
+    assert(sigRows(s"$root/b1") == b1Once,
+      "replaying b1 changed its own state")
+    assert(sigRows(s"$root/b2") == headOnce,
+      "replaying b1 perturbed the downstream head")
+    // and the chained head still equals one from-scratch build
+    DedupIndex.bootstrap(s, base.union(d1).union(d2), s"$root/scratch")
+    val head = s.read.parquet(s"$root/b2/sig")
+    val scratch = s.read.parquet(s"$root/scratch/sig")
+    assert(head.exceptAll(scratch).isEmpty && scratch.exceptAll(head).isEmpty,
+      "streamed chain diverged from from-scratch")
+    graft.Scratch.delete(root)
+  }
+
   test("registered dedup_incremental_minhash (index-backed) matches the rebuild-and-filter result") {
     val docs = graft.Tables.documents(s, TestSpark.Sf0001)
       .select("doc_id", "text")

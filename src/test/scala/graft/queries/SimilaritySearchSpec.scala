@@ -375,4 +375,45 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(agree * 2 >= queries.length,
       s"routed top-1 agreement $agree/${queries.length} below 1/2")
   }
+
+  test("hop curve: scored work strictly accumulates with depth, recall " +
+    "never decreases, and depth 3 equals the beam curve's serving arm") {
+    // Depth d's candidate set is a prefix of depth d+1's: every extra
+    // round rescores a superset, and under the shared (cos desc, cid
+    // asc) order a truth member displaced from the serve top-k is only
+    // ever displaced by a higher-ranked vector — itself a truth member
+    // — so recall@5 and recall@1 are monotone non-decreasing BY
+    // CONSTRUCTION. n_scored is cumulative over per-depth frames, so
+    // it strictly increases even after the candidate set saturates.
+    val rows = Registry.queries("simsearch_hop_curve")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .sortBy(_.getAs[Long]("hops"))
+    assert(rows.map(_.getAs[Long]("hops")).toSeq == (0L to 4L),
+      "hop curve must report every depth 0..4 exactly once")
+    val scored = rows.map(_.getAs[Long]("n_scored")).toSeq
+    assert(scored.sliding(2).forall { case Seq(a, b) => a < b },
+      s"cumulative n_scored not strictly increasing: $scored")
+    for (c <- Seq("recall_at_5", "recall_at_1")) {
+      val r = rows.map(_.getAs[Double](c)).toSeq
+      assert(r.forall(v => v >= 0.0 && v <= 1.0), s"$c out of [0,1]: $r")
+      assert(r.sliding(2).forall { case Seq(a, b) => b >= a },
+        s"$c decreased with depth: $r")
+    }
+    // The (beam 3, M=32) beam-curve arm and the depth-3 hop-curve row
+    // are the SAME serve (entry scan + 3 beam-3 rounds on the degree-32
+    // graph) computed by two independent formulations — they must agree
+    // exactly, so drift between the two tuning reports cannot hide.
+    val arm = Registry.queries("simsearch_beam_curve")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .find(r => r.getAs[Long]("beam") == 3L && r.getAs[Long]("deg") == 32L)
+      .getOrElse(fail("beam curve lost its (3,32) serving arm"))
+    val d3 = rows(3)
+    for (c <- Seq("n_scored", "n_match5", "n_match1"))
+      assert(arm.getAs[Long](c) == d3.getAs[Long](c),
+        s"$c: beam-curve (3,32) ${arm.getAs[Long](c)} != " +
+          s"hop-curve depth 3 ${d3.getAs[Long](c)}")
+    for (c <- Seq("recall_at_5", "recall_at_1"))
+      assert(arm.getAs[Double](c) == d3.getAs[Double](c),
+        s"$c: beam-curve (3,32) != hop-curve depth 3")
+  }
 }
