@@ -37,6 +37,58 @@ object Curation {
   private def sqlHkey: String =
     TextHash.sqlTokenHash(s"'$Salt' || doc_id::VARCHAR")
 
+  /** Engine paths of the two total-order curation queries BEFORE the
+    * output materialize-and-release wrapper — exposed package-private
+    * so PlanQualitySpec can assert the two-phase-rank plan shape (the
+    * registered queries return a released checkpoint scan, whose plan
+    * would make those assertions vacuous). `pins` receives each
+    * globalRowNumber call's ranked-frame pin; the caller owns release.
+    */
+  private[queries] def negativePairsUnreleased(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      pins: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    val n1 = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val ring = WindowsSorts.globalRowNumber(s,
+        Tables.documents(s, d).withColumn("hkey", Sketches.h60(
+          concat(lit("ring_"), col("doc_id").cast("string")))),
+        "pos1", 8, pins, col("hkey").asc, col("doc_id").asc)
+      .withColumn("pos", col("pos1") - 1)
+      .crossJoin(broadcast(n1))
+      .select("doc_id", "source", "pos", "n")
+    val anchors = ring.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id").as("anchor_id"),
+        col("source").as("a_source"), col("pos"), col("n"))
+      .withColumn("j0", explode(expr("sequence(1, 4)")))
+      .withColumn("j", col("j0").cast("long")).drop("j0")
+      .withColumn("npos", (col("pos") + col("j") * 17) % col("n"))
+    val negs = ring.select(col("pos").as("npos"),
+      col("doc_id").as("neg_id"), col("source").as("n_source"))
+    anchors.join(negs, "npos")
+      .select(col("anchor_id"), col("j"), col("neg_id"),
+        (col("a_source") =!= col("n_source")).as("cross_source"))
+      .orderBy("anchor_id", "j")
+  }
+
+  private[queries] def curriculumOrderUnreleased(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      pins: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame = {
+    TextHash.register(s)
+    val q = TextAnalysis.qualityScored(s, d)
+      .select(col("doc_id"), col("quality"))
+    val n1 = q.agg(count(lit(1)).as("n"))
+    val staged = WindowsSorts.globalRowNumber(s, q, "rn", 8, pins,
+        col("quality").desc, col("doc_id").asc)
+      .crossJoin(broadcast(n1))
+      .withColumn("stage", expr("((rn - 1) * 4) div n + 1"))
+      .withColumn("hkey", expr(hkeyExpr))
+    WindowsSorts.globalRowNumber(s, staged, "curriculum_rank", 8, pins,
+        col("stage").asc, col("hkey").asc, col("doc_id").asc)
+      .select("doc_id", "quality", "stage", "curriculum_rank")
+      .orderBy("curriculum_rank")
+  }
+
   def qs: Seq[Q] = Seq(
     // Train/test decontamination: flag training documents sharing >= 2
     // distinct shingles with any held-out (source = 'src3') document.
@@ -993,26 +1045,10 @@ ORDER BY c.doc_id""")),
     // join co-partitions on position.
     Q("curation_negative_pairs",
       (s, d) => {
-        val n1 = Tables.documents(s, d).agg(count(lit(1)).as("n"))
-        val ring = WindowsSorts.globalRowNumber(s,
-            Tables.documents(s, d).withColumn("hkey", Sketches.h60(
-              concat(lit("ring_"), col("doc_id").cast("string")))),
-            "pos1", 8, col("hkey").asc, col("doc_id").asc)
-          .withColumn("pos", col("pos1") - 1)
-          .crossJoin(broadcast(n1))
-          .select("doc_id", "source", "pos", "n")
-        val anchors = ring.filter(col("doc_id") % 20 === 0)
-          .select(col("doc_id").as("anchor_id"),
-            col("source").as("a_source"), col("pos"), col("n"))
-          .withColumn("j0", explode(expr("sequence(1, 4)")))
-          .withColumn("j", col("j0").cast("long")).drop("j0")
-          .withColumn("npos", (col("pos") + col("j") * 17) % col("n"))
-        val negs = ring.select(col("pos").as("npos"),
-          col("doc_id").as("neg_id"), col("source").as("n_source"))
-        anchors.join(negs, "npos")
-          .select(col("anchor_id"), col("j"), col("neg_id"),
-            (col("a_source") =!= col("n_source")).as("cross_source"))
-          .orderBy("anchor_id", "j")
+        val pins = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        val out = negativePairsUnreleased(s, d, pins)
+        graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
       Some("""
 WITH ring AS (
@@ -1173,19 +1209,10 @@ FROM x ORDER BY doc_id, chunk_idx""")),
     // which is rank-identical because the sort keys are total orders.
     Q("curation_curriculum_order",
       (s, d) => {
-        TextHash.register(s)
-        val q = TextAnalysis.qualityScored(s, d)
-          .select(col("doc_id"), col("quality"))
-        val n1 = q.agg(count(lit(1)).as("n"))
-        val staged = WindowsSorts.globalRowNumber(s, q, "rn", 8,
-            col("quality").desc, col("doc_id").asc)
-          .crossJoin(broadcast(n1))
-          .withColumn("stage", expr("((rn - 1) * 4) div n + 1"))
-          .withColumn("hkey", expr(hkeyExpr))
-        WindowsSorts.globalRowNumber(s, staged, "curriculum_rank", 8,
-            col("stage").asc, col("hkey").asc, col("doc_id").asc)
-          .select("doc_id", "quality", "stage", "curriculum_rank")
-          .orderBy("curriculum_rank")
+        val pins = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        val out = curriculumOrderUnreleased(s, d, pins)
+        graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
       Some(s"""
 WITH q AS (${TextAnalysis.sqlQualityScored}),

@@ -38,13 +38,21 @@ object WindowsSorts {
     * up to 15% on the layout queries). One materialization pins one
     * set of boundaries; at deployment scale that is a single write of
     * the ranked corpus — the natural cost of a total-order layout op.
+    * The pinned frame is appended to `pins`: the CALLER owns its
+    * lifetime and must release it once the query's output is
+    * materialized (`Caching.releasing(s, pins.toSeq: _*)(out)` — the
+    * Caching discipline), because this function's result still reads
+    * the pinned blocks lazily.
     */
   private[queries] def globalRowNumber(s: org.apache.spark.sql.SparkSession,
       df: org.apache.spark.sql.DataFrame,
-      out: String, parts: Int, sortCols: org.apache.spark.sql.Column*)
+      out: String, parts: Int,
+      pins: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame],
+      sortCols: org.apache.spark.sql.Column*)
       : org.apache.spark.sql.DataFrame = {
     val local = graft.Caching.materialize(s,
       rankedWithinPartitions(df, parts, sortCols: _*))
+    pins += local
     val wOff = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
@@ -85,6 +93,62 @@ object WindowsSorts {
       s"THEN ($rn - 1) div ($n div $k + 1) + 1 " +
       s"ELSE ($n % $k) + ($rn - ($n % $k) * ($n div $k + 1) - 1) " +
       s"div ($n div $k) + 1 END"
+
+  /** Engine path of the o6/o7 layout reports BEFORE the output
+    * materialize-and-release wrapper — the two differ only in the
+    * space-filling key. Exposed package-private (via
+    * [[zorderLayoutUnreleased]]/[[hilbertLayoutUnreleased]]) so
+    * PlanQualitySpec can assert the two-phase-rank plan shape: the
+    * registered queries return a released checkpoint scan, whose plan
+    * would make those assertions vacuous. `pins` receives the ranked
+    * frame's pin; the caller owns its release.
+    */
+  private def layoutUnreleased(s: org.apache.spark.sql.SparkSession,
+      d: String, pins: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame],
+      attachKey: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
+    val bounds = Tables.orders(s, d).agg(
+      min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+      min(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .as("min_day"),
+      max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+        .as("max_day"))
+    val keyed = attachKey(Tables.orders(s, d)
+      .withColumn("od_day",
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+      .crossJoin(broadcast(bounds))
+      .withColumn("qx", expr(
+        "CAST((o_custkey - min_ck) * 256 div (max_ck - min_ck + 1) AS INT)"))
+      .withColumn("qy", expr(
+        "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)")))
+    val n1 = Tables.orders(s, d).agg(count(lit(1)).as("__n"))
+    globalRowNumber(s, keyed, "__rn", 8, pins,
+      col(key).asc, col("o_orderkey").asc)
+      .crossJoin(broadcast(n1))
+      .withColumn("file_id", expr(ntileExpr("__rn", "__n", 16)).cast("long"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
+        min("od_day").cast("long").as("min_day"),
+        max("od_day").cast("long").as("max_day"))
+      .withColumn("ck_span", col("max_ck") - col("min_ck") + 1)
+      .withColumn("day_span", col("max_day") - col("min_day") + 1)
+      .orderBy("file_id")
+  }
+
+  private[queries] def zorderLayoutUnreleased(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      pins: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame =
+    layoutUnreleased(s, d, pins,
+      df => df.withColumn("zkey", expr(zkeySpark("qx", "qy"))), "zkey")
+
+  private[queries] def hilbertLayoutUnreleased(
+      s: org.apache.spark.sql.SparkSession, d: String,
+      pins: scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame])
+      : org.apache.spark.sql.DataFrame =
+    layoutUnreleased(s, d, pins,
+      df => withHilbertKey(df, "qx", "qy", "hkey"), "hkey")
 
   /** 16-bit Morton (Z-order) key: interleave the low 8 bits of `x`
     * (even positions) and `y` (odd positions). Both builders emit the
@@ -653,12 +717,15 @@ FROM it GROUP BY user_id ORDER BY user_id""")),
     // plain row_number().
     Q("o5_scalable_row_number",
       (s, d) => {
-        globalRowNumber(s,
+        val pins = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        val out = globalRowNumber(s,
           Tables.orders(s, d).select("o_orderkey", "o_totalprice"),
-          "global_rn", 8, col("o_totalprice").desc, col("o_orderkey").asc)
+          "global_rn", 8, pins, col("o_totalprice").desc, col("o_orderkey").asc)
           .select("o_orderkey", "o_totalprice", "global_rn")
           .filter(col("global_rn") <= 500)
           .orderBy("global_rn")
+        graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
       Some("""
 SELECT o_orderkey, o_totalprice,
@@ -686,34 +753,10 @@ QUALIFY global_rn <= 500 ORDER BY global_rn""")),
     // format's footer min/max gives readers for free.
     Q("o6_zorder_layout",
       (s, d) => {
-        val bounds = Tables.orders(s, d).agg(
-          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
-          min(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
-            .as("min_day"),
-          max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
-            .as("max_day"))
-        val keyed = Tables.orders(s, d)
-          .withColumn("od_day",
-            datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
-          .crossJoin(broadcast(bounds))
-          .withColumn("qx", expr(
-            "CAST((o_custkey - min_ck) * 256 div (max_ck - min_ck + 1) AS INT)"))
-          .withColumn("qy", expr(
-            "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)"))
-          .withColumn("zkey", expr(zkeySpark("qx", "qy")))
-        val n1 = Tables.orders(s, d).agg(count(lit(1)).as("__n"))
-        globalRowNumber(s, keyed, "__rn", 8,
-          col("zkey").asc, col("o_orderkey").asc)
-          .crossJoin(broadcast(n1))
-          .withColumn("file_id", expr(ntileExpr("__rn", "__n", 16)).cast("long"))
-          .groupBy("file_id")
-          .agg(count(lit(1)).as("n_rows"),
-            min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
-            min("od_day").cast("long").as("min_day"),
-            max("od_day").cast("long").as("max_day"))
-          .withColumn("ck_span", col("max_ck") - col("min_ck") + 1)
-          .withColumn("day_span", col("max_day") - col("min_day") + 1)
-          .orderBy("file_id")
+        val pins = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        val out = zorderLayoutUnreleased(s, d, pins)
+        graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
       Some(s"""
 WITH b AS (
@@ -763,33 +806,10 @@ FROM f GROUP BY file_id ORDER BY file_id""")),
     // window in the engine plan.
     Q("o7_hilbert_layout",
       (s, d) => {
-        val bounds = Tables.orders(s, d).agg(
-          min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
-          min(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
-            .as("min_day"),
-          max(datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
-            .as("max_day"))
-        val keyed = Tables.orders(s, d)
-          .withColumn("od_day",
-            datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
-          .crossJoin(broadcast(bounds))
-          .withColumn("qx", expr(
-            "CAST((o_custkey - min_ck) * 256 div (max_ck - min_ck + 1) AS INT)"))
-          .withColumn("qy", expr(
-            "CAST((od_day - min_day) * 256 div (max_day - min_day + 1) AS INT)"))
-        val n1 = Tables.orders(s, d).agg(count(lit(1)).as("__n"))
-        globalRowNumber(s, withHilbertKey(keyed, "qx", "qy", "hkey"), "__rn", 8,
-          col("hkey").asc, col("o_orderkey").asc)
-          .crossJoin(broadcast(n1))
-          .withColumn("file_id", expr(ntileExpr("__rn", "__n", 16)).cast("long"))
-          .groupBy("file_id")
-          .agg(count(lit(1)).as("n_rows"),
-            min("o_custkey").as("min_ck"), max("o_custkey").as("max_ck"),
-            min("od_day").cast("long").as("min_day"),
-            max("od_day").cast("long").as("max_day"))
-          .withColumn("ck_span", col("max_ck") - col("min_ck") + 1)
-          .withColumn("day_span", col("max_day") - col("min_day") + 1)
-          .orderBy("file_id")
+        val pins = scala.collection.mutable
+          .Buffer.empty[org.apache.spark.sql.DataFrame]
+        val out = hilbertLayoutUnreleased(s, d, pins)
+        graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
       Some(s"""
 WITH b AS (

@@ -255,13 +255,28 @@ class PlanQualitySpec extends AnyFunSuite {
   test("total-order engine paths: no corpus-sized single-partition window remains") {
     // curriculum order, negative-pair ring, and both layout queries
     // rank corpus-sized input; each routes through globalRowNumber
-    // (two-phase offset rank). The executed plan must carry no ntile
-    // and no row_number over an unpartitioned window — the only
-    // SinglePartition exchange allowed per rank is the one feeding the
-    // #partitions-row offsets window.
-    Seq("curation_curriculum_order", "curation_negative_pairs",
-      "o6_zorder_layout", "o7_hilbert_layout").foreach { name =>
-      val p = plan(name)
+    // (two-phase offset rank). The REGISTERED queries return a
+    // released checkpoint scan (Caching.releasing), whose plan would
+    // make these assertions vacuous — so inspect the package-private
+    // pre-release builders, whose plans still show the rank machinery.
+    // The executed plan must carry no ntile and no row_number over an
+    // unpartitioned window; the only SinglePartition exchange allowed
+    // per rank is the one feeding the #partitions-row offsets window.
+    import scala.collection.mutable
+    val builders: Seq[(String, mutable.Buffer[org.apache.spark.sql.DataFrame]
+        => org.apache.spark.sql.DataFrame)] = Seq(
+      "curation_curriculum_order" ->
+        (p => Curation.curriculumOrderUnreleased(spark, TestSpark.Sf001, p)),
+      "curation_negative_pairs" ->
+        (p => Curation.negativePairsUnreleased(spark, TestSpark.Sf001, p)),
+      "o6_zorder_layout" ->
+        (p => WindowsSorts.zorderLayoutUnreleased(spark, TestSpark.Sf001, p)),
+      "o7_hilbert_layout" ->
+        (p => WindowsSorts.hilbertLayoutUnreleased(spark, TestSpark.Sf001, p)))
+    builders.foreach { case (name, build) =>
+      val pins = mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+      val p = try build(pins).queryExecution.executedPlan.toString
+        finally pins.foreach(graft.Caching.release)
       assert(!p.contains("ntile("), s"$name still uses an ntile window")
       p.linesIterator.filter(_.contains("row_number()")).foreach { l =>
         assert(l.contains("windowspecdefinition(__pid#"),
@@ -277,6 +292,11 @@ class PlanQualitySpec extends AnyFunSuite {
             s"$name: SinglePartition exchange over non-aggregate input:\n" +
               lines.slice(i, i + 3).mkString("\n"))
         }
+      // and the registered twin really ships the released-checkpoint
+      // form of the same result (the Caching discipline this spec's
+      // builders exist to keep honest)
+      assert(plan(name).contains("ExistingRDD") || plan(name).contains("Scan"),
+        s"$name registered query no longer returns a materialized scan")
     }
   }
 
