@@ -1196,7 +1196,8 @@ ORDER BY m.vec_id""")),
     // chosen by a deterministic hash order — HNSW's constant-sized top
     // layer) is scanned brute-force to pick each query's entry
     // points, then three unrolled GREEDY HOPS expand along graph edges
-    // (entry beam → its top-16 neighbors, re-rank to beam 3, repeat),
+    // (entry beam → its top-[[ServeDegree]] neighbors, re-rank to
+    // beam 3, repeat),
     // and the answer is the top-5 of everything visited. Per query the
     // route scores EntryCap + ≤ 3·beam·ServeDegree candidates — a
     // CONSTANT at every stage, independent of corpus size (the earlier
