@@ -102,4 +102,18 @@ object Tables {
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Corpus row count memoized per (fixture dir, table) for the
+    * lifetime of the process — the stand-in for the catalog/table-stats
+    * row count a deployment reads (ANALYZE TABLE / format metadata)
+    * instead of scheduling a count job on every query construction.
+    * The fixtures are immutable inputs (TESTDATA.md), so the memo can
+    * never serve a stale size; anything mutating its own state keeps
+    * counting directly.
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  def rowCount(s: SparkSession, dir: String, name: String): Long =
+    rowCountCache.computeIfAbsent(s"$dir/$name",
+      _ => load(s, dir, name).count())
 }

@@ -1023,7 +1023,8 @@ ORDER BY i, j""")),
         // (EmbBands/BandPlanes alias VectorExpressions.SrpBands/SrpPlanes)
         val banded = emb.select(col("vec_id"),
           posexplode(expr(s"srp_buckets_p(embedding, " +
-            s"${graft.functions.VectorExpressions.adaptiveSrpPlanes(emb.count())})"))
+            s"${graft.functions.VectorExpressions.adaptiveSrpPlanes(
+              graft.Tables.rowCount(s, d, "embeddings"))})"))
             .as(Seq("band", "bkt")))
         val cand = banded.select(col("vec_id").as("i"), col("band"), col("bkt"))
           .join(banded.select(col("vec_id").as("j"), col("band"), col("bkt")),

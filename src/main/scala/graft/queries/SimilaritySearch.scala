@@ -1913,9 +1913,10 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     // definition (EmbBands/BandPlanes alias VectorExpressions
     // constants); the PLANE COUNT adapts to corpus size so bucket
     // populations stay capped (~64) and candidates stay ∝ N — equal to
-    // the oracle-pinned family on every oracle-checked fixture
+    // the oracle-pinned family on every oracle-checked fixture. The
+    // size comes from the memoized table stat, not a per-build count job
     val planes = graft.functions.VectorExpressions
-      .adaptiveSrpPlanes(emb.count())
+      .adaptiveSrpPlanes(graft.Tables.rowCount(s, d, "embeddings"))
     val banded = emb.select(col("vec_id"),
       posexplode(expr(s"srp_buckets_p(embedding, $planes)"))
         .as(Seq("band", "bkt")))
