@@ -1261,6 +1261,46 @@ SELECT doc_id, source, draw,
          AS sample_rank
 FROM drawn ORDER BY draw ASC, doc_id ASC LIMIT 100""")),
 
+    // Per-source QUOTA sample — the balanced-eval-set operator neither
+    // the global reservoir nor the fractional language-stratified
+    // sample gives (a uniform corpus draw under-samples tail sources;
+    // a 10% fraction over-samples giant ones): EXACTLY k docs per
+    // source, as the k smallest salted md5 draws WITHIN each source —
+    // per-stratum reservoir distribution, deterministic, and MERGEABLE
+    // per stratum (min-k of a union = min-k of the halves' min-k's;
+    // CurationSpec pins the law on corpus halves). One shuffle by
+    // source; the only wide op is the per-stratum rank, bounded by the
+    // largest source — at deployment scale a draw-threshold prefilter
+    // (keep draws under a quantile chosen so expected survivors per
+    // source ≫ k) bounds the ranked set first, the same trick as the
+    // IVF probe cut; the exact form ships here because the fixture
+    // strata are small.
+    Q("curation_quota_sample",
+      (s, d) => {
+        val k = 20
+        val wsrc = Window.partitionBy("source")
+          .orderBy(col("draw").asc, col("doc_id").asc)
+        Tables.documents(s, d)
+          .withColumn("draw",
+            Sketches.h60(concat(lit("strat_"), col("doc_id").cast("string"))))
+          .select("doc_id", "source", "draw")
+          .withColumn("sample_rank", row_number().over(wsrc).cast("long"))
+          .filter(col("sample_rank") <= k)
+          .orderBy("source", "sample_rank")
+      },
+      Some("""
+WITH drawn AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('strat_' || doc_id::VARCHAR), 1, 15))
+              AS BIGINT) AS draw
+  FROM documents)
+SELECT doc_id, source, draw, sample_rank FROM (
+  SELECT doc_id, source, draw,
+         CAST(row_number() OVER (PARTITION BY source
+           ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS sample_rank
+  FROM drawn)
+WHERE sample_rank <= 20 ORDER BY source, sample_rank""")),
+
     // 13-gram span decontamination — the GPT-3/PaLM-style benchmark
     // scrub at SPAN grain: curation_decontam_overlap flags whole
     // documents; this one locates the exact contaminated windows so a

@@ -23,6 +23,15 @@ class DriverContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"names unsafe for the driver's artifact layout: $bad")
   }
 
+  test("query names are unique across the registry (a duplicate silently " +
+    "replaces the earlier query in the driver's map)") {
+    val names = graft.queries.Registry.all.map(_.name)
+    val dups = names.groupBy(identity).collect {
+      case (n, occ) if occ.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.toSeq.sorted}")
+  }
+
   test("declared surface only grows within a round (backstop against accidental drops)") {
     // 289 mid-round-9 (268 at the round-8 close + seeded k-means, st13,
     // st14, st15, composed medallion pipeline, temperature mix, bigram

@@ -334,6 +334,46 @@ class CurationSpec extends AnyFunSuite {
     assert(merged.toSeq == drawn.take(100).toSeq)
   }
 
+  test("quota sample: exactly min(k, |source|) docs per source, each " +
+    "stratum the k smallest draws of ITS OWN population, merge law per " +
+    "stratum") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h60(x: String): Long =
+      java.lang.Long.parseLong(md5hex(x).substring(0, 15), 16)
+    val k = 20
+    val docs = Tables.documents(spark, TestSpark.Sf0001)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val bySource = docs.groupBy(_._2).map { case (src, rs) =>
+      src -> rs.map { case (id, _) => (h60(s"strat_$id"), id) }.sorted
+    }
+    val rows = Registry.queries("curation_quota_sample")(
+      spark, TestSpark.Sf0001).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("draw"), r.getAs[Long]("sample_rank")))
+    // per-stratum replica equality: each source's sample is exactly its
+    // own k smallest draws, ranked in (draw, doc_id) order
+    bySource.foreach { case (src, drawn) =>
+      val expected = drawn.take(k).zipWithIndex
+        .map { case ((draw, id), i) => (src, id, draw, (i + 1).toLong) }
+      val got = rows.filter(_._1 == src).sortBy(_._4)
+      assert(got.toSeq == expected.toSeq, s"stratum $src diverged")
+      assert(got.length == math.min(k, drawn.length))
+    }
+    assert(rows.map(_._1).distinct.sorted.toSeq ==
+      bySource.keys.toSeq.sorted, "a source is missing from the sample")
+    // merge law per stratum: k smallest of a stratum's union = k
+    // smallest of the halves' k-smallest sets — per-partition/per-day
+    // folds compose within each source exactly like the global reservoir
+    bySource.foreach { case (src, drawn) =>
+      val (a, b) = drawn.partition(_._2 % 2 == 0)
+      val merged = (a.take(k) ++ b.take(k)).sorted.take(k)
+      assert(merged.toSeq == drawn.take(k).toSeq, s"merge law broke on $src")
+    }
+  }
+
   test("crossval folds: every doc in exactly one of 5 populated folds, " +
     "and no verified near-dup pair straddles a fold boundary") {
     val rows = Registry.queries("curation_crossval_folds")(
