@@ -1917,6 +1917,17 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     // size comes from the memoized table stat, not a per-build count job
     val planes = graft.functions.VectorExpressions
       .adaptiveSrpPlanes(graft.Tables.rowCount(s, d, "embeddings"))
+    edgesOver(emb, planes, k)
+  }
+
+  /** [[knnEdges]] over an explicit `(vec_id, embedding, nrm)` frame at
+    * an explicit plane count — the from-scratch builder KnnGraphIndex
+    * bootstraps with and the one place the band→candidate→re-rank
+    * arithmetic lives, so the streamed graph and the batch graph
+    * cannot drift.
+    */
+  private[queries] def edgesOver(emb: DataFrame, planes: Int,
+      k: Int): DataFrame = {
     val banded = emb.select(col("vec_id"),
       posexplode(expr(s"srp_buckets_p(embedding, $planes)"))
         .as(Seq("band", "bkt")))

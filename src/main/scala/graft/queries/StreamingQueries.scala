@@ -957,6 +957,79 @@ FROM j GROUP BY source ORDER BY source""")),
 SELECT doc_id, n, m0, m1, m2, m3, m4, m5, m6, m7
 FROM sigt ORDER BY doc_id""")),
 
+    // Streaming k-NN GRAPH maintenance — the fourth durable-state
+    // subsystem kept fresh online (IVF postings st17, BM25 st18, LSM
+    // dedup index st20, and now the edge list the graph-routed serve /
+    // NN-descent / label-propagation family reads): the embedding
+    // stream folds into KnnGraphIndex in foreachBatch — banded
+    // postings and vectors land idempotently under ingest=<batchId>
+    // (tagged append), and the edge list rides the st20 batch-id
+    // version chain, each batch re-ranking ONLY the nodes the delta's
+    // band collisions touch (parent rows of unaffected nodes pass
+    // through by anti-join — the graph is never rebuilt). Incremental
+    // == from-scratch because banding is a deterministic per-vector
+    // map (a pair is discovered exactly once, when its later end
+    // arrives) and per-node top-k folds associatively; the oracle IS
+    // the from-scratch build — simsearch_knn_graph's own SQL over the
+    // full corpus. Empty redelivery is require()d chain-stable. The
+    // band family pins at bootstrap like the IVF quantizer; re-pinning
+    // for a grown corpus is the retrain decision's loop.
+    Q("st21_streaming_knn_graph",
+      (s, d) => graft.Scratch.withDir(s, "stknng") { root =>
+        graft.functions.VectorExpressions.register(s)
+        val emb = graft.Tables.embeddings(s, d)
+          .select("vec_id", "embedding")
+        KnnGraphIndex.bootstrap(s, emb.filter(col("vec_id") % 3 === 0),
+          root, "boot", s"$root/state_v0")
+        def versions(): Seq[String] = {
+          val base = new java.io.File(root)
+          val bs = Option(base.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+            .map(_.getName).filter(_.matches("state_b\\d+"))
+          "state_v0" +: bs
+        }
+        def parentFor(id: Long): String =
+          versions().filter(n => n == "state_v0" ||
+              n.stripPrefix("state_b").toLong < id)
+            .maxBy(n => if (n == "state_v0") -1L
+              else n.stripPrefix("state_b").toLong)
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+          val stageDir = s"$root/stage_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+          val part = new java.io.File(stageDir).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          Files.createDirectories(Paths.get(s"$root/in"))
+          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+            .parquet(s"$root/in")
+            .writeStream
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              KnnGraphIndex.update(s, batch, root, s"b$id",
+                s"$root/${parentFor(id)}", s"$root/state_b$id"); ()
+            }
+            .option("checkpointLocation", s"$root/ck")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        stage(emb.filter(col("vec_id") % 3 === 1), "t1"); drain()
+        stage(emb.filter(col("vec_id") % 3 === 2), "t2"); drain()
+        val chainAfter = versions().sorted
+        drain() // redelivery: same checkpoint, no new files -> no-op
+        require(versions().sorted == chainAfter,
+          s"empty redelivery grew the version chain $chainAfter -> " +
+            s"${versions().sorted} — the batch-id versioning is not " +
+            "idempotent")
+        val head = parentFor(Long.MaxValue)
+        s.read.parquet(s"$root/$head").orderBy("src", "rk")
+      },
+      Some(s"""
+WITH ${SimilaritySearch.sqlKnnEdges}
+SELECT src, rk, dst, cos FROM kg ORDER BY src, rk""")),
+
     // Streaming reservoir sample — the online form of
     // curation_reservoir_sample: per-doc salted md5 draws fold into
     // per-salt-group min-k state (DocsStream.reservoirCandidates),

@@ -600,6 +600,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+  test("st21 KnnGraphIndex: crash-redelivered update recomputes from the " +
+    "same parent (facts and edges row-stable), and the chained head " +
+    "equals the from-scratch graph") {
+    graft.functions.VectorExpressions.register(spark)
+    val root = graft.Scratch.dir("stknng_replay")
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf0001)
+        .select("vec_id", "embedding")
+      graft.queries.KnnGraphIndex.bootstrap(spark,
+        emb.filter(col("vec_id") % 3 === 0), root, "boot", s"$root/v0")
+      def edgeRows(dir: String): Seq[(Long, Long, Long, Double)] =
+        spark.read.parquet(dir).collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rk"),
+            r.getAs[Long]("dst"), r.getAs[Double]("cos")))
+          .sortBy(t => (t._1, t._2)).toSeq
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 3 === 1), root, "b1",
+        s"$root/v0", s"$root/b1")
+      val b1Once = edgeRows(s"$root/b1")
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 3 === 2), root, "b2",
+        s"$root/b1", s"$root/b2")
+      val headOnce = edgeRows(s"$root/b2")
+      val factsOnce = (spark.read.parquet(s"$root/vec").count(),
+        spark.read.parquet(s"$root/post").count())
+      // mid-batch-crash redelivery: b1 arrives again — same parent v0,
+      // tagged facts replace their own partitions, edges overwrite
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 3 === 1), root, "b1",
+        s"$root/v0", s"$root/b1")
+      assert(edgeRows(s"$root/b1") == b1Once,
+        "replaying b1 changed its own edge version")
+      assert((spark.read.parquet(s"$root/vec").count(),
+        spark.read.parquet(s"$root/post").count()) == factsOnce,
+        "replaying b1 duplicated vec/post facts")
+      assert(edgeRows(s"$root/b2") == headOnce,
+        "replaying b1 perturbed the downstream head")
+      // incremental == from-scratch: the chained head is row-for-row
+      // a one-shot bootstrap's graph over the full corpus at the same
+      // pinned family (banding is per-vector deterministic + top-k
+      // folds associatively)
+      val scratchRoot = graft.Scratch.dir("stknng_scratch")
+      try {
+        graft.queries.KnnGraphIndex.bootstrap(spark, emb, scratchRoot,
+          "all", s"$scratchRoot/v0")
+        assert(headOnce == edgeRows(s"$scratchRoot/v0"),
+          "streamed graph diverged from the from-scratch build")
+      } finally graft.Scratch.delete(scratchRoot)
+    } finally graft.Scratch.delete(root)
+  }
+
   test("st19 reservoir sample: slicing invariant, redelivery-idempotent, " +
     "and equal to the batch sample") {
     def stageDocsSlice(dir: Path, name: String,
