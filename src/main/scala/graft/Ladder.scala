@@ -95,6 +95,10 @@ object Ladder {
     Family("st20_streaming_dedup_index", "documents", 1.4,
       "bootstrap third + 2 O(delta) LSM updates via batch-id versioned " +
         "foreachBatch: delta postings written, asymmetric band join"),
+    Family("st21_streaming_knn_graph", "embeddings", 1.4,
+      "bootstrap third + 2 edge-list updates via batch-id versioned " +
+        "foreachBatch: delta x visible-postings band join, re-rank " +
+        "bounded by the delta's collision neighborhood"),
     Family("mm_image_phash", "documents", 1.4,
       "input pinned to doc_id < 100 synthesized BMPs on every fixture, " +
         "so the exponent pins per-image constancy; the scale mechanism " +

@@ -38,8 +38,8 @@ class DriverContractSpec extends AnyFunSuite {
     // LM score, quality classifier, epoch upsample, ABTT mean-center,
     // k-NN graph, path mining, quality ensemble, PCA/ABTT, NN-descent refine, isotropy report, st16 streaming gate, phrase search, dataset card, deflated PCA); a refactor that silently drops a registered query
     // family fails here with the delta visible
-    assert(SparkEntry.queries.size >= 313,
+    assert(SparkEntry.queries.size >= 315,
       s"declared queries shrank to ${SparkEntry.queries.size}")
-    assert(SparkEntry.oracleSql.size >= 313)
+    assert(SparkEntry.oracleSql.size >= 315)
   }
 }
