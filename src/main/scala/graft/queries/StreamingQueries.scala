@@ -979,8 +979,16 @@ FROM sigt ORDER BY doc_id""")),
         graft.functions.VectorExpressions.register(s)
         val emb = graft.Tables.embeddings(s, d)
           .select("vec_id", "embedding")
+        // the family pins at bootstrap — ADAPTIVELY for the corpus this
+        // index will serve (the memoized table stat), so the streamed
+        // graph is the batch builder's graph at the same geometry on
+        // every fixture: adaptive(500) floors at the oracle's pinned
+        // SrpPlanes, and at bench scale the capped bucket populations
+        // keep the per-batch collision neighborhoods ∝ delta
         KnnGraphIndex.bootstrap(s, emb.filter(col("vec_id") % 3 === 0),
-          root, "boot", s"$root/state_v0")
+          root, "boot", s"$root/state_v0",
+          planes = graft.functions.VectorExpressions.adaptiveSrpPlanes(
+            graft.Tables.rowCount(s, d, "embeddings")))
         def versions(): Seq[String] = {
           val base = new java.io.File(root)
           val bs = Option(base.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
