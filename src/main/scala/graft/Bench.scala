@@ -16,7 +16,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the benchmark contract's local[32] (capped at the
+    // machine) — a silent local[4] fallback understates every
+    // parallelism-hungry query by 2-3x and poisons the min accumulator
+    // with slow-but-valid entries; SPARK_GRAFT_CPUS still wins
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
