@@ -109,7 +109,12 @@ object Ladder {
     * ladder is reproducible from a clean checkout.
     */
   private def ensureMid(spark: SparkSession, base: String, mid: String): Unit = {
-    if (!Files.exists(Paths.get(s"$mid/documents.parquet"))) {
+    // both outputs must be COMPLETE (Spark's _SUCCESS marker) before the
+    // rebuild is skipped — a crash between the two writes must not leave
+    // a half-built mid dir that later runs treat as done
+    val complete = Seq("documents", "embeddings").forall(t =>
+      Files.exists(Paths.get(s"$mid/$t.parquet/_SUCCESS")))
+    if (!complete) {
       spark.read.parquet(s"$base/sf0.1/documents.parquet")
         .filter("doc_id % 10 < 3")
         .write.mode("overwrite").parquet(s"$mid/documents.parquet")

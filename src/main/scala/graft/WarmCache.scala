@@ -59,10 +59,41 @@ object WarmCache {
     md.digest().map(b => f"$b%02x").mkString
   }
 
+  /** (size, mtime) stamp over EVERY *.parquet entry in the fixture dir
+    * (file or Spark-written directory), not just documents.parquet —
+    * cached state may derive from any driver table (the serve graph is
+    * a pure function of embeddings.parquet), so regenerating one table
+    * without the others must still invalidate.
+    */
   private def fixtureStamp(sfDir: String): String = {
-    val f = Paths.get(sfDir, "documents.parquet")
-    if (Files.exists(f)) s"${Files.size(f)}_${Files.getLastModifiedTime(f).toMillis}"
-    else "nofixture"
+    val dir = Paths.get(sfDir)
+    if (!Files.exists(dir)) return "nofixture"
+    def leafStamp(p: java.nio.file.Path): String =
+      if (Files.isDirectory(p)) {
+        val s = Files.walk(p)
+        try {
+          val leaves = s.filter(Files.isRegularFile(_)).iterator()
+          var size = 0L; var mtime = 0L
+          while (leaves.hasNext) {
+            val l = leaves.next()
+            size += Files.size(l)
+            mtime = math.max(mtime, Files.getLastModifiedTime(l).toMillis)
+          }
+          s"${size}_$mtime"
+        } finally s.close()
+      } else s"${Files.size(p)}_${Files.getLastModifiedTime(p).toMillis}"
+    val entries = Files.list(dir)
+    try {
+      val it = entries.filter(_.getFileName.toString.endsWith(".parquet"))
+        .sorted().iterator()
+      val parts = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val p = it.next()
+        parts += s"${p.getFileName}=${leafStamp(p)}"
+      }
+      val all = parts.result()
+      if (all.isEmpty) "nofixture" else all.mkString(",")
+    } finally entries.close()
   }
 
   /** Return a directory holding the state `build` produces for

@@ -103,6 +103,10 @@ object KnnGraphIndex {
       tag: String, edgesDir: String, planes: Int = VectorExpressions.SrpPlanes,
       k: Int = 3): Unit = {
     VectorExpressions.register(s)
+    require(!tag.matches("b\\d+"),
+      s"bootstrap tag must not look like a batch id (got '$tag') — " +
+        "update's visibility rule would scope it out of earlier batches' " +
+        "candidate sets instead of ranking it -1 (visible to all)")
     writeMeta(root, Meta(planes, k))
     val vecs = withNorm(delta)
     appendTagged(s, vecs, s"$root/vec", tag)
@@ -130,10 +134,6 @@ object KnnGraphIndex {
         "what scopes fact visibility on replay")
     val myId = tag.stripPrefix("b").toLong
     val m = metaOf(root)
-    val vecs = withNorm(delta)
-    appendTagged(s, vecs, s"$root/vec", tag)
-    appendTagged(s, banded(vecs, m.planes), s"$root/post", tag)
-
     // Fact visibility is scoped BY BATCH ID, not by what exists on
     // disk: a crash-redelivered batch must recompute against exactly
     // the facts its original run saw, and by redelivery time LATER
@@ -143,6 +143,19 @@ object KnnGraphIndex {
     // so every batch sees them.
     val visId = when(col("ingest").rlike("^b[0-9]+$"),
       substring(col("ingest"), 2, 18).cast("long")).otherwise(lit(-1L))
+    // A vec_id already ingested by an EARLIER batch (or the bootstrap)
+    // is dropped from the delta: a cross-batch duplicate delivery would
+    // otherwise land the same id under two ingest partitions,
+    // multiplying its rows in every allVec join and occupying multiple
+    // ranks per neighbor list — first arrival wins, matching the
+    // from-scratch build over distinct ids. Same-batch replay is
+    // untouched (visId == myId is not < myId), so a redelivered tag
+    // still overwrites its own partitions in full.
+    val priorIds = s.read.parquet(s"$root/vec")
+      .filter(visId < myId).select("vec_id")
+    val vecs = withNorm(delta).join(priorIds, Seq("vec_id"), "left_anti")
+    appendTagged(s, vecs, s"$root/vec", tag)
+    appendTagged(s, banded(vecs, m.planes), s"$root/post", tag)
     val allPost = s.read.parquet(s"$root/post")
       .filter(visId <= myId)
       .select("vec_id", "band", "bkt")
