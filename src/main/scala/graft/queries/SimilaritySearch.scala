@@ -1262,78 +1262,21 @@ ORDER BY m.vec_id""")),
               .select(col("qid"), col("dst").as("cid")))
             .distinct()
         }
+        // the unrolled hop count is the per-corpus DIAL, not a code
+        // constant: the bootstrap measures the hop-curve knee on the
+        // fixed eval panel and pins it in the serve graph's meta.json
+        // (like the IVF quantizer's centroids); the route unrolls
+        // exactly that many expand-and-re-rank rounds
+        var routed = c1
+        for (_ <- 1 to serveMeta(s, d).depth) routed = expand(routed)
         graft.Caching.releasing(s)(
-          rescore(expand(expand(expand(c1))))
+          rescore(routed)
             .withColumn("rk", row_number().over(wq)).filter(col("rk") <= 5)
             .select(col("qid"), col("rk").cast("long").as("rk"), col("cid"),
               col("cos"))
             .orderBy("qid", "rk"))
       },
-      Some(s"""
-WITH $sqlServeEdges,
-q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
-l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
-       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT 64),
-es AS (SELECT qid, cid,
-         round(list_sum(list_transform(range(1, len(qe)+1),
-                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
-       FROM q CROSS JOIN l1 WHERE qid <> cid),
-entry AS (SELECT qid, cid AS entry FROM (
-  SELECT qid, cid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM es) WHERE rn <= 6),
-c1 AS (SELECT qid, entry AS cid FROM entry
-       UNION
-       SELECT entry.qid, sg.dst FROM entry JOIN sg ON entry.entry = sg.src),
-c1s AS (SELECT c1.qid, c1.cid,
-          round(list_sum(list_transform(range(1, len(q.qe)+1),
-                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
-        FROM c1 JOIN q ON c1.qid = q.qid
-                JOIN e e2 ON c1.cid = e2.vec_id
-        WHERE c1.cid <> c1.qid),
-b1 AS (SELECT qid, cid AS b FROM (
-  SELECT qid, cid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM c1s) WHERE rn <= 3),
-c2 AS (SELECT qid, cid FROM c1
-       UNION
-       SELECT b1.qid, sg.dst FROM b1 JOIN sg ON b1.b = sg.src),
-c2s AS (SELECT c2.qid, c2.cid,
-          round(list_sum(list_transform(range(1, len(q.qe)+1),
-                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
-        FROM c2 JOIN q ON c2.qid = q.qid
-                JOIN e e2 ON c2.cid = e2.vec_id
-        WHERE c2.cid <> c2.qid),
-b2 AS (SELECT qid, cid AS b FROM (
-  SELECT qid, cid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM c2s) WHERE rn <= 3),
-c3 AS (SELECT qid, cid FROM c2
-       UNION
-       SELECT b2.qid, sg.dst FROM b2 JOIN sg ON b2.b = sg.src),
-c3s AS (SELECT c3.qid, c3.cid,
-          round(list_sum(list_transform(range(1, len(q.qe)+1),
-                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
-        FROM c3 JOIN q ON c3.qid = q.qid
-                JOIN e e2 ON c3.cid = e2.vec_id
-        WHERE c3.cid <> c3.qid),
-b3 AS (SELECT qid, cid AS b FROM (
-  SELECT qid, cid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM c3s) WHERE rn <= 3),
-c4 AS (SELECT qid, cid FROM c3
-       UNION
-       SELECT b3.qid, sg.dst FROM b3 JOIN sg ON b3.b = sg.src),
-c4s AS (SELECT c4.qid, c4.cid,
-          round(list_sum(list_transform(range(1, len(q.qe)+1),
-                  k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
-        FROM c4 JOIN q ON c4.qid = q.qid
-                JOIN e e2 ON c4.cid = e2.vec_id
-        WHERE c4.cid <> c4.qid)
-SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
-  SELECT qid, cid, cos,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM c4s) WHERE rn <= 5 ORDER BY qid, rk""")),
+      Some(sqlGraphRoute)),
 
     // The (beam, degree) operating-point curve for the graph-routed
     // serve — probe_curve's treatment for simsearch_graph_route:
@@ -1591,8 +1534,108 @@ SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
         Seq(SimilaritySearch.getClass,
           graft.functions.VectorExpressions.getClass,
           classOf[graft.functions.SrpBucketsF]),
-        dir => serveEdges(s, d)
-          .write.mode("overwrite").parquet(s"$dir/edges")))
+        dir => {
+          serveEdges(s, d)
+            .write.mode("overwrite").parquet(s"$dir/edges")
+          // pin the serve DIAL next to the index it tunes: the measured
+          // hop-curve knee (and the per-depth match counts behind it)
+          val (knee, m5s) = measuredKnee(s, d, s"$dir/edges")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/meta.json"),
+            (s"""{"depth":$knee,"maxDepth":$MaxServeDepth,""" +
+              s""""panel":$QueryPanel,"m5":[${m5s.mkString(",")}]}""")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }))
+
+  /** The serve dial pinned at bootstrap. `depth` = unrolled greedy
+    * hops simsearch_graph_route runs for this corpus.
+    */
+  private[queries] final case class ServeMeta(depth: Int)
+
+  private[queries] def serveMeta(s: SparkSession, d: String): ServeMeta = {
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${serveGraphDir(s, d)}/meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    ServeMeta(""""depth":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt)
+  }
+
+  /** Deepest hop count the knee measurement (and the oracle's unrolled
+    * chain) considers — the budget the dial is chosen within. ~log N at
+    * deployment scale; 4 covers every test corpus (the sf0.1 curve is
+    * flat past depth 3).
+    */
+  private[queries] val MaxServeDepth = 4
+
+  /** Measure the hop-curve knee for the serve graph at `edgesDir`: per
+    * depth 0..[[MaxServeDepth]], how many of the fixed eval panel's
+    * brute-force top-5 the routed top-5 recovers (n_match5, an INTEGER
+    * — exactly portable to the DuckDB twin, unlike a float recall);
+    * knee = smallest depth reaching 95% of the achievable plateau
+    * (20·m5 ≥ 19·max, integer arithmetic both engines evaluate
+    * identically). Runs once per bootstrap, O(N·panel) truth +
+    * constant-cost hops, never in a timed serve line.
+    */
+  private def measuredKnee(s: SparkSession, d: String,
+      edgesDir: String): (Int, Seq[Long]) = {
+    val emb = normedEmb(s, d)
+    val queries = evalPanel(emb)
+    val layer1 = emb
+      .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc, col("vec_id").asc)
+      .limit(EntryCap)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+    def wq = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("cid").asc)
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val m = graft.Caching.materialize(s, df); pins += m; m
+    }
+    val es = mat(queries.join(broadcast(layer1), col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+      .select("qid", "cid", "cos"))
+    val entry = es.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+    val kg = s.read.parquet(edgesDir).select("src", "dst")
+    val truth = mat(emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("cid"), col("cos"))
+      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
+      .select("qid", "cid", "rn"))
+    def rescore(cand: DataFrame): DataFrame = emb
+      .join(broadcast(cand), col("vec_id") === col("cid"))
+      .join(broadcast(queries), "qid")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+      .select("qid", "cid", "cos")
+    var cand = entry.select(col("qid"), col("entry").as("cid"))
+      .union(kg.join(broadcast(entry), col("entry") === col("src"))
+        .select(col("qid"), col("dst").as("cid")))
+      .distinct()
+    val m5s = (0 to MaxServeDepth).map { depth =>
+      val sc = mat(rescore(cand))
+      val top = sc.withColumn("rn", row_number().over(wq))
+        .filter(col("rn") <= 5).select("qid", "cid")
+      val m5 = truth.join(top.select(col("qid").as("tq"), col("cid").as("tc")),
+        col("qid") === col("tq") && col("cid") === col("tc"), "left_semi")
+        .count()
+      if (depth < MaxServeDepth) {
+        val beamDf = sc.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 3).select(col("qid"), col("cid").as("b"))
+        cand = cand
+          .union(kg.join(broadcast(beamDf), col("b") === col("src"))
+            .select(col("qid"), col("dst").as("cid")))
+          .distinct()
+      }
+      m5
+    }
+    pins.foreach(graft.Caching.release)
+    val best = m5s.max
+    val knee = m5s.indexWhere(m5 => 20L * m5 >= 19L * best)
+    (knee, m5s)
+  }
 
   /** Build the serve graph eagerly — Bench's warm hook. */
   def warmServeGraph(s: SparkSession, d: String): Unit = {
@@ -1648,10 +1691,13 @@ $rounds"""
     .select(col("vec_id").as("qid"), col("embedding").as("qe"),
       col("nrm").as("qn"))
 
-  /** DuckDB twin of [[evalPanel]], as the CTE `q(qid, qe, qn)`. */
-  private def sqlEvalPanel: String =
-    s"""q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e
+  /** DuckDB twin of [[evalPanel]], as the CTE `name(qid, qe, qn)`. */
+  private def sqlEvalPanelAs(name: String): String =
+    s"""$name AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e
        ORDER BY (vec_id * 257 + 13) % 1013 ASC, vec_id ASC LIMIT $QueryPanel)"""
+
+  /** [[sqlEvalPanelAs]] under the conventional name `q`. */
+  private def sqlEvalPanel: String = sqlEvalPanelAs("q")
 
   /** The (beam, out-degree) grid simsearch_beam_curve measures: the
     * beam sweep at the serving degree and the degree sweep at the
@@ -1755,86 +1801,141 @@ FROM ($rows)
 ORDER BY beam, deg"""
   }
 
-  /** DuckDB twin of simsearch_hop_curve: one unrolled chain to depth
-    * 4 over the refined serve graph, a report row per depth.
+  /** DuckDB twin of simsearch_hop_curve: ONE walk chain (the shared
+    * [[sqlWalkCtes]] generator, prefix `h_`) over the refined serve
+    * graph on the fixed eval panel, a report row per depth.
     */
   private def sqlHopCurve: String = {
-    def score(inC: String, outC: String): String =
-      s"""$outC AS (SELECT $inC.qid, $inC.cid,
-         |  round(list_sum(list_transform(range(1, len(q.qe)+1),
-         |          k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
-         |FROM $inC JOIN q ON $inC.qid = q.qid
-         |          JOIN e e2 ON $inC.cid = e2.vec_id
-         |WHERE $inC.cid <> $inC.qid)""".stripMargin
-    def beamCut(inS: String, outB: String): String =
-      s"""$outB AS (SELECT qid, cid AS b FROM (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid
-         |           ORDER BY cos DESC, cid ASC) AS rn
-         |  FROM $inS) WHERE rn <= 3)""".stripMargin
-    def hop(inC: String, inB: String, outC: String): String =
-      s"""$outC AS (SELECT qid, cid FROM $inC
-         |UNION
-         |SELECT $inB.qid, sg.dst FROM $inB
-         |JOIN sg ON $inB.b = sg.src)""".stripMargin
-    val chain = (1 to 4).flatMap { i =>
-      Seq(score(s"h_c$i", s"h_c${i}s"), beamCut(s"h_c${i}s", s"h_b$i"),
-        hop(s"h_c$i", s"h_b$i", s"h_c${i + 1}"))
-    }.mkString(",\n") + ",\n" + score("h_c5", "h_c5s")
     def rowFor(depth: Int): String = {
       val scored = (1 to depth + 1).map(i => s"(SELECT count(*) FROM h_c${i}s)")
         .mkString(" + ")
-      val top = s"h_c${depth + 1}t"
       s"""SELECT CAST($depth AS BIGINT) AS hops,
-         |  (SELECT count(*) FROM es) + $scored AS n_scored,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM bt
-         |   JOIN $top t ON bt.qid = t.qid AND bt.cid = t.cid) AS n_match5,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM bt
-         |   JOIN $top t ON bt.qid = t.qid AND bt.cid = t.cid
-         |   WHERE bt.rn = 1 AND t.rn = 1) AS n_match1""".stripMargin
+         |  (SELECT count(*) FROM h_es) + $scored AS n_scored,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM h_bt
+         |   JOIN h_t${depth + 1} t ON h_bt.qid = t.qid AND h_bt.cid = t.cid)
+         |    AS n_match5,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM h_bt
+         |   JOIN h_t${depth + 1} t ON h_bt.qid = t.qid AND h_bt.cid = t.cid
+         |   WHERE h_bt.rn = 1 AND t.rn = 1) AS n_match1""".stripMargin
     }
-    val tops = (1 to 5).map { i =>
-      s"""h_c${i}t AS (SELECT qid, cid, rn FROM (
-         |  SELECT qid, cid,
-         |         row_number() OVER (PARTITION BY qid
-         |           ORDER BY cos DESC, cid ASC) AS rn
-         |  FROM h_c${i}s) WHERE rn <= 5)""".stripMargin
-    }.mkString(",\n")
-    val rows = (0 to 4).map(rowFor).mkString("\nUNION ALL\n")
+    val rows = (0 to MaxServeDepth).map(rowFor).mkString("\nUNION ALL\n")
     s"""
 WITH $sqlServeEdges,
-$sqlEvalPanel,
-l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
-       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT 64),
-es AS (SELECT qid, cid,
-         round(list_sum(list_transform(range(1, len(qe)+1),
-                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
-       FROM q CROSS JOIN l1 WHERE qid <> cid),
-entry AS (SELECT qid, cid AS entry FROM (
-  SELECT qid, cid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM es) WHERE rn <= 6),
-btp AS (SELECT q.qid, c.vec_id AS cid,
-          round(list_sum(list_transform(range(1, len(q.qe)+1),
-                  k -> q.qe[k] * c.v[k])) / (q.qn * c.nrm), 6) AS cos
-        FROM q JOIN e c ON c.vec_id <> q.qid),
-bt AS (SELECT qid, cid, rn FROM (
-  SELECT qid, cid,
-         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rn
-  FROM btp) WHERE rn <= 5),
-h_c1 AS (SELECT qid, entry AS cid FROM entry
-UNION
-SELECT entry.qid, sg.dst FROM entry
-JOIN sg ON entry.entry = sg.src),
-$chain,
-$tops
+$sqlEntryLayer,
+${sqlEvalPanelAs("h_q")},
+${sqlWalkCtes("h_", 3, withTruth = true)}
 SELECT hops, n_scored, n_match5,
-       CAST(n_match5 AS DOUBLE) / (SELECT count(*) FROM bt) AS recall_at_5,
+       CAST(n_match5 AS DOUBLE) / (SELECT count(*) FROM h_bt) AS recall_at_5,
        n_match1,
-       CAST(n_match1 AS DOUBLE) / (SELECT count(*) FROM bt WHERE rn = 1)
+       CAST(n_match1 AS DOUBLE) / (SELECT count(*) FROM h_bt WHERE rn = 1)
          AS recall_at_1
 FROM ($rows)
 ORDER BY hops"""
+  }
+
+  /** The EntryCap hash-order entry layer as the CTE `l1(cid, ce, cn)`. */
+  private def sqlEntryLayer: String =
+    s"""l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
+       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT $EntryCap)"""
+
+  /** One greedy serve walk over `sg` as a CTE chain prefixed `p`: the
+    * panel `${p}q(qid, qe, qn)` must already be defined; emits the
+    * entry-scan scores `${p}es`, entry points `${p}entry`, candidate
+    * sets `${p}c1..c{MaxServeDepth+1}` with scored twins `${p}c{i}s`
+    * (beam cut at `beam` between hops), per-depth routed top-5
+    * `${p}t{i}` (depth d's answer is t{d+1}), and — when `withTruth` —
+    * the panel's brute-force top-5 `${p}bt`. Assumes `e`, `sg`, `l1`
+    * in scope; no trailing comma. ONE generator feeds the hop-curve
+    * report, the route oracle's knee derivation, AND its serving
+    * chain, so the three cannot drift.
+    */
+  private def sqlWalkCtes(p: String, beam: Int, withTruth: Boolean): String = {
+    def score(i: Int): String =
+      s"""${p}c${i}s AS (SELECT c.qid, c.cid,
+         |  round(list_sum(list_transform(range(1, len(q.qe)+1),
+         |          k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
+         |FROM ${p}c$i c JOIN ${p}q q ON c.qid = q.qid
+         |          JOIN e e2 ON c.cid = e2.vec_id
+         |WHERE c.cid <> c.qid)""".stripMargin
+    def beamCut(i: Int): String =
+      s"""${p}b$i AS (SELECT qid, cid AS b FROM (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM ${p}c${i}s) WHERE rn <= $beam)""".stripMargin
+    def hop(i: Int): String =
+      s"""${p}c${i + 1} AS (SELECT qid, cid FROM ${p}c$i
+         |UNION
+         |SELECT b.qid, sg.dst FROM ${p}b$i b JOIN sg ON b.b = sg.src)"""
+        .stripMargin
+    def top(i: Int): String =
+      s"""${p}t$i AS (SELECT qid, cid, cos, rn FROM (
+         |  SELECT qid, cid, cos,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM ${p}c${i}s) WHERE rn <= 5)""".stripMargin
+    val head = Seq(
+      s"""${p}es AS (SELECT qid, cid,
+         |         round(list_sum(list_transform(range(1, len(qe)+1),
+         |                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
+         |       FROM ${p}q CROSS JOIN l1 WHERE qid <> cid)""".stripMargin,
+      s"""${p}entry AS (SELECT qid, cid AS entry FROM (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM ${p}es) WHERE rn <= 6)""".stripMargin,
+      s"""${p}c1 AS (SELECT qid, entry AS cid FROM ${p}entry
+         |UNION
+         |SELECT en.qid, sg.dst FROM ${p}entry en
+         |JOIN sg ON en.entry = sg.src)""".stripMargin)
+    val truth = if (!withTruth) Seq.empty[String] else Seq(
+      s"""${p}btp AS (SELECT q.qid, c.vec_id AS cid,
+         |          round(list_sum(list_transform(range(1, len(q.qe)+1),
+         |                  k -> q.qe[k] * c.v[k])) / (q.qn * c.nrm), 6) AS cos
+         |        FROM ${p}q q JOIN e c ON c.vec_id <> q.qid)""".stripMargin,
+      s"""${p}bt AS (SELECT qid, cid, rn FROM (
+         |  SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid
+         |           ORDER BY cos DESC, cid ASC) AS rn
+         |  FROM ${p}btp) WHERE rn <= 5)""".stripMargin)
+    val chain = (1 to MaxServeDepth)
+      .flatMap(i => Seq(score(i), beamCut(i), hop(i))) :+
+      score(MaxServeDepth + 1)
+    val tops = (1 to MaxServeDepth + 1).map(top)
+    (head ++ truth ++ chain ++ tops).mkString(",\n")
+  }
+
+  /** DuckDB twin of simsearch_graph_route: derives the SERVED DEPTH
+    * exactly as the bootstrap pins it in meta.json — a knee chain over
+    * the fixed eval panel (smallest depth with 20·m5 ≥ 19·max, the
+    * integer 95%-of-plateau rule) — then serves the % 97 panel with
+    * one walk unrolled to [[MaxServeDepth]], keeping each depth's
+    * routed top-5 and answering with the knee's. Both chains come from
+    * [[sqlWalkCtes]], the same generator the hop-curve oracle uses.
+    */
+  private def sqlGraphRoute: String = {
+    val m5rows = (0 to MaxServeDepth).map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS hops,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM k_bt
+         |   JOIN k_t${d + 1} t ON k_bt.qid = t.qid AND k_bt.cid = t.cid)
+         |    AS m5""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val served = (0 to MaxServeDepth).map { d =>
+      s"SELECT CAST($d AS BIGINT) AS hops, qid, cid, cos, rn FROM s_t${d + 1}"
+    }.mkString("\nUNION ALL\n")
+    s"""
+WITH $sqlServeEdges,
+$sqlEntryLayer,
+${sqlEvalPanelAs("k_q")},
+${sqlWalkCtes("k_", 3, withTruth = true)},
+k_m5 AS ($m5rows),
+knee AS (SELECT min(hops) AS kd FROM k_m5
+         WHERE 20 * m5 >= 19 * (SELECT max(m5) FROM k_m5)),
+s_q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
+${sqlWalkCtes("s_", 3, withTruth = false)}
+SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
+$served)
+WHERE hops = (SELECT kd FROM knee) ORDER BY qid, rk"""
   }
 
   /** Serve-graph out-degree for simsearch_graph_route (HNSW's M): the
