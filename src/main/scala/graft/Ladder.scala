@@ -99,6 +99,15 @@ object Ladder {
       "bootstrap third + 2 edge-list updates via batch-id versioned " +
         "foreachBatch: delta x visible-postings band join, re-rank " +
         "bounded by the delta's collision neighborhood"),
+    Family("simsearch_beam_curve", "embeddings", 1.4,
+      "5 arms sharing one entry scan + one brute truth over the FIXED " +
+        "32-query eval panel (O(N x panel)); every hop is a constant- " +
+        "size broadcast joined against the warm-cached serve edge list",
+      warmServe = true),
+    Family("simsearch_hop_curve", "embeddings", 1.4,
+      "one depth-4 walk, each depth a prefix of the next; truth " +
+        "O(N x panel) on the fixed eval panel, hops constant-cost",
+      warmServe = true),
     Family("mm_image_phash", "documents", 1.4,
       "input pinned to doc_id < 100 synthesized BMPs on every fixture, " +
         "so the exponent pins per-image constancy; the scale mechanism " +
@@ -129,6 +138,12 @@ object Ladder {
     val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     val mid = sys.env.getOrElse("SPARK_GRAFT_MID_DIR", "fixtures/mid")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_LADDER_OUT", "scale_ladder.json")
+    // dev-loop filter: SPARK_GRAFT_LADDER_ONLY=f1,f2 measures just those
+    // families (the committed scale_ladder.json always comes from a FULL
+    // run — a filtered run's output is for margin investigation)
+    val only = sys.env.get("SPARK_GRAFT_LADDER_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val families = Ladder.families.filter(f => only.forall(_(f.query)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

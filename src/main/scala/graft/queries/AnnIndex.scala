@@ -125,22 +125,8 @@ object AnnIndex {
       tag: String): Unit = {
     VectorExpressions.register(s)
     val cents = s.read.parquet(s"$stateDir/cent")
-    val assigned = assignCells(newVecs, cents, nprobe = 1)
-      .withColumn(
-        "ingest", org.apache.spark.sql.functions.lit(tag))
-    // the overwrite-mode conf must land on the session the WRITE runs
-    // under — inside foreachBatch that is the micro-batch's CLONED
-    // session (batch.sparkSession), whose conf is isolated from the
-    // caller's; setting it on `s` alone leaves the clone in static
-    // mode, and a static overwrite wipes every other ingest partition
-    // (observed: only the last batch survived the drain)
-    val sess = assigned.sparkSession
-    val prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try assigned.write.mode("overwrite").partitionBy("ingest", "cell")
-      .parquet(s"$stateDir/vec")
-    finally sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    s.catalog.refreshByPath(s"$stateDir/vec")
+    StateStore.appendTagged(s, assignCells(newVecs, cents, nprobe = 1),
+      s"$stateDir/vec", tag, Seq("cell"))
   }
 
   case class PurgeStats(nPurged: Long, nCellsRewritten: Int, nCellsDeleted: Int)

@@ -77,24 +77,6 @@ object KnnGraphIndex {
       posexplode(expr(s"srp_buckets_p(embedding, $planes)"))
         .as(Seq("band", "bkt")))
 
-  /** Write `df` under `dir/ingest=<tag>` through dynamic partition
-    * overwrite — the st17 idempotency: a replayed tag replaces its own
-    * partitions and touches nothing else. The conf lands on the
-    * frame's OWN session (inside foreachBatch that is the micro-batch
-    * clone; see AnnIndex.appendBatch).
-    */
-  private def appendTagged(s: SparkSession, df: DataFrame, dir: String,
-      tag: String): Unit = {
-    val tagged = df.withColumn("ingest", lit(tag))
-    val sess = tagged.sparkSession
-    val prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
-      "static")
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try tagged.write.mode("overwrite").partitionBy("ingest").parquet(dir)
-    finally sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    s.catalog.refreshByPath(dir)
-  }
-
   /** From-scratch build over `delta` (the initial corpus slice): pins
     * the band family in meta, lands the facts under ingest=<tag>, and
     * writes the degree-k edge list to `edgesDir`.
@@ -109,8 +91,8 @@ object KnnGraphIndex {
         "candidate sets instead of ranking it -1 (visible to all)")
     writeMeta(root, Meta(planes, k))
     val vecs = withNorm(delta)
-    appendTagged(s, vecs, s"$root/vec", tag)
-    appendTagged(s, banded(vecs, planes), s"$root/post", tag)
+    StateStore.appendTagged(s, vecs, s"$root/vec", tag)
+    StateStore.appendTagged(s, banded(vecs, planes), s"$root/post", tag)
     SimilaritySearch.edgesOver(s.read.parquet(s"$root/vec")
         .select("vec_id", "embedding", "nrm"), planes, k)
       .write.mode("overwrite").parquet(edgesDir)
@@ -141,8 +123,7 @@ object KnnGraphIndex {
     // after-b2 scenario — unscoped, the replay gained b2's candidate
     // pairs and rewrote history). Bootstrap tags (non-b<id>) rank -1,
     // so every batch sees them.
-    val visId = when(col("ingest").rlike("^b[0-9]+$"),
-      substring(col("ingest"), 2, 18).cast("long")).otherwise(lit(-1L))
+    val visId = StateStore.visibleBatchId
     // A vec_id already ingested by an EARLIER batch (or the bootstrap)
     // is dropped from the delta: a cross-batch duplicate delivery would
     // otherwise land the same id under two ingest partitions,
@@ -154,8 +135,8 @@ object KnnGraphIndex {
     val priorIds = s.read.parquet(s"$root/vec")
       .filter(visId < myId).select("vec_id")
     val vecs = withNorm(delta).join(priorIds, Seq("vec_id"), "left_anti")
-    appendTagged(s, vecs, s"$root/vec", tag)
-    appendTagged(s, banded(vecs, m.planes), s"$root/post", tag)
+    StateStore.appendTagged(s, vecs, s"$root/vec", tag)
+    StateStore.appendTagged(s, banded(vecs, m.planes), s"$root/post", tag)
     val allPost = s.read.parquet(s"$root/post")
       .filter(visId <= myId)
       .select("vec_id", "band", "bkt")

@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared mechanics of the durable-state subsystems the library
+  * keeps fresh under a stream (IVF postings — st17/AnnIndex, BM25
+  * postings — st18/TextIndex, the LSM MinHash dedup index — st20/
+  * DedupIndex, the k-NN edge list — st21/KnnGraphIndex). Each
+  * subsystem owns its DERIVATION (what a batch folds in); the state
+  * DISCIPLINE is one of two shapes and lives here, once:
+  *
+  *  - [[appendTagged]] for append-only FACTS: a batch's rows land
+  *    under their own `ingest=<tag>` partition level via dynamic
+  *    partition overwrite, so a redelivered tag replaces exactly its
+  *    own partitions — exactly-once state from at-least-once delivery.
+  *  - [[VersionChain]] for state that is NOT append-only (a new row
+  *    can displace an old one, e.g. a rank-k edge list or an LSM
+  *    signature set): each batch derives a whole new version from the
+  *    newest version built by a SMALLER batch id and overwrites its
+  *    own directory on replay — never chains a duplicate.
+  *
+  * [[visibleBatchId]] scopes fact reads BY BATCH ID (not by what
+  * exists on disk): a crash-redelivered batch recomputes against
+  * exactly the facts its original run saw, even though later batches'
+  * partitions already exist by redelivery time.
+  */
+object StateStore {
+
+  /** Write `df` under `dir/ingest=<tag>` (plus `extraPartitionCols`
+    * levels below it) through dynamic partition overwrite — the
+    * idempotent tagged append. The overwrite-mode conf must land on
+    * the session the WRITE runs under: inside foreachBatch that is the
+    * micro-batch's CLONED session, whose conf is isolated from the
+    * caller's; setting it on `s` alone leaves the clone in static
+    * mode, and a static overwrite wipes every other ingest partition
+    * (observed: only the last batch survived the drain).
+    */
+  def appendTagged(s: SparkSession, df: DataFrame, dir: String, tag: String,
+      extraPartitionCols: Seq[String] = Seq.empty): Unit = {
+    val tagged = df.withColumn("ingest", lit(tag))
+    val sess = tagged.sparkSession
+    val prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode",
+      "static")
+    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try tagged.write.mode("overwrite")
+      .partitionBy("ingest" +: extraPartitionCols: _*).parquet(dir)
+    finally sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // the session's FileStatusCache still lists the replaced files;
+    // without this, the next read of dir serves deleted part paths
+    s.catalog.refreshByPath(dir)
+  }
+
+  /** Batch-id visibility rank of an `ingest` tag: `b<digits>` → the
+    * numeric id; anything else (a bootstrap tag) → -1, visible to
+    * every batch. Filter facts with `visibleBatchId <= myId` so a
+    * replayed batch sees exactly what its original run saw.
+    */
+  def visibleBatchId: Column =
+    when(col("ingest").rlike("^b[0-9]+$"),
+      substring(col("ingest"), 2, 18).cast("long")).otherwise(lit(-1L))
+
+  /** The batch-id version chain: versions live as
+    * `$baseDir/$prefix<id>` directories next to a bootstrap version
+    * named `bootName` at `bootPath` (which may live elsewhere — e.g. a
+    * warm-cache dir). The chain is the idempotency: batch `id` always
+    * derives from [[parentFor]]`(id)` — the newest version built by a
+    * STRICTLY smaller batch id — and overwrites [[dirFor]]`(id)`, so a
+    * foreachBatch retry or checkpoint replay recomputes from the SAME
+    * parent and never chains a duplicate version. Every version stays
+    * readable (audits, time travel); compaction is a separate concern.
+    */
+  final case class VersionChain(baseDir: String, prefix: String,
+      bootName: String, bootPath: String) {
+    private def idOf(name: String): Long =
+      if (name == bootName) -1L else name.stripPrefix(prefix).toLong
+
+    /** All version names on disk, bootstrap first (unordered past that). */
+    def versions(): Seq[String] = {
+      val base = new java.io.File(baseDir)
+      val pat = java.util.regex.Pattern.quote(prefix) + "\\d+"
+      val bs = Option(base.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+        .map(_.getName).filter(_.matches(pat))
+      bootName +: bs
+    }
+
+    def pathOf(name: String): String =
+      if (name == bootName) bootPath else s"$baseDir/$name"
+
+    /** Name of the newest version built by a batch id < `id` — the
+      * replay-deterministic parent (the bootstrap ranks -1).
+      */
+    def parentFor(id: Long): String =
+      versions().filter(n => idOf(n) < id).maxBy(idOf)
+
+    def parentPathFor(id: Long): String = pathOf(parentFor(id))
+
+    /** The directory batch `id`'s version (over)writes. */
+    def dirFor(id: Long): String = s"$baseDir/$prefix$id"
+
+    /** Path of the chain head — the serving version. */
+    def headPath: String = parentPathFor(Long.MaxValue)
+  }
+}

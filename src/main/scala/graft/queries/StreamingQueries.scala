@@ -84,6 +84,21 @@ object StreamingQueries {
       Paths.get(s"$inDir/$name"), StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Land `df` as the single file `$root/in/$name.parquet` — the
+    * file-source staging step the streaming fixtures share (written
+    * via a scratch dir because Spark cannot emit one named file).
+    */
+  private def stageFile(root: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val stageDir = s"$root/stage_$name"
+    df.coalesce(1).write.mode("overwrite").parquet(stageDir)
+    val part = new java.io.File(stageDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.createDirectories(Paths.get(s"$root/in"))
+    Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Drop a sentinel event 4 hours past the real data into `inDir` —
     * the end-of-stream watermark-advance technique: append mode only
     * emits windows/sessions the watermark has closed, so the sentinel
@@ -564,15 +579,8 @@ ORDER BY sink""")),
               lit(null).cast("double").as("c_acctbal"),
               lit(null).cast("string").as("c_mktsegment"))
             .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stageDir = s"$root/stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-          val part = new java.io.File(stageDir).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.createDirectories(Paths.get(s"$root/in"))
-          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          stageFile(root, name, df)
         val logSchema = "c_custkey BIGINT, c_name STRING, " +
           "c_acctbal DOUBLE, c_mktsegment STRING, op STRING, seq BIGINT"
         def drain(): Unit = {
@@ -783,16 +791,8 @@ FROM j GROUP BY source ORDER BY source""")),
         // bootstrap slice goes through the SAME idempotent append path
         AnnIndex.appendBatch(s, cands.filter(col("vec_id") % 3 === 0),
           root, "base")
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stageDir = s"$root/stage_$name"
-          df.select("vec_id", "embedding")
-            .coalesce(1).write.mode("overwrite").parquet(stageDir)
-          val part = new java.io.File(stageDir).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.createDirectories(Paths.get(s"$root/in"))
-          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          stageFile(root, name, df.select("vec_id", "embedding"))
         def drain(): Unit = {
           val q = s.readStream
             .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -843,15 +843,8 @@ FROM j GROUP BY source ORDER BY source""")),
         // bootstrap slice through the SAME idempotent append path
         TextIndex.appendBatch(s, docs.filter(col("doc_id") % 3 === 0),
           root, "base")
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stageDir = s"$root/stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-          val part = new java.io.File(stageDir).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.createDirectories(Paths.get(s"$root/in"))
-          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          stageFile(root, name, df)
         def drain(): Unit = {
           val q = s.readStream
             .schema("doc_id BIGINT, text STRING")
@@ -904,27 +897,10 @@ FROM j GROUP BY source ORDER BY source""")),
         // cached like the dedup-index bootstrap (deterministic function
         // of builder code + fixture), so the timed line is the
         // STREAMING maintenance, not a build every consumer shares
-        val v0 = st20BootstrapDir(s, d)
-        def versions(): Seq[String] = {
-          val base = new java.io.File(s"$root/state")
-          val bs = Option(base.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-            .map(_.getName).filter(_.matches("b\\d+"))
-          "v0" +: bs
-        }
-        def pathOf(name: String): String =
-          if (name == "v0") v0 else s"$root/state/$name"
-        def parentFor(id: Long): String =
-          versions().filter(n => n == "v0" || n.drop(1).toLong < id)
-            .maxBy(n => if (n == "v0") -1L else n.drop(1).toLong)
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stageDir = s"$root/stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-          val part = new java.io.File(stageDir).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.createDirectories(Paths.get(s"$root/in"))
-          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        val chain = StateStore.VersionChain(s"$root/state", "b",
+          "v0", st20BootstrapDir(s, d))
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          stageFile(root, name, df)
         def drain(): Unit = {
           val q = s.readStream
             .schema("doc_id BIGINT, text STRING")
@@ -932,7 +908,7 @@ FROM j GROUP BY source ORDER BY source""")),
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
               DedupIndex.update(s, batch,
-                pathOf(parentFor(id)), s"$root/state/b$id"); ()
+                chain.parentPathFor(id), chain.dirFor(id)); ()
             }
             .option("checkpointLocation", s"$root/ck")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -941,14 +917,13 @@ FROM j GROUP BY source ORDER BY source""")),
         }
         stage(docs.filter(col("doc_id") % 3 === 1), "t1"); drain()
         stage(docs.filter(col("doc_id") % 3 === 2), "t2"); drain()
-        val chainAfter = versions().sorted
+        val chainAfter = chain.versions().sorted
         drain() // redelivery: same checkpoint, no new files -> no-op
-        require(versions().sorted == chainAfter,
+        require(chain.versions().sorted == chainAfter,
           s"empty redelivery grew the version chain $chainAfter -> " +
-            s"${versions().sorted} — the batch-id versioning is not " +
-            "idempotent")
-        val head = parentFor(Long.MaxValue)
-        s.read.parquet(s"${pathOf(head)}/sig")
+            s"${chain.versions().sorted} — the batch-id versioning is " +
+            "not idempotent")
+        s.read.parquet(s"${chain.headPath}/sig")
           .select(col("doc_id") +: col("n") +:
             (0 until 8).map(i => col(s"m$i")): _*)
           .orderBy("doc_id")
@@ -989,26 +964,10 @@ FROM sigt ORDER BY doc_id""")),
           root, "boot", s"$root/state_v0",
           planes = graft.functions.VectorExpressions.adaptiveSrpPlanes(
             graft.Tables.rowCount(s, d, "embeddings")))
-        def versions(): Seq[String] = {
-          val base = new java.io.File(root)
-          val bs = Option(base.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-            .map(_.getName).filter(_.matches("state_b\\d+"))
-          "state_v0" +: bs
-        }
-        def parentFor(id: Long): String =
-          versions().filter(n => n == "state_v0" ||
-              n.stripPrefix("state_b").toLong < id)
-            .maxBy(n => if (n == "state_v0") -1L
-              else n.stripPrefix("state_b").toLong)
-        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-          val stageDir = s"$root/stage_$name"
-          df.coalesce(1).write.mode("overwrite").parquet(stageDir)
-          val part = new java.io.File(stageDir).listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          Files.createDirectories(Paths.get(s"$root/in"))
-          Files.copy(part.toPath, Paths.get(s"$root/in/$name.parquet"),
-            StandardCopyOption.REPLACE_EXISTING)
-        }
+        val chain = StateStore.VersionChain(root, "state_b",
+          "state_v0", s"$root/state_v0")
+        def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          stageFile(root, name, df)
         def drain(): Unit = {
           val q = s.readStream
             .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -1016,7 +975,7 @@ FROM sigt ORDER BY doc_id""")),
             .writeStream
             .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
               KnnGraphIndex.update(s, batch, root, s"b$id",
-                s"$root/${parentFor(id)}", s"$root/state_b$id"); ()
+                chain.parentPathFor(id), chain.dirFor(id)); ()
             }
             .option("checkpointLocation", s"$root/ck")
             .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1025,14 +984,13 @@ FROM sigt ORDER BY doc_id""")),
         }
         stage(emb.filter(col("vec_id") % 3 === 1), "t1"); drain()
         stage(emb.filter(col("vec_id") % 3 === 2), "t2"); drain()
-        val chainAfter = versions().sorted
+        val chainAfter = chain.versions().sorted
         drain() // redelivery: same checkpoint, no new files -> no-op
-        require(versions().sorted == chainAfter,
+        require(chain.versions().sorted == chainAfter,
           s"empty redelivery grew the version chain $chainAfter -> " +
-            s"${versions().sorted} — the batch-id versioning is not " +
-            "idempotent")
-        val head = parentFor(Long.MaxValue)
-        s.read.parquet(s"$root/$head").orderBy("src", "rk")
+            s"${chain.versions().sorted} — the batch-id versioning is " +
+            "not idempotent")
+        s.read.parquet(chain.headPath).orderBy("src", "rk")
       },
       Some(s"""
 WITH ${SimilaritySearch.sqlKnnEdges}

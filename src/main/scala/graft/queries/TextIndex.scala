@@ -109,23 +109,12 @@ object TextIndex {
     */
   def appendBatch(s: SparkSession, newDocs: DataFrame, stateDir: String,
       tag: String): Unit = {
-    val tagged = postings(s, newDocs).withColumn("ingest", lit(tag))
-    // conf must land on the session the write runs under — inside
-    // foreachBatch that is the micro-batch's cloned session
-    val sess = tagged.sparkSession
-    val prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      tagged.write.mode("overwrite").partitionBy("ingest", "bucket")
-        .parquet(s"$stateDir/post")
+    StateStore.appendTagged(s, postings(s, newDocs),
+      s"$stateDir/post", tag, Seq("bucket"))
+    StateStore.appendTagged(s,
       newDocs.select(size(split(col("text"), " ")).cast("long").as("dl"))
-        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
-        .withColumn("ingest", lit(tag))
-        .write.mode("overwrite").partitionBy("ingest")
-        .parquet(s"$stateDir/statsp")
-    } finally sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    s.catalog.refreshByPath(s"$stateDir/post")
-    s.catalog.refreshByPath(s"$stateDir/statsp")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl")),
+      s"$stateDir/statsp", tag)
   }
 
   /** Serve from tagged-append state: totals are the sum of the
