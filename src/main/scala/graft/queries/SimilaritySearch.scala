@@ -1195,26 +1195,35 @@ ORDER BY m.vec_id""")),
     // maintains: a FIXED-SIZE entry layer ([[EntryCap]] = 64 vectors,
     // chosen by a deterministic hash order — HNSW's constant-sized top
     // layer) is scanned brute-force to pick each query's entry
-    // points, then three unrolled GREEDY HOPS expand along graph edges
-    // (entry beam → its top-[[ServeDegree]] neighbors, re-rank to
-    // beam 3, repeat),
-    // and the answer is the top-5 of everything visited. Per query the
-    // route scores EntryCap + ≤ 3·beam·ServeDegree candidates — a
+    // points, then GREEDY HOPS expand along graph edges (entry beam →
+    // its top-[[ServeDegree]] neighbors, re-rank to beam 3, repeat);
+    // the UNROLLED DEPTH is the per-corpus dial the bootstrap pins in
+    // the serve graph's meta.json — the measured hop-curve knee
+    // (smallest depth reaching 95% of the achievable recall plateau,
+    // in integer match counts both engines compare identically) — so
+    // the route pays hops only where the corpus still buys recall with
+    // them (measured: 1 hop at 500 vectors, 3 at 2000; ~log N at
+    // deployment scale, each round the same constant-cost join). The
+    // answer is the top-5 of everything visited. Per query the route
+    // scores EntryCap + ≤ depth·beam·ServeDegree candidates — a
     // CONSTANT at every stage, independent of corpus size (the earlier
     // fixed-RATE vec_id % 16 sample made the entry scan ∝ N/16 and the
-    // stage asymptotically quadratic; a capped entry set removes that,
-    // trading it for hop count: at deployment scale the number of
-    // unrolled hop rounds grows ~log N, each round the same
-    // constant-cost join — simsearch_beam_curve measures the
-    // (beam, degree) operating point). Every hop is a relational join
-    // both engines unroll identically (greedy argmax per hop = one
-    // window, ties to min id). At 100 TB: the entry layer broadcasts
-    // (it IS the index's top layer, built once by a distributed
-    // hash-order top-k, never a single-partition window), each hop is
-    // an equi-join against the edge list partitioned by src, and
-    // queries batch through the same two-hop plan — no per-query
-    // driver loop. SimilaritySearchSpec measures routed
-    // recall@1 against brute force and pins the visited-set bound.
+    // stage asymptotically quadratic; a capped entry set removes
+    // that). Every hop is a relational join both engines unroll
+    // identically (greedy argmax per hop = one window, ties to min
+    // id). At 100 TB: the entry layer broadcasts (it IS the index's
+    // top layer, built once by a distributed hash-order top-k, never a
+    // single-partition window), each hop is an equi-join against the
+    // edge list partitioned by src, and queries batch through the same
+    // plan — no per-query driver loop. The % 97 query panel models
+    // serving VOLUME (∝ N queries at constant per-query cost); note
+    // the broadcast candidate/beam frames grow with the panel in
+    // aggregate, so a deployment batches its query stream into
+    // bounded-size micro-batches through this same plan rather than
+    // broadcasting an unbounded backlog — the per-batch broadcast is
+    // batch_size × (beam·ServeDegree) rows, a config bound, never ∝
+    // corpus. SimilaritySearchSpec measures routed recall@1 against
+    // brute force and pins the visited-set bound.
     Q("simsearch_graph_route",
       (s, d) => {
         VectorExpressions.register(s)
@@ -1299,6 +1308,7 @@ ORDER BY m.vec_id""")),
     Q("simsearch_beam_curve",
       (s, d) => {
         VectorExpressions.register(s)
+        import s.implicits._
         val emb = normedEmb(s, d)
         val queries = evalPanel(emb)
         val layer1 = emb
@@ -1307,7 +1317,20 @@ ORDER BY m.vec_id""")),
           .limit(EntryCap)
           .select(col("vec_id").as("cid"), col("embedding").as("ce"),
             col("nrm").as("cn"))
+        // ONE chain for all 5 arms, tagged by an `arm` column: the r11
+        // formulation ran a chain PER ARM (21 materialized frames +
+        // per-arm count jobs — 14.5 s of scheduler overhead at sf0.1,
+        // the suite's slowest query); windows partitioned by
+        // (arm, qid) compute the identical per-arm beam cuts in one
+        // job per hop, and the per-arm rank cut (rk <= deg) rides the
+        // hop join condition. Output is row-identical (the oracle is
+        // unchanged and still unrolls per-arm chains).
+        val arms = BeamCurveArms.zipWithIndex
+          .map { case ((b, m), i) => (i.toLong, b.toLong, m.toLong) }
+          .toDF("arm", "beam", "deg")
         def wq = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("cid").asc)
+        def wa = Window.partitionBy("arm", "qid")
           .orderBy(col("cos").desc, col("cid").asc)
         val pins = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
         def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -1337,56 +1360,69 @@ ORDER BY m.vec_id""")),
           .filter(col("cid") =!= col("qid"))
           .withColumn("cos",
             round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-          .select("qid", "cid", "cos")
-        def arm(beam: Int, deg: Int): org.apache.spark.sql.DataFrame = {
-          val kg = kgAll.filter(col("rk") <= deg).select("src", "dst")
-          var cand = entry.select(col("qid"), col("entry").as("cid"))
-            .union(kg.join(broadcast(entry), col("entry") === col("src"))
-              .select(col("qid"), col("dst").as("cid")))
+          .select("arm", "qid", "cid", "cos")
+        val entryA = entry.crossJoin(broadcast(arms.select("arm", "deg")))
+        var cand = entryA.select(col("arm"), col("qid"),
+            col("entry").as("cid"))
+          .union(kgAll.join(broadcast(entryA),
+              col("entry") === col("src") && col("rk") <= col("deg"))
+            .select(col("arm"), col("qid"), col("dst").as("cid")))
+          .distinct()
+        // each hop's scored frame is MATERIALIZED: it feeds both the
+        // n_scored count and the beam cut, and a lazy formulation
+        // doubles the candidate tree per hop (measured 15.9 s -> 35.7
+        // s when these were left lazy — the emb_pca_topr lesson)
+        val scoredFrames =
+          scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+        for (_ <- 1 to 3) {
+          val sc = mat(rescore(cand))
+          scoredFrames += sc
+          val beamDf = sc.join(broadcast(arms), "arm")
+            .withColumn("rn", row_number().over(wa))
+            .filter(col("rn") <= col("beam"))
+            .select(col("arm"), col("qid"), col("cid").as("b"), col("deg"))
+          cand = cand
+            .union(kgAll.join(broadcast(beamDf),
+                col("b") === col("src") && col("rk") <= col("deg"))
+              .select(col("arm"), col("qid"), col("dst").as("cid")))
             .distinct()
-          // each hop's scored frame is MATERIALIZED: it feeds both the
-          // n_scored count and the beam cut, and a lazy formulation
-          // doubles the candidate tree per hop (measured 15.9 s -> 35.7
-          // s when these were left lazy — the emb_pca_topr lesson)
-          val scoredFrames =
-            scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](es)
-          for (_ <- 1 to 3) {
-            val sc = mat(rescore(cand))
-            scoredFrames += sc
-            val beamDf = sc.withColumn("rn", row_number().over(wq))
-              .filter(col("rn") <= beam).select(col("qid"), col("cid").as("b"))
-            cand = cand
-              .union(kg.join(broadcast(beamDf), col("b") === col("src"))
-                .select(col("qid"), col("dst").as("cid")))
-              .distinct()
-          }
-          val scFinal = mat(rescore(cand))
-          scoredFrames += scFinal
-          val nScored = scoredFrames.map(_.agg(count(lit(1)).as("c")))
-            .reduce(_.unionAll(_)).agg(sum("c").as("n_scored"))
-          val top = scFinal.withColumn("rn", row_number().over(wq))
-            .filter(col("rn") <= 5).select("qid", "cid", "rn")
-          val m5 = truth.join(top.select(col("qid").as("tq"),
-              col("cid").as("tc")),
-              col("qid") === col("tq") && col("cid") === col("tc"), "left")
-            .agg(count(col("tc")).as("n_match5"))
-          val m1 = truth.filter(col("rn") === 1)
-            .join(top.filter(col("rn") === 1)
-              .select(col("qid").as("tq"), col("cid").as("tc")),
-              col("qid") === col("tq") && col("cid") === col("tc"), "left")
-            .agg(count(col("tc")).as("n_match1"))
-          nScored.crossJoin(m5).crossJoin(m1)
-            .crossJoin(broadcast(den5)).crossJoin(broadcast(den1))
-            .select(lit(beam.toLong).as("beam"), lit(deg.toLong).as("deg"),
-              col("n_scored"), col("n_match5"),
-              (col("n_match5").cast("double") / col("n_truth5"))
-                .as("recall_at_5"),
-              col("n_match1"),
-              (col("n_match1").cast("double") / col("n_truth1"))
-                .as("recall_at_1"))
         }
-        val out = BeamCurveArms.map { case (b, m) => arm(b, m) }
-          .reduce(_.unionAll(_)).orderBy("beam", "deg")
+        val scFinal = mat(rescore(cand))
+        scoredFrames += scFinal
+        // per-arm candidates-scored: the shared entry scan (arm-free)
+        // plus each hop frame's per-arm rows — the same sums the
+        // per-arm formulation produced
+        val esCount = es.agg(count(lit(1)).as("es_n"))
+        val hopCounts = scoredFrames
+          .map(_.groupBy("arm").agg(count(lit(1)).as("c")))
+          .reduce(_.unionAll(_))
+          .groupBy("arm").agg(sum("c").as("hop_n"))
+        val top = scFinal.withColumn("rn", row_number().over(wa))
+          .filter(col("rn") <= 5).select("arm", "qid", "cid", "rn")
+        val m5 = truth.join(top.select(col("arm"), col("qid").as("tq"),
+            col("cid").as("tc")),
+            col("qid") === col("tq") && col("cid") === col("tc"))
+          .groupBy("arm").agg(count(lit(1)).as("n_match5"))
+        val m1 = truth.filter(col("rn") === 1)
+          .join(top.filter(col("rn") === 1)
+            .select(col("arm"), col("qid").as("tq"), col("cid").as("tc")),
+            col("qid") === col("tq") && col("cid") === col("tc"))
+          .groupBy("arm").agg(count(lit(1)).as("n_match1"))
+        val out = arms
+          .join(hopCounts, Seq("arm"), "left")
+          .join(m5, Seq("arm"), "left")
+          .join(m1, Seq("arm"), "left")
+          .crossJoin(broadcast(esCount))
+          .crossJoin(broadcast(den5)).crossJoin(broadcast(den1))
+          .select(col("beam"), col("deg"),
+            (col("es_n") + coalesce(col("hop_n"), lit(0L))).as("n_scored"),
+            coalesce(col("n_match5"), lit(0L)).as("n_match5"),
+            (coalesce(col("n_match5"), lit(0L)).cast("double") /
+              col("n_truth5")).as("recall_at_5"),
+            coalesce(col("n_match1"), lit(0L)).as("n_match1"),
+            (coalesce(col("n_match1"), lit(0L)).cast("double") /
+              col("n_truth1")).as("recall_at_1"))
+          .orderBy("beam", "deg")
         graft.Caching.releasing(s, pins.toSeq: _*)(out)
       },
       Some(sqlBeamCurve)),

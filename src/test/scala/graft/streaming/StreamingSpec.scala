@@ -651,6 +651,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+  test("st21 KnnGraphIndex: a vec_id redelivered in a LATER batch is " +
+    "dropped (first arrival wins) — facts stay single-rowed, every " +
+    "neighbor list keeps contiguous ranks, and the head equals the " +
+    "from-scratch graph over the distinct corpus") {
+    graft.functions.VectorExpressions.register(spark)
+    val root = graft.Scratch.dir("stknng_xbatch")
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf0001)
+        .select("vec_id", "embedding")
+      graft.queries.KnnGraphIndex.bootstrap(spark,
+        emb.filter(col("vec_id") % 3 === 0), root, "boot", s"$root/v0")
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 3 === 1), root, "b1",
+        s"$root/v0", s"$root/b1")
+      // b2 carries its own third PLUS a duplicate slice of b1's ids —
+      // the cross-batch at-least-once scenario the same-tag replay
+      // guard does not cover
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 3 === 2 || col("vec_id") % 9 === 1),
+        root, "b2", s"$root/b1", s"$root/b2")
+      val dupFacts = spark.read.parquet(s"$root/vec")
+        .groupBy("vec_id").count().filter(col("count") > 1).count()
+      assert(dupFacts == 0,
+        "a cross-batch duplicate delivery landed the same vec_id under " +
+          "two ingest partitions")
+      def edgeRows(dir: String): Seq[(Long, Long, Long, Double)] =
+        spark.read.parquet(dir).collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rk"),
+            r.getAs[Long]("dst"), r.getAs[Double]("cos")))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val head = edgeRows(s"$root/b2")
+      head.groupBy(_._1).foreach { case (src, rows) =>
+        assert(rows.map(_._2) == (1L to rows.length).toSeq,
+          s"node $src's neighbor list has non-contiguous ranks — a " +
+            "duplicate occupied a rank slot")
+      }
+      val scratchRoot = graft.Scratch.dir("stknng_xbatch_scratch")
+      try {
+        graft.queries.KnnGraphIndex.bootstrap(spark, emb, scratchRoot,
+          "all", s"$scratchRoot/v0")
+        assert(head == edgeRows(s"$scratchRoot/v0"),
+          "duplicate-bearing stream diverged from the from-scratch " +
+            "build over the distinct corpus")
+      } finally graft.Scratch.delete(scratchRoot)
+      // the tag-shape guards: a bootstrap tag that parses as a batch id
+      // would be scoped OUT of earlier batches' candidate sets
+      intercept[IllegalArgumentException] {
+        graft.queries.KnnGraphIndex.bootstrap(spark, emb,
+          graft.Scratch.dir("stknng_badtag"), "b9", s"$root/unused")
+      }
+    } finally graft.Scratch.delete(root)
+  }
+
   test("st19 reservoir sample: slicing invariant, redelivery-idempotent, " +
     "and equal to the batch sample") {
     def stageDocsSlice(dir: Path, name: String,
