@@ -146,7 +146,16 @@ object Ladder {
     // families (the committed scale_ladder.json always comes from a FULL
     // run — a filtered run's output is for margin investigation)
     val only = sys.env.get("SPARK_GRAFT_LADDER_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // a typo'd family name must fail fast, not silently measure nothing
+    // and overwrite the committed artifact with an empty run
+    only.foreach { names =>
+      val known = Ladder.families.map(_.query).toSet
+      val unknown = names.diff(known)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_LADDER_ONLY names unknown families: " +
+          s"${unknown.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
+    }
     val families = Ladder.families.filter(f => only.forall(_(f.query)))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -1231,19 +1231,9 @@ ORDER BY m.vec_id""")),
         val queries = emb.filter(col("vec_id") % 97 === 0)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"),
             col("nrm").as("qn"))
-        val layer1 = emb
-          .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc,
-            col("vec_id").asc)
-          .limit(EntryCap)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
         def wq = Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid").asc)
-        val entry = queries.join(broadcast(layer1), col("qid") =!= col("cid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
-          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 6)
-          .select(col("qid"), col("cid").as("entry"))
+        val entry = entryPoints(entryScores(queries, entryLayer(emb)))
         // the serve graph builds ONCE (checkpoint) — without it the
         // three beam rounds each re-derive the SRP band join and the
         // served plan carries 38 exchanges; with it, every hop is the
@@ -1252,12 +1242,8 @@ ORDER BY m.vec_id""")),
         // corpus never shuffles (plan budget pinned in PlanQualitySpec)
         val kg = s.read.parquet(s"${serveGraphDir(s, d)}/edges")
           .select("src", "dst")
-        def rescore(cand: DataFrame): DataFrame = emb
-          .join(broadcast(cand), col("vec_id") === col("cid"))
-          .join(broadcast(queries), "qid")
-          .filter(col("cid") =!= col("qid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+        def rescore(cand: DataFrame): DataFrame =
+          rescoreAgainst(emb, queries)(cand)
         val c1 = entry.select(col("qid"), col("entry").as("cid"))
           .union(kg.join(broadcast(entry), col("entry") === col("src"))
             .select(col("qid"), col("dst").as("cid")))
@@ -1311,12 +1297,7 @@ ORDER BY m.vec_id""")),
         import s.implicits._
         val emb = normedEmb(s, d)
         val queries = evalPanel(emb)
-        val layer1 = emb
-          .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc,
-            col("vec_id").asc)
-          .limit(EntryCap)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
+        val layer1 = entryLayer(emb)
         // ONE chain for all 5 arms, tagged by an `arm` column: the r11
         // formulation ran a chain PER ARM (21 materialized frames +
         // per-arm count jobs — 14.5 s of scheduler overhead at sf0.1,
@@ -1328,39 +1309,22 @@ ORDER BY m.vec_id""")),
         val arms = BeamCurveArms.zipWithIndex
           .map { case ((b, m), i) => (i.toLong, b.toLong, m.toLong) }
           .toDF("arm", "beam", "deg")
-        def wq = Window.partitionBy("qid")
-          .orderBy(col("cos").desc, col("cid").asc)
         def wa = Window.partitionBy("arm", "qid")
           .orderBy(col("cos").desc, col("cid").asc)
         val pins = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
         def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
           val m = graft.Caching.materialize(s, df); pins += m; m
         }
-        val es = mat(queries.join(broadcast(layer1), col("qid") =!= col("cid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
-          .select("qid", "cid", "cos"))
-        val entry = es.withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+        val es = mat(entryScores(queries, layer1))
+        val entry = entryPoints(es)
         val kgAll = s.read.parquet(s"${serveGraphDir(s, d)}/edges")
           .select("src", "dst", "rk")
-        val truth = mat(emb.join(broadcast(queries),
-            col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-          .select(col("qid"), col("vec_id").as("cid"), col("cos"))
-          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
-          .select("qid", "cid", "rn"))
+        val truth = mat(bruteTruth(emb, queries))
         val den5 = truth.agg(count(lit(1)).as("n_truth5"))
         val den1 = truth.filter(col("rn") === 1)
           .agg(count(lit(1)).as("n_truth1"))
-        def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = emb
-          .join(broadcast(cand), col("vec_id") === col("cid"))
-          .join(broadcast(queries), "qid")
-          .filter(col("cid") =!= col("qid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-          .select("arm", "qid", "cid", "cos")
+        def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          rescoreAgainst(emb, queries, keep = Seq("arm"))(cand)
         val entryA = entry.crossJoin(broadcast(arms.select("arm", "deg")))
         var cand = entryA.select(col("arm"), col("qid"),
             col("entry").as("cid"))
@@ -1431,7 +1395,9 @@ ORDER BY m.vec_id""")),
     // that evidences the DEPLOYMENT dial: at the chosen (beam 3, M=32)
     // operating point, recall@1/@5 and cumulative candidates-scored at
     // every greedy depth 0..4 (depth d = entry scan + d
-    // expand-and-re-rank rounds; the serve path ships d=3). ONE chain
+    // expand-and-re-rank rounds; the serve path ships the knee the
+    // bootstrap pins in meta.json — this curve is where that knee is
+    // read from). ONE chain
     // computes all depths — depth d's scored set is a prefix of depth
     // d+1's work — so the report costs a single deepest serve, not
     // five. As the corpus outgrows a fixed depth's reachable set,
@@ -1443,50 +1409,30 @@ ORDER BY m.vec_id""")),
         VectorExpressions.register(s)
         val emb = normedEmb(s, d)
         val queries = evalPanel(emb)
-        val layer1 = emb
-          .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc,
-            col("vec_id").asc)
-          .limit(EntryCap)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-            col("nrm").as("cn"))
+        val layer1 = entryLayer(emb)
         def wq = Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("cid").asc)
         val pins = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
         def mat(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
           val m = graft.Caching.materialize(s, df); pins += m; m
         }
-        val es = mat(queries.join(broadcast(layer1), col("qid") =!= col("cid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
-          .select("qid", "cid", "cos"))
-        val entry = es.withColumn("rn", row_number().over(wq))
-          .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+        val es = mat(entryScores(queries, layer1))
+        val entry = entryPoints(es)
         val kg = s.read.parquet(s"${serveGraphDir(s, d)}/edges")
           .select("src", "dst")
-        val truth = mat(emb.join(broadcast(queries),
-            col("vec_id") =!= col("qid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-          .select(col("qid"), col("vec_id").as("cid"), col("cos"))
-          .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
-          .select("qid", "cid", "rn"))
+        val truth = mat(bruteTruth(emb, queries))
         val den5 = truth.agg(count(lit(1)).as("n_truth5"))
         val den1 = truth.filter(col("rn") === 1)
           .agg(count(lit(1)).as("n_truth1"))
-        def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = emb
-          .join(broadcast(cand), col("vec_id") === col("cid"))
-          .join(broadcast(queries), "qid")
-          .filter(col("cid") =!= col("qid"))
-          .withColumn("cos",
-            round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-          .select("qid", "cid", "cos")
+        def rescore(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          rescoreAgainst(emb, queries)(cand)
         var cand = entry.select(col("qid"), col("entry").as("cid"))
           .union(kg.join(broadcast(entry), col("entry") === col("src"))
             .select(col("qid"), col("dst").as("cid")))
           .distinct()
         val scoredFrames =
           scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame](es)
-        val rows = (0 to 4).map { depth =>
+        val rows = (0 to MaxServeDepth).map { depth =>
           val sc = mat(rescore(cand))
           scoredFrames += sc
           val nScored = scoredFrames.map(_.agg(count(lit(1)).as("c")))
@@ -1511,7 +1457,7 @@ ORDER BY m.vec_id""")),
               col("n_match1"),
               (col("n_match1").cast("double") / col("n_truth1"))
                 .as("recall_at_1"))
-          if (depth < 4) {
+          if (depth < MaxServeDepth) {
             val beamDf = sc.withColumn("rn", row_number().over(wq))
               .filter(col("rn") <= 3).select(col("qid"), col("cid").as("b"))
             cand = cand
@@ -1589,10 +1535,16 @@ ORDER BY m.vec_id""")),
   private[queries] final case class ServeMeta(depth: Int)
 
   private[queries] def serveMeta(s: SparkSession, d: String): ServeMeta = {
+    val path = s"${serveGraphDir(s, d)}/meta.json"
     val txt = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"${serveGraphDir(s, d)}/meta.json")),
+      java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
-    ServeMeta(""""depth":(\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt)
+    val depth = """"depth":(\d+)""".r.findFirstMatchIn(txt)
+    require(depth.isDefined,
+      s"no \"depth\" in $path — the serve-graph warm dir is corrupt " +
+        "(edited outside the _WARM_COMPLETE protocol?); delete the dir " +
+        "to force a rebuild")
+    ServeMeta(depth.get.group(1).toInt)
   }
 
   /** Deepest hop count the knee measurement (and the oracle's unrolled
@@ -1615,37 +1567,18 @@ ORDER BY m.vec_id""")),
       edgesDir: String): (Int, Seq[Long]) = {
     val emb = normedEmb(s, d)
     val queries = evalPanel(emb)
-    val layer1 = emb
-      .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc, col("vec_id").asc)
-      .limit(EntryCap)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
     def wq = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
     val pins = scala.collection.mutable.Buffer.empty[DataFrame]
     def mat(df: DataFrame): DataFrame = {
       val m = graft.Caching.materialize(s, df); pins += m; m
     }
-    val es = mat(queries.join(broadcast(layer1), col("qid") =!= col("cid"))
-      .withColumn("cos",
-        round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
-      .select("qid", "cid", "cos"))
-    val entry = es.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+    val es = mat(entryScores(queries, entryLayer(emb)))
+    val entry = entryPoints(es)
     val kg = s.read.parquet(edgesDir).select("src", "dst")
-    val truth = mat(emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .withColumn("cos",
-        round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-      .select(col("qid"), col("vec_id").as("cid"), col("cos"))
-      .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 5)
-      .select("qid", "cid", "rn"))
-    def rescore(cand: DataFrame): DataFrame = emb
-      .join(broadcast(cand), col("vec_id") === col("cid"))
-      .join(broadcast(queries), "qid")
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("cos",
-        round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
-      .select("qid", "cid", "cos")
+    val truth = mat(bruteTruth(emb, queries))
+    def rescore(cand: DataFrame): DataFrame =
+      rescoreAgainst(emb, queries)(cand)
     var cand = entry.select(col("qid"), col("entry").as("cid"))
       .union(kg.join(broadcast(entry), col("entry") === col("src"))
         .select(col("qid"), col("dst").as("cid")))
@@ -1726,6 +1659,57 @@ $rounds"""
     .limit(QueryPanel)
     .select(col("vec_id").as("qid"), col("embedding").as("qe"),
       col("nrm").as("qn"))
+
+  /** The [[EntryCap]] hash-order entry layer (cid, ce, cn) — the
+    * Spark twin of [[sqlEntryLayer]] and the ONE definition for
+    * route/beam/hop and the knee measurement, so the serve walk's
+    * arithmetic and tie order cannot drift between the pinned dial and
+    * its consumers (sqlWalkCtes plays this role on the oracle side).
+    */
+  private def entryLayer(emb: DataFrame): DataFrame = emb
+    .orderBy(expr("pmod(vec_id * 131 + 7, 1009)").asc, col("vec_id").asc)
+    .limit(EntryCap)
+    .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+
+  /** Entry-scan scores (qid, cid, cos) of a panel against the layer. */
+  private def entryScores(queries: DataFrame, layer1: DataFrame): DataFrame =
+    queries.join(broadcast(layer1), col("qid") =!= col("cid"))
+      .withColumn("cos",
+        round(expr("dot_f(qe, ce)") / (col("qn") * col("cn")), 6))
+      .select("qid", "cid", "cos")
+
+  /** Top-6 entry points (qid, entry) from an entry-scan frame. */
+  private def entryPoints(es: DataFrame): DataFrame =
+    es.withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") <= 6).select(col("qid"), col("cid").as("entry"))
+
+  /** Exact re-rank of a broadcast candidate set against the corpus:
+    * one emb scan probed by the candidates, `keep` ++ (qid, cid, cos)
+    * out (beam_curve keeps its `arm` tag through here).
+    */
+  private def rescoreAgainst(emb: DataFrame, queries: DataFrame,
+      keep: Seq[String] = Seq.empty)(cand: DataFrame): DataFrame =
+    emb.join(broadcast(cand), col("vec_id") === col("cid"))
+      .join(broadcast(queries), "qid")
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+      .select((keep ++ Seq("qid", "cid", "cos")).map(col): _*)
+
+  /** The panel's brute-force top-5 (qid, cid, rn) — a tuning report's
+    * truth stage; O(N·panel) when the panel is the fixed [[evalPanel]].
+    */
+  private def bruteTruth(emb: DataFrame, queries: DataFrame): DataFrame =
+    emb.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        round(expr("dot_f(qe, embedding)") / (col("qn") * col("nrm")), 6))
+      .select(col("qid"), col("vec_id").as("cid"), col("cos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(col("cos").desc, col("cid").asc)))
+      .filter(col("rn") <= 5)
+      .select("qid", "cid", "rn")
 
   /** DuckDB twin of [[evalPanel]], as the CTE `name(qid, qe, qn)`. */
   private def sqlEvalPanelAs(name: String): String =
@@ -1809,8 +1793,7 @@ $rounds"""
     s"""
 WITH $sqlServeEdges,
 $sqlEvalPanel,
-l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
-       ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT 64),
+$sqlEntryLayer,
 es AS (SELECT qid, cid,
          round(list_sum(list_transform(range(1, len(qe)+1),
                  k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos

@@ -697,10 +697,11 @@ class StreamingSpec extends AnyFunSuite {
       } finally graft.Scratch.delete(scratchRoot)
       // the tag-shape guards: a bootstrap tag that parses as a batch id
       // would be scoped OUT of earlier batches' candidate sets
-      intercept[IllegalArgumentException] {
+      val badTagRoot = graft.Scratch.dir("stknng_badtag")
+      try intercept[IllegalArgumentException] {
         graft.queries.KnnGraphIndex.bootstrap(spark, emb,
-          graft.Scratch.dir("stknng_badtag"), "b9", s"$root/unused")
-      }
+          badTagRoot, "b9", s"$root/unused")
+      } finally graft.Scratch.delete(badTagRoot)
     } finally graft.Scratch.delete(root)
   }
 
