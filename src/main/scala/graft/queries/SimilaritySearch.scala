@@ -1530,9 +1530,12 @@ ORDER BY m.vec_id""")),
         }))
 
   /** The serve dial pinned at bootstrap. `depth` = unrolled greedy
-    * hops simsearch_graph_route runs for this corpus.
+    * hops simsearch_graph_route runs for this corpus; `m5` = the
+    * per-depth eval-panel match counts the knee was derived from
+    * (kept in meta so the dial is auditable against the hop-curve
+    * report — SimilaritySearchSpec pins the equality).
     */
-  private[queries] final case class ServeMeta(depth: Int)
+  private[queries] final case class ServeMeta(depth: Int, m5: Seq[Long])
 
   private[queries] def serveMeta(s: SparkSession, d: String): ServeMeta = {
     val path = s"${serveGraphDir(s, d)}/meta.json"
@@ -1544,7 +1547,10 @@ ORDER BY m.vec_id""")),
       s"no \"depth\" in $path — the serve-graph warm dir is corrupt " +
         "(edited outside the _WARM_COMPLETE protocol?); delete the dir " +
         "to force a rebuild")
-    ServeMeta(depth.get.group(1).toInt)
+    val m5 = """"m5":\[([0-9,]*)\]""".r.findFirstMatchIn(txt)
+      .map(_.group(1).split(",").filter(_.nonEmpty).map(_.toLong).toSeq)
+      .getOrElse(Seq.empty)
+    ServeMeta(depth.get.group(1).toInt, m5)
   }
 
   /** Deepest hop count the knee measurement (and the oracle's unrolled

@@ -416,4 +416,33 @@ class SimilaritySearchSpec extends AnyFunSuite {
       assert(arm.getAs[Double](c) == d3.getAs[Double](c),
         s"$c: beam-curve (3,32) != hop-curve depth 3")
   }
+
+  test("serve meta: the pinned depth IS the hop curve's knee — meta's " +
+    "recorded m5 counts equal the report's n_match5 column, and the " +
+    "95%-of-plateau rule reproduces the recorded depth") {
+    // The bootstrap's knee measurement and the hop-curve report walk
+    // the same chain (shared frame builders Spark-side, one
+    // sqlWalkCtes generator oracle-side). If either drifts, the DIAL
+    // diverges from the REPORT it claims to be derived from — this is
+    // the executable form of that contract.
+    val meta = SimilaritySearch.serveMeta(spark, graft.TestSpark.Sf0001)
+    val rows = Registry.queries("simsearch_hop_curve")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .sortBy(_.getAs[Long]("hops"))
+    val reportM5 = rows.map(_.getAs[Long]("n_match5")).toSeq
+    assert(meta.m5 == reportM5,
+      s"meta m5 ${meta.m5} != hop-curve n_match5 $reportM5 — the dial " +
+        "was pinned from a different walk than the report measures")
+    // adding candidates can only displace a truth member with a
+    // higher-cos vector, itself a truth member — m5 never decreases
+    assert(meta.m5.sliding(2).forall { case Seq(a, b) => b >= a },
+      s"m5 decreased with depth: ${meta.m5}")
+    val best = meta.m5.max
+    val knee = meta.m5.indexWhere(m => 20L * m >= 19L * best)
+    assert(meta.depth == knee,
+      s"recorded depth ${meta.depth} != 95%-of-plateau knee $knee " +
+        s"over m5 ${meta.m5}")
+    assert(meta.depth >= 0 && meta.m5.length == 5,
+      "meta must record every depth 0..MaxServeDepth")
+  }
 }
