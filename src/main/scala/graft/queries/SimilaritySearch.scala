@@ -1123,6 +1123,102 @@ FROM (SELECT * FROM cohb UNION ALL SELECT * FROM coha
       UNION ALL SELECT * FROM cohr)
 ORDER BY stage""")),
 
+    // Depth-retrain DECISION — simsearch_ivf_retrain_decision's loop
+    // for the r12 serve dial: the hop-curve knee is PINNED at
+    // bootstrap (meta.json) and appends never re-measure it, so a
+    // grown corpus needs an operational trigger for re-pinning exactly
+    // like the IVF quantizer needs one for retraining. This query runs
+    // that trigger on the same deterministic drift scenario (the
+    // corpus re-appended shifted +0.5 per dimension under new ids —
+    // the growth the stale dial cannot see): measure the knee of the
+    // base corpus's serve graph (what bootstrap pinned), then of the
+    // grown corpus's serve graph built under the SAME pinned band
+    // family (appends never re-band — the family moves only via the
+    // IVF-style retrain loop), and flag 'repin' when the knees differ.
+    // Both knees come from the shared walk (kneeOver Spark-side, the
+    // sqlWalkCtes + sqlKneeCtes generators oracle-side) — integer
+    // match counts, so the engines cannot disagree. At 100 TB the
+    // decision costs two knee walks (O(N·panel) truth + constant-cost
+    // hops each) plus one serve-graph build over the grown corpus — a
+    // monitoring pass, never a serving outage; the measured knee is
+    // what a re-pin would write into meta. The graph builds and the
+    // per-depth counts are distributed; only the two knee SCALARS
+    // come to the driver (the same 5-integer collect the bootstrap
+    // performs).
+    Q("simsearch_depth_retrain_decision",
+      (s, d) => {
+        VectorExpressions.register(s)
+        import s.implicits._
+        val base = normedEmb(s, d)
+        val delta = Tables.embeddings(s, d)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+          .withColumn("nrm", expr("norm_f(embedding)"))
+        val grown = base.unionAll(delta)
+        val planes = graft.functions.VectorExpressions
+          .adaptiveSrpPlanes(graft.Tables.rowCount(s, d, "embeddings"))
+        val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+        def mat(df: DataFrame): DataFrame = {
+          val m = graft.Caching.materialize(s, df); pins += m; m
+        }
+        // the walk reads the edge list once per hop per depth — an
+        // unmaterialized graph would re-derive the band join each time
+        def serveOver(embC: DataFrame): DataFrame = {
+          var g: DataFrame = edgesOver(embC, planes, ServeDegree)
+          for (_ <- 1 to ServeRefineRounds)
+            g = refineRound(mat(g).select("src", "dst"), embC, ServeDegree)
+          mat(g)
+        }
+        val embBase = mat(base)
+        val embGrown = mat(grown)
+        val nBase = embBase.count()
+        val nGrown = embGrown.count()
+        val (kBase, _) = kneeOver(s, embBase, serveOver(embBase))
+        val (kGrown, _) = kneeOver(s, embGrown, serveOver(embGrown))
+        val out = Seq(
+          ("1_pinned", nBase, kBase.toLong, Option.empty[String]),
+          ("2_grown", nGrown, kGrown.toLong,
+            Some(if (kGrown != kBase) "repin" else "keep")))
+          .toDF("stage", "n_vecs", "depth", "decision")
+          .orderBy("stage")
+        pins.foreach(graft.Caching.release)
+        out
+      },
+      Some(s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM e0),
+d0 AS (SELECT vec_id + 1000000 AS vec_id,
+              list_transform(embedding::FLOAT[], x -> x + 0.5::FLOAT)::DOUBLE[] AS v
+       FROM embeddings),
+g AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM d0
+      UNION ALL SELECT vec_id, v, nrm FROM e),
+${sqlKnnEdgesOver("bg_", "e", ServeDegree)},
+bg_sg0 AS (SELECT src, dst FROM bg_kg),
+${sqlRefineRound("bg_sg0", "bg_sg", ServeDegree, eCte = "e")},
+${sqlKnnEdgesOver("gg_", "g", ServeDegree)},
+gg_sg0 AS (SELECT src, dst FROM gg_kg),
+${sqlRefineRound("gg_sg0", "gg_sg", ServeDegree, eCte = "g")},
+${sqlEntryLayerAs("b_l1", "e")},
+${sqlEvalPanelAs("b_q", "e")},
+${sqlWalkCtes("b_", 3, withTruth = true, eCte = "e", sgCte = "bg_sg",
+        l1Cte = "b_l1")},
+${sqlKneeCtes("b_")},
+${sqlEntryLayerAs("g_l1", "g")},
+${sqlEvalPanelAs("g_q", "g")},
+${sqlWalkCtes("g_", 3, withTruth = true, eCte = "g", sgCte = "gg_sg",
+        l1Cte = "g_l1")},
+${sqlKneeCtes("g_")}
+SELECT stage, n_vecs, depth, decision FROM (
+  SELECT '1_pinned' AS stage, (SELECT count(*) FROM e) AS n_vecs,
+         (SELECT CAST(kd AS BIGINT) FROM b_knee) AS depth,
+         CAST(NULL AS VARCHAR) AS decision
+  UNION ALL
+  SELECT '2_grown', (SELECT count(*) FROM g),
+         (SELECT CAST(kd AS BIGINT) FROM g_knee),
+         CASE WHEN (SELECT kd FROM g_knee) <> (SELECT kd FROM b_knee)
+              THEN 'repin' ELSE 'keep' END)
+ORDER BY stage""")),
+
     // Semantic dedup (the SemDeDup recipe: cluster the embedding
     // corpus, then look for near-duplicates ONLY inside each cluster —
     // the curation-scale move that turns corpus-wide cosine dedup into
@@ -1570,8 +1666,16 @@ ORDER BY m.vec_id""")),
     * constant-cost hops, never in a timed serve line.
     */
   private def measuredKnee(s: SparkSession, d: String,
-      edgesDir: String): (Int, Seq[Long]) = {
-    val emb = normedEmb(s, d)
+      edgesDir: String): (Int, Seq[Long]) =
+    kneeOver(s, normedEmb(s, d),
+      s.read.parquet(edgesDir).select("src", "dst"))
+
+  /** [[measuredKnee]] over explicit (corpus, edge-list) frames — the
+    * depth-retrain decision measures the knee of a candidate corpus
+    * without writing its serve graph anywhere.
+    */
+  private def kneeOver(s: SparkSession, emb: DataFrame,
+      kgIn: DataFrame): (Int, Seq[Long]) = {
     val queries = evalPanel(emb)
     def wq = Window.partitionBy("qid")
       .orderBy(col("cos").desc, col("cid").asc)
@@ -1581,7 +1685,7 @@ ORDER BY m.vec_id""")),
     }
     val es = mat(entryScores(queries, entryLayer(emb)))
     val entry = entryPoints(es)
-    val kg = s.read.parquet(edgesDir).select("src", "dst")
+    val kg = kgIn.select("src", "dst")
     val truth = mat(bruteTruth(emb, queries))
     def rescore(cand: DataFrame): DataFrame =
       rescoreAgainst(emb, queries)(cand)
@@ -1717,9 +1821,10 @@ $rounds"""
       .filter(col("rn") <= 5)
       .select("qid", "cid", "rn")
 
-  /** DuckDB twin of [[evalPanel]], as the CTE `name(qid, qe, qn)`. */
-  private def sqlEvalPanelAs(name: String): String =
-    s"""$name AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e
+  /** DuckDB twin of [[evalPanel]], as the CTE `name(qid, qe, qn)`
+    * over the corpus CTE `src(vec_id, v, nrm)`. */
+  private def sqlEvalPanelAs(name: String, src: String = "e"): String =
+    s"""$name AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM $src
        ORDER BY (vec_id * 257 + 13) % 1013 ASC, vec_id ASC LIMIT $QueryPanel)"""
 
   /** [[sqlEvalPanelAs]] under the conventional name `q`. */
@@ -1859,8 +1964,11 @@ ORDER BY hops"""
   }
 
   /** The EntryCap hash-order entry layer as the CTE `l1(cid, ce, cn)`. */
-  private def sqlEntryLayer: String =
-    s"""l1 AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM e
+  private def sqlEntryLayer: String = sqlEntryLayerAs("l1", "e")
+
+  /** [[sqlEntryLayer]] with the CTE name and corpus CTE parameterized. */
+  private def sqlEntryLayerAs(name: String, src: String): String =
+    s"""$name AS (SELECT vec_id AS cid, v AS ce, nrm AS cn FROM $src
        ORDER BY (vec_id * 131 + 7) % 1009 ASC, vec_id ASC LIMIT $EntryCap)"""
 
   /** One greedy serve walk over `sg` as a CTE chain prefixed `p`: the
@@ -1874,13 +1982,14 @@ ORDER BY hops"""
     * report, the route oracle's knee derivation, AND its serving
     * chain, so the three cannot drift.
     */
-  private def sqlWalkCtes(p: String, beam: Int, withTruth: Boolean): String = {
+  private def sqlWalkCtes(p: String, beam: Int, withTruth: Boolean,
+      eCte: String = "e", sgCte: String = "sg", l1Cte: String = "l1"): String = {
     def score(i: Int): String =
       s"""${p}c${i}s AS (SELECT c.qid, c.cid,
          |  round(list_sum(list_transform(range(1, len(q.qe)+1),
          |          k -> q.qe[k] * e2.v[k])) / (q.qn * e2.nrm), 6) AS cos
          |FROM ${p}c$i c JOIN ${p}q q ON c.qid = q.qid
-         |          JOIN e e2 ON c.cid = e2.vec_id
+         |          JOIN $eCte e2 ON c.cid = e2.vec_id
          |WHERE c.cid <> c.qid)""".stripMargin
     def beamCut(i: Int): String =
       s"""${p}b$i AS (SELECT qid, cid AS b FROM (
@@ -1891,7 +2000,7 @@ ORDER BY hops"""
     def hop(i: Int): String =
       s"""${p}c${i + 1} AS (SELECT qid, cid FROM ${p}c$i
          |UNION
-         |SELECT b.qid, sg.dst FROM ${p}b$i b JOIN sg ON b.b = sg.src)"""
+         |SELECT b.qid, sg.dst FROM ${p}b$i b JOIN $sgCte sg ON b.b = sg.src)"""
         .stripMargin
     def top(i: Int): String =
       s"""${p}t$i AS (SELECT qid, cid, cos, rn FROM (
@@ -1903,7 +2012,7 @@ ORDER BY hops"""
       s"""${p}es AS (SELECT qid, cid,
          |         round(list_sum(list_transform(range(1, len(qe)+1),
          |                 k -> qe[k] * ce[k])) / (qn * cn), 6) AS cos
-         |       FROM ${p}q CROSS JOIN l1 WHERE qid <> cid)""".stripMargin,
+         |       FROM ${p}q CROSS JOIN $l1Cte WHERE qid <> cid)""".stripMargin,
       s"""${p}entry AS (SELECT qid, cid AS entry FROM (
          |  SELECT qid, cid,
          |         row_number() OVER (PARTITION BY qid
@@ -1912,12 +2021,12 @@ ORDER BY hops"""
       s"""${p}c1 AS (SELECT qid, entry AS cid FROM ${p}entry
          |UNION
          |SELECT en.qid, sg.dst FROM ${p}entry en
-         |JOIN sg ON en.entry = sg.src)""".stripMargin)
+         |JOIN $sgCte sg ON en.entry = sg.src)""".stripMargin)
     val truth = if (!withTruth) Seq.empty[String] else Seq(
       s"""${p}btp AS (SELECT q.qid, c.vec_id AS cid,
          |          round(list_sum(list_transform(range(1, len(q.qe)+1),
          |                  k -> q.qe[k] * c.v[k])) / (q.qn * c.nrm), 6) AS cos
-         |        FROM ${p}q q JOIN e c ON c.vec_id <> q.qid)""".stripMargin,
+         |        FROM ${p}q q JOIN $eCte c ON c.vec_id <> q.qid)""".stripMargin,
       s"""${p}bt AS (SELECT qid, cid, rn FROM (
          |  SELECT qid, cid,
          |         row_number() OVER (PARTITION BY qid
@@ -1938,13 +2047,24 @@ ORDER BY hops"""
     * routed top-5 and answering with the knee's. Both chains come from
     * [[sqlWalkCtes]], the same generator the hop-curve oracle uses.
     */
-  private def sqlGraphRoute: String = {
+  /** The per-depth m5 table `${p}m5(hops, m5)` and the knee scalar
+    * `${p}knee(kd)` over a [[sqlWalkCtes]] chain with prefix `p` (its
+    * withTruth CTEs must exist) — the oracle half of the 95%-of-plateau
+    * rule, shared by the route oracle and the depth-retrain decision.
+    */
+  private def sqlKneeCtes(p: String): String = {
     val m5rows = (0 to MaxServeDepth).map { d =>
       s"""SELECT CAST($d AS BIGINT) AS hops,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM k_bt
-         |   JOIN k_t${d + 1} t ON k_bt.qid = t.qid AND k_bt.cid = t.cid)
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ${p}bt
+         |   JOIN ${p}t${d + 1} t ON ${p}bt.qid = t.qid AND ${p}bt.cid = t.cid)
          |    AS m5""".stripMargin
     }.mkString("\nUNION ALL\n")
+    s"""${p}m5 AS ($m5rows),
+${p}knee AS (SELECT min(hops) AS kd FROM ${p}m5
+         WHERE 20 * m5 >= 19 * (SELECT max(m5) FROM ${p}m5))"""
+  }
+
+  private def sqlGraphRoute: String = {
     val served = (0 to MaxServeDepth).map { d =>
       s"SELECT CAST($d AS BIGINT) AS hops, qid, cid, cos, rn FROM s_t${d + 1}"
     }.mkString("\nUNION ALL\n")
@@ -1953,14 +2073,12 @@ WITH $sqlServeEdges,
 $sqlEntryLayer,
 ${sqlEvalPanelAs("k_q")},
 ${sqlWalkCtes("k_", 3, withTruth = true)},
-k_m5 AS ($m5rows),
-knee AS (SELECT min(hops) AS kd FROM k_m5
-         WHERE 20 * m5 >= 19 * (SELECT max(m5) FROM k_m5)),
+${sqlKneeCtes("k_")},
 s_q AS (SELECT vec_id AS qid, v AS qe, nrm AS qn FROM e WHERE vec_id % 97 = 0),
 ${sqlWalkCtes("s_", 3, withTruth = false)}
 SELECT qid, CAST(rn AS BIGINT) AS rk, cid, cos FROM (
 $served)
-WHERE hops = (SELECT kd FROM knee) ORDER BY qid, rk"""
+WHERE hops = (SELECT kd FROM k_knee) ORDER BY qid, rk"""
   }
 
   /** Serve-graph out-degree for simsearch_graph_route (HNSW's M): the
@@ -2068,7 +2186,7 @@ WHERE hops = (SELECT kd FROM knee) ORDER BY qid, rk"""
     * (exponential in rounds; the emb_pca_topr lesson).
     */
   private def sqlRefineRound(in: String, out: String,
-      k: Int = 3): String = s"""
+      k: Int = 3, eCte: String = "e"): String = s"""
 ${out}_h AS (SELECT a.src, b.dst AS dst
        FROM $in a JOIN $in b ON a.dst = b.src WHERE a.src <> b.dst),
 ${out}_c AS (SELECT DISTINCT src, dst FROM (
@@ -2077,8 +2195,8 @@ ${out}_s AS (
   SELECT ${out}_c.src, ${out}_c.dst,
          round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
                (a.nrm * c.nrm), 6) AS cos
-  FROM ${out}_c JOIN e a ON ${out}_c.src = a.vec_id
-  JOIN e c ON ${out}_c.dst = c.vec_id),
+  FROM ${out}_c JOIN $eCte a ON ${out}_c.src = a.vec_id
+  JOIN $eCte c ON ${out}_c.dst = c.vec_id),
 $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
   SELECT src, dst, cos,
          CAST(row_number() OVER (PARTITION BY src
@@ -2160,31 +2278,42 @@ $out AS MATERIALIZED (SELECT src, dst, cos, rk FROM (
     * navigable (HNSW's M); one generator, so the band family and
     * re-rank arithmetic cannot drift between the two.
     */
-  private[queries] def sqlKnnEdgesK(k: Int): String = {
-    val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
-      s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM e"
-    }.mkString("\nUNION ALL\n")
+  private[queries] def sqlKnnEdgesK(k: Int): String =
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 e AS (SELECT vec_id, v,
              sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       FROM e0),
-b AS ($bandSelects),
-cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
-         FROM b x JOIN b y
+${sqlKnnEdgesOver("", "e", k)}"""
+
+  /** [[sqlKnnEdgesK]]'s core over an arbitrary corpus CTE
+    * `src(vec_id, v, nrm)`, every emitted CTE prefixed `p` and the
+    * final graph named `${p}kg` — the generator the depth-retrain
+    * oracle builds its base/grown serve graphs with (same band
+    * family, same re-rank arithmetic, different corpus).
+    */
+  private[queries] def sqlKnnEdgesOver(p: String, src: String,
+      k: Int): String = {
+    val bandSelects = (0 until Dedup.EmbBands).map { bnd =>
+      s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM $src"
+    }.mkString("\nUNION ALL\n")
+    s"""${p}b AS ($bandSelects),
+${p}cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         FROM ${p}b x JOIN ${p}b y
            ON x.band = y.band AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
-sc AS (
+${p}sc AS (
   SELECT i, j,
          round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
                (a.nrm * c.nrm), 6) AS cos
-  FROM cand JOIN e a ON cand.i = a.vec_id JOIN e c ON cand.j = c.vec_id),
-dir AS (SELECT i AS src, j AS dst, cos FROM sc
+  FROM ${p}cand JOIN $src a ON ${p}cand.i = a.vec_id
+  JOIN $src c ON ${p}cand.j = c.vec_id),
+${p}dir AS (SELECT i AS src, j AS dst, cos FROM ${p}sc
         UNION ALL
-        SELECT j AS src, i AS dst, cos FROM sc),
-r AS (SELECT src, dst, cos,
+        SELECT j AS src, i AS dst, cos FROM ${p}sc),
+${p}r AS (SELECT src, dst, cos,
              CAST(row_number() OVER (PARTITION BY src
                     ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk
-      FROM dir),
-kg AS (SELECT src, rk, dst, cos FROM r WHERE rk <= $k)"""
+      FROM ${p}dir),
+${p}kg AS (SELECT src, rk, dst, cos FROM ${p}r WHERE rk <= $k)"""
   }
 
   /** Shared oracle for the nprobe=2 IVF shape (multiprobe, persisted-

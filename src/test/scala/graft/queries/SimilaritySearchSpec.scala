@@ -445,4 +445,30 @@ class SimilaritySearchSpec extends AnyFunSuite {
     assert(meta.depth >= 0 && meta.m5.length == 5,
       "meta must record every depth 0..MaxServeDepth")
   }
+
+  test("depth retrain decision: the pinned stage reproduces the serving " +
+    "meta's dial, and the grown stage flags repin exactly when the " +
+    "measured knee departs it") {
+    val rows = Registry.queries("simsearch_depth_retrain_decision")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.length == 2, "decision report must have exactly 2 stages")
+    val pinned = rows(0); val grown = rows(1)
+    assert(pinned.getAs[String]("decision") == null,
+      "the pinned stage carries no decision")
+    // the in-query base measurement and the bootstrap's meta walk the
+    // same chain over the same corpus — they must agree or the trigger
+    // would compare against a dial nobody serves
+    assert(pinned.getAs[Long]("depth").toInt ==
+      SimilaritySearch.serveMeta(spark, graft.TestSpark.Sf0001).depth,
+      "pinned stage disagrees with the serving meta's depth")
+    assert(grown.getAs[Long]("n_vecs") == 2 * pinned.getAs[Long]("n_vecs"),
+      "the drift scenario doubles the corpus")
+    val expect =
+      if (grown.getAs[Long]("depth") != pinned.getAs[Long]("depth")) "repin"
+      else "keep"
+    assert(grown.getAs[String]("decision") == expect,
+      s"decision ${grown.getAs[String]("decision")} does not follow " +
+        "from the measured knees")
+  }
 }
