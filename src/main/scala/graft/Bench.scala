@@ -83,7 +83,8 @@ object Bench {
         () => queries.TextIndex.warmSharedState(spark, sfDir)),
       ("serve_graph",
         selected.keys.exists(k => k == "simsearch_graph_route" ||
-          k == "simsearch_beam_curve" || k == "simsearch_hop_curve"),
+          k == "simsearch_beam_curve" || k == "simsearch_hop_curve" ||
+          k == "simsearch_depth_retrain_decision"),
         () => queries.SimilaritySearch.warmServeGraph(spark, sfDir)),
       ("st20_boot",
         selected.keys.exists(_ == "st20_streaming_dedup_index"),

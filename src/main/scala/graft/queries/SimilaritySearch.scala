@@ -1169,11 +1169,16 @@ ORDER BY stage""")),
             g = refineRound(mat(g).select("src", "dst"), embC, ServeDegree)
           mat(g)
         }
-        val embBase = mat(base)
+        // the pinned stage IS the serving dial: read it from the warm
+        // serve graph's meta (the bootstrap measured it there over
+        // this exact corpus — SimilaritySearchSpec pins the equality
+        // with an in-query re-measurement) instead of rebuilding the
+        // base graph the deployment already serves from. Only the
+        // GROWN corpus pays a graph build + knee walk here.
+        val kBase = serveMeta(s, d).depth
+        val nBase = graft.Tables.rowCount(s, d, "embeddings")
         val embGrown = mat(grown)
-        val nBase = embBase.count()
         val nGrown = embGrown.count()
-        val (kBase, _) = kneeOver(s, embBase, serveOver(embBase))
         val (kGrown, _) = kneeOver(s, embGrown, serveOver(embGrown))
         val out = Seq(
           ("1_pinned", nBase, kBase.toLong, Option.empty[String]),
