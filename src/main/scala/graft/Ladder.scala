@@ -112,6 +112,19 @@ object Ladder {
       "one depth-4 walk, each depth a prefix of the next; truth " +
         "O(N x panel) on the fixed eval panel, hops constant-cost",
       warmServe = true),
+    Family("simsearch_depth_retrain_decision", "embeddings", 1.6,
+      "one serve-graph build over the 2x-grown corpus (SRP band " +
+        "candidates + one diversified refine round, O(N + collisions)) " +
+        "+ one knee walk (O(N x panel) truth on the fixed eval panel, " +
+        "constant-cost hops per depth); the base knee reads the pinned " +
+        "meta, never a rebuild — the iterative tier, since the grown " +
+        "walk's depth schedule is the knee(N) dial engaging",
+      warmServe = true),
+    Family("simsearch_band_retrain_decision", "embeddings", 1.4,
+      "two band-population scans (base and 2x-grown corpus) under the " +
+        "pinned plane family: O(N x bands) explode + one (band, bkt) " +
+        "count aggregate each; the decision compares two scalar " +
+        "means — no pair join, no re-band"),
     Family("mm_image_phash", "documents", 1.4,
       "input pinned to doc_id < 100 synthesized BMPs on every fixture, " +
         "so the exponent pins per-image constancy; the scale mechanism " +
@@ -155,6 +168,14 @@ object Ladder {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_LADDER_ONLY names unknown families: " +
           s"${unknown.mkString(", ")} (known: ${known.toSeq.sorted.mkString(", ")})")
+      // a filtered run writes a PARTIAL families map — defaulting it to
+      // the committed artifact's path would silently overwrite the full
+      // run, so a filtered run must name its own output explicitly
+      require(sys.env.contains("SPARK_GRAFT_LADDER_OUT"),
+        "SPARK_GRAFT_LADDER_ONLY is set but SPARK_GRAFT_LADDER_OUT is " +
+          s"not — a filtered run would overwrite $outPath with a " +
+          "partial families map; point SPARK_GRAFT_LADDER_OUT at a " +
+          "scratch path")
     }
     val families = Ladder.families.filter(f => only.forall(_(f.query)))
     val spark = SparkSession.builder()

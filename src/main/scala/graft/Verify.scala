@@ -23,6 +23,27 @@ object Verify {
     // (driver never sets it; tools/check.py takes the same names)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // The DuckDB twins unroll the PINNED (SrpBands, SrpPlanes) band
+    // family; the engine's adaptiveSrpPlanes only agrees because every
+    // oracle-checked fixture floors to it. Assert that here — the one
+    // place that KNOWS it is an oracle run — so a future larger fixture
+    // fails loudly with the cause instead of as a remote hash-mismatch.
+    // A filtered dump is a DEV loop (the driver never sets
+    // SPARK_GRAFT_ONLY) and may legitimately target sf0.1 for timing or
+    // inspection, so it warns instead of failing.
+    locally {
+      val n = Tables.rowCount(spark, sfDir, "embeddings")
+      val p = graft.functions.VectorExpressions.adaptiveSrpPlanes(n)
+      val msg = s"oracle fixture $sfDir has $n embeddings → " +
+        s"adaptiveSrpPlanes = $p, departing the oracle-pinned " +
+        s"SrpPlanes = ${graft.functions.VectorExpressions.SrpPlanes}: " +
+        "the DuckDB twins unroll the pinned family and every " +
+        "band-dependent query would hash-mismatch; shrink the fixture " +
+        "or teach the twins the adaptive count"
+      if (only.isEmpty) require(p == graft.functions.VectorExpressions.SrpPlanes, msg)
+      else if (p != graft.functions.VectorExpressions.SrpPlanes)
+        System.err.println(s"[verify] WARNING (dev dump, not compared): $msg")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

@@ -1162,13 +1162,11 @@ ORDER BY stage""")),
           val m = graft.Caching.materialize(s, df); pins += m; m
         }
         // the walk reads the edge list once per hop per depth — an
-        // unmaterialized graph would re-derive the band join each time
-        def serveOver(embC: DataFrame): DataFrame = {
-          var g: DataFrame = edgesOver(embC, planes, ServeDegree)
-          for (_ <- 1 to ServeRefineRounds)
-            g = refineRound(mat(g).select("src", "dst"), embC, ServeDegree)
-          mat(g)
-        }
+        // unmaterialized graph would re-derive the band join each time.
+        // ONE recipe with the warm serve graph (serveEdgesOverEmb), so
+        // the trigger always measures the graph the deployment serves
+        def serveOver(embC: DataFrame): DataFrame =
+          mat(serveEdgesOverEmb(embC, planes, mat))
         // the pinned stage IS the serving dial: read it from the warm
         // serve graph's meta (the bootstrap measured it there over
         // this exact corpus — SimilaritySearchSpec pins the equality
@@ -1197,12 +1195,8 @@ d0 AS (SELECT vec_id + 1000000 AS vec_id,
        FROM embeddings),
 g AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM d0
       UNION ALL SELECT vec_id, v, nrm FROM e),
-${sqlKnnEdgesOver("bg_", "e", ServeDegree)},
-bg_sg0 AS (SELECT src, dst FROM bg_kg),
-${sqlRefineRound("bg_sg0", "bg_sg", ServeDegree, eCte = "e")},
-${sqlKnnEdgesOver("gg_", "g", ServeDegree)},
-gg_sg0 AS (SELECT src, dst FROM gg_kg),
-${sqlRefineRound("gg_sg0", "gg_sg", ServeDegree, eCte = "g")},
+${sqlServeEdgesOver("bg_", "e")},
+${sqlServeEdgesOver("gg_", "g")},
 ${sqlEntryLayerAs("b_l1", "e")},
 ${sqlEvalPanelAs("b_q", "e")},
 ${sqlWalkCtes("b_", 3, withTruth = true, eCte = "e", sgCte = "bg_sg",
@@ -1223,6 +1217,100 @@ SELECT stage, n_vecs, depth, decision FROM (
          CASE WHEN (SELECT kd FROM g_knee) <> (SELECT kd FROM b_knee)
               THEN 'repin' ELSE 'keep' END)
 ORDER BY stage""")),
+
+    // Band-family retrain DECISION — the retrain loop for the THIRD
+    // pinned dial: adaptiveSrpPlanes' plane count is chosen from N at
+    // bootstrap so the expected SRP bucket population lands in
+    // (32, 64], and appends never re-band (the index's partition
+    // layout IS the family) — so after enough growth the population
+    // leaves the envelope and band-collision candidate pairs
+    // (∝ Σ pop² per band) drift super-linear until a re-pin, exactly
+    // the failure mode the r11 ladder caught statically when the count
+    // was fixed. Mirror of simsearch_depth_retrain_decision on the
+    // same deterministic drift scenario: MEASURE the bucket-population
+    // distribution of the base and the 2×-grown corpus under the
+    // PINNED family (mean occupied-bucket population — total banded
+    // rows / distinct (band, bucket), an integer ratio both engines
+    // round identically) and flag 'reband' when the grown mean departs
+    // the (32, 64] target envelope. planes_fresh carries what a
+    // from-scratch bootstrap would choose, so the report shows the
+    // re-pin target next to the trigger. Cost: two O(N·bands)
+    // explode-and-count aggregates and four scalars — no pair join,
+    // no graph build, the cheapest of the three retrain monitors.
+    Q("simsearch_band_retrain_decision",
+      (s, d) => {
+        VectorExpressions.register(s)
+        val baseE = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val delta = Tables.embeddings(s, d)
+          .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), x => x + lit(0.5f)).as("embedding"))
+        val grown = baseE.unionAll(delta)
+        val nBase = graft.Tables.rowCount(s, d, "embeddings")
+        val p0 = graft.functions.VectorExpressions.adaptiveSrpPlanes(nBase)
+        val pFresh = graft.functions.VectorExpressions
+          .adaptiveSrpPlanes(2 * nBase)
+        def meanPop(corpus: DataFrame): DataFrame = corpus
+          .select(posexplode(expr(s"srp_buckets_p(embedding, $p0)"))
+            .as(Seq("band", "bkt")))
+          .groupBy("band", "bkt").agg(count(lit(1)).as("pop"))
+          .agg(round(sum("pop").cast("double") / count(lit(1)), 6)
+            .as("mean_pop"))
+        val mb = meanPop(baseE).withColumnRenamed("mean_pop", "mp_b")
+        val mg = meanPop(grown).withColumnRenamed("mean_pop", "mp_g")
+        mb.crossJoin(mg).select(explode(array(
+            struct(lit("1_pinned").as("stage"), lit(nBase).as("n_vecs"),
+              lit(p0.toLong).as("planes_pinned"),
+              lit(p0.toLong).as("planes_fresh"),
+              col("mp_b").as("mean_pop"),
+              lit(null).cast("string").as("decision")),
+            struct(lit("2_grown").as("stage"), lit(2 * nBase).as("n_vecs"),
+              lit(p0.toLong).as("planes_pinned"),
+              lit(pFresh.toLong).as("planes_fresh"),
+              col("mp_g").as("mean_pop"),
+              when(col("mp_g") > 64.0 || col("mp_g") <= 32.0,
+                lit("reband")).otherwise(lit("keep")).as("decision"))))
+            .as("r"))
+          .select(col("r.stage").as("stage"), col("r.n_vecs").as("n_vecs"),
+            col("r.planes_pinned").as("planes_pinned"),
+            col("r.planes_fresh").as("planes_fresh"),
+            col("r.mean_pop").as("mean_pop"),
+            col("r.decision").as("decision"))
+          .orderBy("stage")
+      },
+      Some {
+        def bandCounts(name: String, src: String): String = {
+          val sel = (0 until Dedup.EmbBands).map { bnd =>
+            s"SELECT vec_id, $bnd AS band, ${sqlBandBucket("v", bnd)} AS bkt FROM $src"
+          }.mkString("\nUNION ALL\n")
+          s"""${name}_b AS ($sel),
+$name AS (SELECT round(CAST(sum(pop) AS DOUBLE) / count(*), 6) AS mp FROM (
+  SELECT band, bkt, count(*) AS pop FROM ${name}_b GROUP BY band, bkt))"""
+        }
+        s"""
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+d0 AS (SELECT vec_id + 1000000 AS vec_id,
+              list_transform(embedding::FLOAT[], x -> x + 0.5::FLOAT)::DOUBLE[] AS v
+       FROM embeddings),
+g AS (SELECT vec_id, v FROM e0 UNION ALL SELECT vec_id, v FROM d0),
+n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM e0),
+${bandCounts("mb", "e0")},
+${bandCounts("mg", "g")}
+SELECT stage, n_vecs, planes_pinned, planes_fresh, mean_pop, decision FROM (
+  SELECT '1_pinned' AS stage, (SELECT nb FROM n) AS n_vecs,
+         CAST(${VectorExpressions.SrpPlanes} AS BIGINT) AS planes_pinned,
+         CAST(${VectorExpressions.SrpPlanes} AS BIGINT) AS planes_fresh,
+         (SELECT mp FROM mb) AS mean_pop,
+         CAST(NULL AS VARCHAR) AS decision
+  UNION ALL
+  SELECT '2_grown', (SELECT 2 * nb FROM n),
+         CAST(${VectorExpressions.SrpPlanes} AS BIGINT),
+         GREATEST(CAST(${VectorExpressions.SrpPlanes} AS BIGINT),
+                  CAST(ceil(log2((SELECT 2 * nb FROM n) / 64.0)) AS BIGINT)),
+         (SELECT mp FROM mg),
+         CASE WHEN (SELECT mp FROM mg) > 64.0 OR (SELECT mp FROM mg) <= 32.0
+              THEN 'reband' ELSE 'keep' END)
+ORDER BY stage"""
+      }),
 
     // Semantic dedup (the SemDeDup recipe: cluster the embedding
     // corpus, then look for near-duplicates ONLY inside each cluster —
@@ -1576,29 +1664,49 @@ ORDER BY m.vec_id""")),
 
   /** The SERVE graph (src, rk, dst, cos) behind simsearch_graph_route
     * and simsearch_beam_curve: the degree-[[ServeDegree]] LSH-seeded
-    * k-NN graph refined by [[ServeRefineRounds]] NN-descent rounds at
-    * the same degree. The refine rounds are what keep edge quality
-    * independent of corpus size: the band family caps bucket
-    * populations (adaptiveSrpPlanes), which keeps the BUILD linear but
-    * thins per-pair band recall as N grows — each 2-hop
-    * expand-and-re-rank recovers exactly the neighbors the sparser
-    * bands miss (NN-Descent's candidate rule), at O(N·M²)
-    * degree-bounded cost per round, shuffle ∝ edges, never N². The
-    * first round is MATERIALIZED before the second expands it — left
-    * lazy, round 2's three references to round 1 re-derive the whole
+    * k-NN graph expanded by [[ServeRefineRounds]] NN-descent rounds
+    * whose selection is [[diversifyRound]]'s HNSW-style occlusion
+    * pruning (r13 — a plain top-M cut strips the medium-range links
+    * greedy routing needs; see [[ServeRefineRounds]] for the measured
+    * history). The rounds are what keep edge quality independent of
+    * corpus size: the band family caps bucket populations
+    * (adaptiveSrpPlanes), which keeps the BUILD linear but thins
+    * per-pair band recall as N grows — each 2-hop expand-and-re-rank
+    * recovers exactly the neighbors the sparser bands miss
+    * (NN-Descent's candidate rule), at O(N·M²) degree-bounded cost per
+    * round plus the O(N·pool²) occlusion stage, shuffle ∝ edges, never
+    * N². Each round's input is MATERIALIZED before the next expands
+    * it — left lazy, the expansion's references re-derive the whole
     * SRP band join per reference (the emb_pca_topr lesson).
     */
   private[queries] def serveEdges(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val emb = normedEmb(s, d)
-    val rounds = scala.collection.mutable.Buffer.empty[DataFrame]
-    var g: DataFrame = knnEdges(s, d, ServeDegree)
-    for (_ <- 1 to ServeRefineRounds) {
-      val m = graft.Caching.materialize(s, g)
-      rounds += m
-      g = refineRound(m.select("src", "dst"), emb, ServeDegree)
-    }
-    graft.Caching.releasing(s, rounds.toSeq: _*)(g)
+    val planes = graft.functions.VectorExpressions
+      .adaptiveSrpPlanes(graft.Tables.rowCount(s, d, "embeddings"))
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    val g = serveEdgesOverEmb(emb, planes, df => {
+      val m = graft.Caching.materialize(s, df); pins += m; m
+    })
+    graft.Caching.releasing(s, pins.toSeq: _*)(g)
+  }
+
+  /** [[serveEdges]] over an explicit `(vec_id, embedding, nrm)` frame at
+    * an explicit plane count — ONE builder for the warm serve graph and
+    * the depth-retrain decision's grown-corpus graph (before this the
+    * retrain query re-derived the recipe inline, and a recipe change
+    * could silently desync the trigger from the graph it monitors).
+    * `mat` materializes each round's input (the expand join reads its
+    * predecessor several times; left lazy, every reference re-derives
+    * the whole SRP band join — the emb_pca_topr lesson).
+    */
+  private[queries] def serveEdgesOverEmb(embC: DataFrame, planes: Int,
+      mat: DataFrame => DataFrame): DataFrame = {
+    var g: DataFrame = edgesOver(embC, planes, ServeDegree)
+    for (_ <- 1 to ServeRefineRounds)
+      g = diversifyRound(mat(g).select("src", "dst"), embC,
+        ServeDegree, ServePool, mat)
+    g
   }
 
   private val serveGraphCache =
@@ -1640,6 +1748,13 @@ ORDER BY m.vec_id""")),
 
   private[queries] def serveMeta(s: SparkSession, d: String): ServeMeta = {
     val path = s"${serveGraphDir(s, d)}/meta.json"
+    // the likeliest corruption is the file being absent entirely —
+    // surface the same delete-to-rebuild hint instead of a raw
+    // NoSuchFileException that never reaches the depth check below
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      s"missing $path — the serve-graph warm dir is corrupt (edited " +
+        "outside the _WARM_COMPLETE protocol?); delete the dir to " +
+        "force a rebuild")
     val txt = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8)
@@ -1729,13 +1844,31 @@ ORDER BY m.vec_id""")),
   /** DuckDB twin of [[serveEdges]], ending in `sg(src, rk, dst, cos)`;
     * leaves `e(vec_id, v, nrm)` in scope like [[sqlKnnEdges]].
     */
-  private[queries] def sqlServeEdges: String = {
+  private[queries] def sqlServeEdges: String =
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+e AS (SELECT vec_id, v,
+             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      FROM e0),
+${sqlServeEdgesOver("", "e")}"""
+
+  /** [[sqlServeEdges]]'s core over an arbitrary corpus CTE
+    * `src(vec_id, v, nrm)`, every emitted CTE prefixed `p` and the
+    * final serve graph named `${p}sg` — the twin of
+    * [[serveEdgesOverEmb]] and the ONE recipe generator: the route/
+    * beam/hop oracles AND the depth-retrain decision's base/grown
+    * graphs all come from here, with every refine round generated from
+    * [[ServeRefineRounds]] (the retrain oracle used to hand-unroll
+    * exactly one round, so raising the dial would have desynced the
+    * twins far from the dial).
+    */
+  private[queries] def sqlServeEdgesOver(p: String, src: String): String = {
     val rounds = (1 to ServeRefineRounds).map { r =>
-      sqlRefineRound(s"sg${r - 1}",
-        if (r == ServeRefineRounds) "sg" else s"sg$r", ServeDegree)
+      sqlDiversifyRound(s"${p}sg${r - 1}",
+        if (r == ServeRefineRounds) s"${p}sg" else s"${p}sg$r",
+        ServeDegree, ServePool, eCte = src)
     }.mkString(",\n")
-    s"""${sqlKnnEdgesK(ServeDegree)},
-sg0 AS (SELECT src, dst FROM kg),
+    s"""${sqlKnnEdgesOver(p, src, ServeDegree)},
+${p}sg0 AS (SELECT src, dst FROM ${p}kg),
 $rounds"""
   }
 
@@ -2090,33 +2223,37 @@ WHERE hops = (SELECT kd FROM k_knee) ORDER BY qid, rk"""
     * build graph keeps top-3, but greedy routing on a 3-degree graph
     * strands in local optima (measured 1/6 routed top-1 agreement on
     * the fixture). simsearch_beam_curve picks the operating point with
-    * data: on the refined serve graph at sf0.1, beam 3 × M=16 routes
-    * only 0.24 recall@5 while M=32 holds 0.53 recall@5 / 0.71 recall@1
-    * at ~1050 scored candidates per query — still a CONSTANT at any
-    * corpus size (the beam sweep shows beam buys less than degree at
-    * equal cost). Recall at a FIXED hop count decays as the corpus
-    * outgrows the reachable set; the deployment dial is the unrolled
-    * hop count (~log N), each hop the same constant-cost join.
+    * data: on the r13 diversified serve graph at sf0.1, beam 3 × M=16
+    * routes only 0.23 recall@5 while M=32 holds 0.5125 recall@5 / 0.50
+    * recall@1 at ~1059 scored candidates per query — still a CONSTANT
+    * at any corpus size (the beam sweep shows beam buys less than
+    * degree at equal cost). Recall at a FIXED hop count decays as the
+    * corpus outgrows the reachable set; the deployment dial is the
+    * unrolled hop count (~log N), each hop the same constant-cost join.
     */
   private[queries] val ServeDegree = 32
 
-  /** NN-descent rounds in the serve-graph BUILD (warm-cached, never in
-    * a timed serve line). The r11 curves suggested edge quality — not
-    * search width — bounds routed recall (degree 16→32 bought +0.29
-    * recall@5 where beam 3→5 bought +0.09), so r12 measured a SECOND
-    * round on the fixed eval panel at sf0.1: routed recall fell at
-    * every operating point (beam3/M32 recall@5 0.4875 → 0.4500,
-    * recall@1 0.5000 → 0.4063; beam5/M32 recall@5 0.6688 → 0.5938).
-    * The mechanism: NN-descent monotonically tightens every neighbor
-    * list toward the true k-NN, which strips the medium-range LSH-seed
-    * edges greedy routing TRAVERSES — a perfectly refined k-NN graph
-    * clusters into short-range neighborhoods that strand the walk in
-    * local optima (the navigability problem HNSW solves with heuristic
-    * neighbor selection / long-edge layers, not more refinement). One
-    * round is the measured optimum: it repairs the sparse-band misses
-    * (without it routed top-1 fell 15/21 → 8/21) while keeping enough
-    * seed diversity to navigate. The loop + SQL generator stay
-    * generalized so the dial is a one-line change per corpus.
+  /** Expand-and-select rounds in the serve-graph BUILD (warm-cached,
+    * never in a timed serve line). The r11 curves suggested edge
+    * quality — not search width — bounds routed recall (degree 16→32
+    * bought +0.29 recall@5 where beam 3→5 bought +0.09), so r12
+    * measured a SECOND plain NN-descent round on the fixed eval panel
+    * at sf0.1: routed recall fell at every operating point (beam3/M32
+    * recall@5 0.4875 → 0.4500) because NN-descent monotonically
+    * tightens every neighbor list toward the true k-NN, stripping the
+    * medium-range LSH-seed edges greedy routing TRAVERSES (the
+    * navigability problem HNSW solves with heuristic neighbor
+    * selection, not more refinement). r13 acted on that mechanism:
+    * the round's selection is now [[diversifyRound]]'s occlusion
+    * pruning (HNSW's select-neighbors heuristic), which lifted the
+    * serving arm 0.4875 → 0.5125 recall@5 at unchanged per-query cost.
+    * A SECOND diversified round was then measured and is STILL
+    * negative (beam3/M32 recall@5 0.5125 → 0.4813, beam5/M32
+    * 0.6438 → 0.5813 at sf0.1): the second 2-hop expansion floods each
+    * pool with so many near neighbors that even occlusion pruning
+    * cannot retain the seed diversity. One round is the measured
+    * optimum; the loop + SQL generator stay generalized so the dial is
+    * a one-line change per corpus.
     */
   private[queries] val ServeRefineRounds = 1
 
@@ -2164,6 +2301,122 @@ WHERE hops = (SELECT kd FROM k_knee) ORDER BY qid, rk"""
       .filter(col("rk") <= k)
       .select(col("src"), col("rk"), col("dst"), col("cos"))
   }
+
+  /** Candidate pool the serve build's diversified selection prunes
+    * from: the per-node top-[[ServePool]] of (seed ∪ 2-hop expansion)
+    * by cosine. 2× [[ServeDegree]] — wide enough that occlusion
+    * pruning has spare candidates to promote past the pruned ones
+    * (with pool == M the heuristic could only reorder, never
+    * diversify), while bounding the per-node occlusion join at
+    * pool² = 4096 pairs — a CONSTANT, so the pruning stage stays
+    * O(N·pool²) at any corpus size.
+    */
+  private[queries] val ServePool = 2 * ServeDegree
+
+  /** One serve-build round: NN-descent expansion (candidates = current
+    * edges ∪ 2-hop, exact cosine re-rank — [[refineRound]]'s rule) but
+    * with HNSW-style DIVERSIFIED neighbor selection instead of a plain
+    * top-M cut. The r12 negative result showed why: a second plain
+    * refine round LOWERED routed recall (0.488→0.450 @5 at beam3/M32)
+    * because tightening every list toward the true k-NN strips the
+    * medium-range links greedy routing traverses. The heuristic keeps
+    * them: scanning each node's top-[[ServePool]] candidates in (cos
+    * desc, dst asc) order, a candidate is OCCLUDED when some
+    * higher-ranked candidate k sits closer to it than the node itself
+    * does (round-6 cosines both engines compare identically:
+    * cos(k, c) > cos(node, c)) — the relational form of HNSW's
+    * select-neighbors heuristic (occlusion against every higher-ranked
+    * candidate rather than only kept ones: the standard set-once
+    * relaxation, deterministic and engine-portable where the exact
+    * sequential scan would need per-node iteration). Selection keeps
+    * non-occluded candidates first (rank order), then backfills with
+    * occluded ones to degree M — HNSW's keepPrunedConnections. Cost:
+    * the expansion is [[refineRound]]'s O(edges) 2-hop join; the
+    * occlusion stage adds one src-co-partitioned self-join bounded by
+    * pool²/2 pairs per node — O(N·pool²), linear in N with pool a
+    * constant, shuffle keyed on src throughout.
+    */
+  private def diversifyRound(g: DataFrame, emb: DataFrame,
+      m: Int, pool: Int, mat: DataFrame => DataFrame): DataFrame = {
+    val ge = g.select("src", "dst")
+    val hop2 = ge.select(col("src"), col("dst").as("mid"))
+      .join(ge.select(col("src").as("mid"), col("dst").as("dst2")), "mid")
+      .filter(col("src") =!= col("dst2"))
+      .select(col("src"), col("dst2").as("dst"))
+    val cand = ge.union(hop2).distinct()
+    val scored = cand
+      .join(emb.select(col("vec_id").as("src"),
+        col("embedding").as("e_a"), col("nrm").as("n_a")), "src")
+      .join(emb.select(col("vec_id").as("dst"),
+        col("embedding").as("e_b"), col("nrm").as("n_b")), "dst")
+      .withColumn("cos",
+        round(expr("dot_f(e_a, e_b)") / (col("n_a") * col("n_b")), 6))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    // the pool is MATERIALIZED: it feeds both sides of the occlusion
+    // join and the final selection — left lazy, each reference
+    // re-derives the 2-hop expansion + re-rank subtree
+    val pooled = mat(scored.withColumn("rk0", row_number().over(w).cast("long"))
+      .filter(col("rk0") <= pool)
+      .select("src", "dst", "cos", "rk0"))
+    val pe = pooled.join(emb.select(col("vec_id").as("dst"),
+      col("embedding").as("de"), col("nrm").as("dn")), "dst")
+    val cSide = pe.select(col("src"), col("dst"), col("cos"), col("rk0"),
+      col("de").as("c_e"), col("dn").as("c_n"))
+    val kSide = pe.select(col("src"), col("rk0").as("k_rk0"),
+      col("de").as("k_e"), col("dn").as("k_n"))
+    val occ = cSide.join(kSide, Seq("src"))
+      .filter(col("k_rk0") < col("rk0"))
+      .withColumn("kc",
+        round(expr("dot_f(k_e, c_e)") / (col("k_n") * col("c_n")), 6))
+      .groupBy("src", "dst")
+      .agg(max(when(col("kc") > col("cos"), 1).otherwise(0)).as("occ"))
+    val w2 = Window.partitionBy("src")
+      .orderBy(col("o").asc, col("rk0").asc)
+    pooled.join(occ, Seq("src", "dst"), "left")
+      .withColumn("o", coalesce(col("occ"), lit(0)))
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= m)
+      .select(col("src"), col("rk"), col("dst"), col("cos"))
+  }
+
+  /** DuckDB twin of [[diversifyRound]]: [[sqlRefineRound]]'s
+    * expand-and-score CTEs, then the pool cut, the occlusion pair
+    * join, and the diversity-first selection — identical arithmetic
+    * (round-6 cosines, strict `>` occlusion, non-occluded-first rank).
+    */
+  private def sqlDiversifyRound(in: String, out: String,
+      m: Int, pool: Int, eCte: String = "e"): String = s"""
+${out}_h AS (SELECT a.src, b.dst AS dst
+       FROM $in a JOIN $in b ON a.dst = b.src WHERE a.src <> b.dst),
+${out}_c AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM $in UNION ALL SELECT src, dst FROM ${out}_h)),
+${out}_s AS (
+  SELECT ${out}_c.src, ${out}_c.dst,
+         round(list_sum(list_transform(range(1, len(a.v)+1), k -> a.v[k] * c.v[k])) /
+               (a.nrm * c.nrm), 6) AS cos
+  FROM ${out}_c JOIN $eCte a ON ${out}_c.src = a.vec_id
+  JOIN $eCte c ON ${out}_c.dst = c.vec_id),
+${out}_p AS MATERIALIZED (SELECT src, dst, cos, rk0 FROM (
+  SELECT src, dst, cos,
+         CAST(row_number() OVER (PARTITION BY src
+                ORDER BY cos DESC, dst ASC) AS BIGINT) AS rk0
+  FROM ${out}_s) WHERE rk0 <= $pool),
+${out}_o AS (
+  SELECT c.src, c.dst,
+         max(CASE WHEN round(list_sum(list_transform(range(1, len(a.v)+1),
+                     i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) > c.cos
+                  THEN 1 ELSE 0 END) AS occ
+  FROM ${out}_p c JOIN ${out}_p k ON c.src = k.src AND k.rk0 < c.rk0
+  JOIN $eCte a ON k.dst = a.vec_id
+  JOIN $eCte b ON c.dst = b.vec_id
+  GROUP BY c.src, c.dst),
+$out AS MATERIALIZED (SELECT src, rk, dst, cos FROM (
+  SELECT p.src, p.dst, p.cos,
+         CAST(row_number() OVER (PARTITION BY p.src
+                ORDER BY COALESCE(o.occ, 0) ASC, p.rk0 ASC) AS BIGINT) AS rk
+  FROM ${out}_p p LEFT JOIN ${out}_o o ON p.src = o.src AND p.dst = o.dst)
+  WHERE rk <= $m)"""
 
   /** Every round's graph, round 0 = the LSH-seeded graph, each
     * materialized with its predecessor kept alive — the spec hook for

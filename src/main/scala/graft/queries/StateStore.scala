@@ -68,12 +68,71 @@ object StateStore {
     * STRICTLY smaller batch id — and overwrites [[dirFor]]`(id)`, so a
     * foreachBatch retry or checkpoint replay recomputes from the SAME
     * parent and never chains a duplicate version. Every version stays
-    * readable (audits, time travel); compaction is a separate concern.
+    * readable (audits, time travel) until [[compact]] folds versions
+    * older than the retained window, after which replays behind the
+    * recorded horizon are rejected instead of silently re-parented.
     */
   final case class VersionChain(baseDir: String, prefix: String,
       bootName: String, bootPath: String) {
     private def idOf(name: String): Long =
       if (name == bootName) -1L else name.stripPrefix(prefix).toLong
+
+    private def horizonPath =
+      java.nio.file.Paths.get(baseDir, "_compact_horizon")
+
+    /** Oldest numbered id that survived the last [[compact]] — replays
+      * at or below it are rejected (their parent is folded away).
+      * [[Long.MinValue]] when the chain has never been compacted.
+      */
+    def horizon: Long =
+      if (java.nio.file.Files.exists(horizonPath))
+        new String(java.nio.file.Files.readAllBytes(horizonPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      else Long.MinValue
+
+    /** Fold superseded versions: keep the newest `keepLast` numbered
+      * versions, delete the rest, and record the compaction HORIZON
+      * (the oldest surviving numbered id) in `_compact_horizon`. The
+      * bootstrap is never touched — it may live in a shared warm dir
+      * ([[bootPath]]) other consumers read. Laws this preserves:
+      *  - [[headPath]] is identical before and after (the newest
+      *    version always survives, keepLast >= 1);
+      *  - [[parentFor]]`(id)` is identical for every id STRICTLY above
+      *    the horizon — the max-below walk only ever selects versions
+      *    >= the oldest kept one;
+      *  - a replay at or below the horizon would silently re-derive
+      *    from a WRONG (older or bootstrap) parent, so [[parentFor]]
+      *    rejects it loudly — at deployment cadence the stream's
+      *    checkpoint is always ahead of any sane horizon, and a replay
+      *    that far back means the checkpoint was lost, which demands a
+      *    rebuild, not a silent wrong answer.
+      * The horizon is written BEFORE the deletes, so a crash between
+      * the two still rejects pre-horizon replays rather than serving
+      * them a folded-away parent. Without compaction st20/st21 storage
+      * grows one full version per batch forever — index size × batch
+      * count; with it, the retained window is a config knob (the
+      * dedup_index_compact precedent for the LSM postings).
+      *
+      * PRECONDITION: every surviving version must be SELF-CONTAINED.
+      * st21's edge list and st17/18's tagged appends are; st20's LSM
+      * meta reaches into EARLIER version dirs (rawDirs/dfDirs lineage),
+      * so its lifecycle is fold first (DedupIndex.compact writes a
+      * self-contained maintenance version), drop dirs second — the
+      * StreamingSpec compaction tests pin both flows.
+      */
+    def compact(keepLast: Int): Unit = {
+      require(keepLast >= 1,
+        s"compact(keepLast=$keepLast): must keep at least the head")
+      val numbered = versions().filter(_ != bootName).sortBy(idOf)
+      if (numbered.length > keepLast) {
+        val kept = numbered.takeRight(keepLast)
+        java.nio.file.Files.write(horizonPath,
+          idOf(kept.head).toString
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        numbered.dropRight(keepLast)
+          .foreach(n => graft.Scratch.delete(s"$baseDir/$n"))
+      }
+    }
 
     /** All version names on disk, bootstrap first (unordered past that). */
     def versions(): Seq[String] = {
@@ -88,10 +147,20 @@ object StateStore {
       if (name == bootName) bootPath else s"$baseDir/$name"
 
     /** Name of the newest version built by a batch id < `id` — the
-      * replay-deterministic parent (the bootstrap ranks -1).
+      * replay-deterministic parent (the bootstrap ranks -1). Rejects
+      * ids at or below the [[compact]] horizon: their original parent
+      * is folded away, and deriving from an older survivor would be a
+      * silently different computation than the original run's.
       */
-    def parentFor(id: Long): String =
+    def parentFor(id: Long): String = {
+      require(id > horizon,
+        s"batch $id is at or below the compaction horizon ($horizon) of " +
+          s"$baseDir — its parent version was folded away; a replay " +
+          "this far back means the stream checkpoint predates the " +
+          "retained window: rebuild the state instead of deriving from " +
+          "a wrong parent")
       versions().filter(n => idOf(n) < id).maxBy(idOf)
+    }
 
     def parentPathFor(id: Long): String = pathOf(parentFor(id))
 

@@ -446,6 +446,54 @@ class SimilaritySearchSpec extends AnyFunSuite {
       "meta must record every depth 0..MaxServeDepth")
   }
 
+  test("band retrain decision: the pinned stage sits inside the (32, 64] " +
+    "envelope, the grown stage's decision follows the measured mean, and " +
+    "reband fires exactly when a from-scratch bootstrap would choose a " +
+    "different plane family") {
+    val rows = Registry.queries("simsearch_band_retrain_decision")(
+      spark, graft.TestSpark.Sf0001).collect()
+      .sortBy(_.getAs[String]("stage"))
+    assert(rows.length == 2, "decision report must have exactly 2 stages")
+    val pinned = rows(0); val grown = rows(1)
+    assert(pinned.getAs[String]("decision") == null,
+      "the pinned stage carries no decision")
+    val nBase = pinned.getAs[Long]("n_vecs")
+    assert(grown.getAs[Long]("n_vecs") == 2 * nBase,
+      "the drift scenario doubles the corpus")
+    // the pinned family IS what the engine's bootstrap would choose
+    assert(pinned.getAs[Long]("planes_pinned") ==
+      graft.functions.VectorExpressions.adaptiveSrpPlanes(nBase).toLong,
+      "planes_pinned must be the engine's own bootstrap choice")
+    assert(pinned.getAs[Long]("planes_fresh") ==
+      pinned.getAs[Long]("planes_pinned"),
+      "from-scratch on the base corpus is the pinned family by definition")
+    // the bootstrap chose the family to land in (32, 64] — the base
+    // measurement must confirm it (this is the envelope the decision
+    // guards)
+    val mpBase = pinned.getAs[Double]("mean_pop")
+    assert(mpBase > 32.0 && mpBase <= 64.0,
+      s"base mean bucket population $mpBase outside the (32, 64] envelope")
+    // decision follows the measured mean, by the stated rule
+    val mpGrown = grown.getAs[Double]("mean_pop")
+    val expect = if (mpGrown > 64.0 || mpGrown <= 32.0) "reband" else "keep"
+    assert(grown.getAs[String]("decision") == expect,
+      s"decision ${grown.getAs[String]("decision")} does not follow " +
+        s"from the measured mean $mpGrown")
+    // and agrees with what a from-scratch family choice would do: the
+    // fresh plane count differs from the pinned one exactly when the
+    // measured population left the envelope (the measured trigger and
+    // the N-derived rule are two routes to the same re-pin)
+    val freshDiffers = grown.getAs[Long]("planes_fresh") !=
+      grown.getAs[Long]("planes_pinned")
+    assert(freshDiffers == (expect == "reband"),
+      s"measured decision $expect disagrees with the from-scratch " +
+        s"family choice (pinned ${grown.getAs[Long]("planes_pinned")}, " +
+        s"fresh ${grown.getAs[Long]("planes_fresh")})")
+    // the doubled corpus must actually fire the trigger on this fixture
+    assert(grown.getAs[String]("decision") == "reband",
+      "2x growth under a (32, 64]-tuned family must leave the envelope")
+  }
+
   test("depth retrain decision: the pinned stage reproduces the serving " +
     "meta's dial, and the grown stage flags repin exactly when the " +
     "measured knee departs it") {

@@ -58,4 +58,52 @@ class StateStoreSpec extends AnyFunSuite {
     val c = chainWith(Seq("b1"))
     assert(c.dirFor(7) == s"${c.baseDir}/b7")
   }
+
+  test("compact(keepLast) preserves the head, keeps parentFor identical " +
+    "for every post-horizon id, and rejects pre-horizon replays loudly") {
+    val c = chainWith(Seq("b1", "b2", "b3", "b9", "b10"))
+    val headBefore = c.headPath
+    val parentsBefore = Seq(10L, 11L, 42L).map(id => id -> c.parentFor(id))
+    c.compact(keepLast = 2) // keeps b9, b10; horizon = 9
+    assert(c.horizon == 9L)
+    assert(c.headPath == headBefore, "compaction must not move the head")
+    assert(c.versions().toSet == Set("v0", "b9", "b10"),
+      "only the newest keepLast numbered versions survive (plus bootstrap)")
+    parentsBefore.foreach { case (id, p) =>
+      assert(c.parentFor(id) == p,
+        s"parentFor($id) changed across compaction: $p -> ${c.parentFor(id)}")
+    }
+    // b9's own replay needs the folded b3 — rejected, never re-parented
+    for (id <- Seq(1L, 3L, 9L)) {
+      val e = intercept[IllegalArgumentException](c.parentFor(id))
+      assert(e.getMessage.contains("compaction horizon"),
+        s"replay of pre-horizon batch $id must name the horizon, " +
+          s"got: ${e.getMessage}")
+    }
+  }
+
+  test("compact is a no-op when keepLast covers every version, never " +
+    "touches the bootstrap, and refuses keepLast < 1") {
+    val c = chainWith(Seq("b1", "b2"))
+    c.compact(keepLast = 2)
+    assert(c.versions().toSet == Set("v0", "b1", "b2"))
+    assert(c.horizon == Long.MinValue, "a no-op compact records no horizon")
+    assert(c.parentFor(1) == "v0", "bootstrap parentage intact after no-op")
+    c.compact(keepLast = 5)
+    assert(c.versions().toSet == Set("v0", "b1", "b2"))
+    assertThrows[IllegalArgumentException](c.compact(keepLast = 0))
+  }
+
+  test("a second compact tightens the horizon monotonically and the " +
+    "horizon file is ignored by the version walk") {
+    val c = chainWith(Seq("b1", "b2", "b3", "b4"))
+    c.compact(keepLast = 3) // horizon 2
+    assert(c.horizon == 2L)
+    c.compact(keepLast = 1) // horizon 4
+    assert(c.horizon == 4L)
+    assert(c.versions().toSet == Set("v0", "b4"),
+      "_compact_horizon must not be parsed as a version")
+    assert(c.headPath == c.pathOf("b4"))
+    assert(c.parentFor(5) == "b4")
+  }
 }

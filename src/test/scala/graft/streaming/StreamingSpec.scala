@@ -705,6 +705,117 @@ class StreamingSpec extends AnyFunSuite {
     } finally graft.Scratch.delete(root)
   }
 
+  test("st21/VersionChain compaction: superseded edge versions fold " +
+    "away — head rows identical, a post-horizon update chains on the " +
+    "compacted head and equals the from-scratch graph, its replay is " +
+    "unchanged, and pre-horizon replays are rejected") {
+    graft.functions.VectorExpressions.register(spark)
+    val root = graft.Scratch.dir("stknng_compact")
+    try {
+      val emb = graft.Tables.embeddings(spark, TestSpark.Sf0001)
+        .select("vec_id", "embedding")
+      graft.queries.KnnGraphIndex.bootstrap(spark,
+        emb.filter(col("vec_id") % 4 === 0), root, "boot", s"$root/v0")
+      val chain = graft.queries.StateStore.VersionChain(
+        root, "b", "v0", s"$root/v0")
+      def edgeRows(dir: String): Seq[(Long, Long, Long, Double)] =
+        spark.read.parquet(dir).collect()
+          .map(r => (r.getAs[Long]("src"), r.getAs[Long]("rk"),
+            r.getAs[Long]("dst"), r.getAs[Double]("cos")))
+          .sortBy(t => (t._1, t._2)).toSeq
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 4 === 1), root, "b1",
+        chain.parentPathFor(1), chain.dirFor(1))
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 4 === 2), root, "b2",
+        chain.parentPathFor(2), chain.dirFor(2))
+      val headBefore = edgeRows(chain.headPath)
+      chain.compact(keepLast = 1) // keeps b2; horizon 2
+      assert(chain.versions().toSet == Set("v0", "b2"),
+        "compaction must fold exactly the superseded versions")
+      assert(edgeRows(chain.headPath) == headBefore,
+        "compaction moved or changed the serving head")
+      // the edge-list versions are SELF-CONTAINED, so the next batch
+      // chains directly on the compacted head
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 4 === 3), root, "b3",
+        chain.parentPathFor(3), chain.dirFor(3))
+      val b3Once = edgeRows(chain.dirFor(3))
+      // crash-redelivery of the post-horizon batch: same parent, same rows
+      graft.queries.KnnGraphIndex.update(spark,
+        emb.filter(col("vec_id") % 4 === 3), root, "b3",
+        chain.parentPathFor(3), chain.dirFor(3))
+      assert(edgeRows(chain.dirFor(3)) == b3Once,
+        "post-horizon replay changed its version on a compacted chain")
+      val scratchRoot = graft.Scratch.dir("stknng_compact_scratch")
+      try {
+        graft.queries.KnnGraphIndex.bootstrap(spark, emb, scratchRoot,
+          "all", s"$scratchRoot/v0")
+        assert(edgeRows(chain.headPath) == edgeRows(s"$scratchRoot/v0"),
+          "compacted-chain head diverged from the from-scratch build")
+      } finally graft.Scratch.delete(scratchRoot)
+      for (id <- Seq(1L, 2L)) {
+        val e = intercept[IllegalArgumentException](chain.parentFor(id))
+        assert(e.getMessage.contains("compaction horizon"),
+          s"pre-horizon replay of batch $id must be rejected by name")
+      }
+    } finally graft.Scratch.delete(root)
+  }
+
+  test("st20/VersionChain compaction: the LSM lineage folds into a " +
+    "self-contained maintenance version FIRST (DedupIndex.compact), " +
+    "then superseded dirs drop — head signatures identical and fully " +
+    "readable, the next update equals the from-scratch build, " +
+    "pre-horizon replays rejected") {
+    val root = graft.Scratch.dir("stdidx_compact")
+    try {
+      val docs = graft.Tables.documents(spark, TestSpark.Sf0001)
+        .select("doc_id", "text")
+      graft.queries.DedupIndex.bootstrap(spark,
+        docs.filter(col("doc_id") % 4 === 0), s"$root/v0")
+      val chain = graft.queries.StateStore.VersionChain(
+        root, "b", "v0", s"$root/v0")
+      def sigRows(dir: String): Seq[String] =
+        spark.read.parquet(s"$dir/sig")
+          .select(col("doc_id") +: col("n") +:
+            (0 until 8).map(i => col(s"m$i")): _*)
+          .orderBy("doc_id").collect().map(_.toString).toSeq
+      graft.queries.DedupIndex.update(spark,
+        docs.filter(col("doc_id") % 4 === 1),
+        chain.parentPathFor(1), chain.dirFor(1))
+      graft.queries.DedupIndex.update(spark,
+        docs.filter(col("doc_id") % 4 === 2),
+        chain.parentPathFor(2), chain.dirFor(2))
+      val sigBefore = sigRows(chain.headPath)
+      // st20's versions are NOT self-contained — meta.rawDirs/dfDirs
+      // reach into earlier version dirs — so the lifecycle is fold
+      // first (the dedup_index_compact precedent), drop dirs second
+      graft.queries.DedupIndex.compact(spark, chain.headPath,
+        chain.dirFor(3))
+      chain.compact(keepLast = 1) // keeps the folded b3; horizon 3
+      assert(chain.versions().toSet == Set("v0", "b3"))
+      assert(sigRows(chain.headPath) == sigBefore,
+        "folding + compaction changed the serving signatures")
+      // the folded head must be readable WITHOUT the dropped dirs —
+      // df/raw lineage now lives entirely inside b3
+      assert(graft.queries.DedupIndex.dfAll(spark, chain.headPath)
+        .count() > 0, "folded head's df lineage is not self-contained")
+      graft.queries.DedupIndex.update(spark,
+        docs.filter(col("doc_id") % 4 === 3),
+        chain.parentPathFor(4), chain.dirFor(4))
+      val scratchRoot = graft.Scratch.dir("stdidx_compact_scratch")
+      try {
+        graft.queries.DedupIndex.bootstrap(spark, docs, scratchRoot)
+        assert(sigRows(chain.headPath) == sigRows(scratchRoot),
+          "compacted-chain head diverged from the from-scratch index")
+      } finally graft.Scratch.delete(scratchRoot)
+      val e = intercept[IllegalArgumentException](chain.parentFor(3))
+      assert(e.getMessage.contains("compaction horizon"),
+        "the folded version's own replay needs a dropped parent and " +
+          "must be rejected by name")
+    } finally graft.Scratch.delete(root)
+  }
+
   test("st19 reservoir sample: slicing invariant, redelivery-idempotent, " +
     "and equal to the batch sample") {
     def stageDocsSlice(dir: Path, name: String,
