@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -221,6 +221,100 @@ case class SrpBucketsF(child: Expression, bands: Int, planes: Int)
     copy(child = newChild)
 }
 
+/** Σ a[i]·b[i] over two `array<double>` columns, sequential
+  * ascending-dim double accumulation — the codegen replacement for the
+  * PCA/whitening family's interpreted `aggregate(zip_with(a, b, _*_))`
+  * folds (same association, so the doubles are bit-identical; the
+  * [[SrpBucketsF]] precedent, guide §4). Inputs are always
+  * ArrayType(DoubleType) — constructed internally only.
+  */
+case class DotD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotD =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Element-wise a[i] − p·b[i] over `array<double>` — ONE codegen kernel
+  * for mean-centering (p = 1: a − 1.0·b ≡ a − b in IEEE arithmetic) and
+  * deflation / ABTT residuals (p = the projection scalar), replacing
+  * interpreted `zip_with` lambdas whose inlined scalar argument the
+  * interpreter re-evaluated per element. Inputs are always
+  * (array<double>, array<double>, double) — constructed internally only.
+  */
+case class SubScaleD(a: Expression, b: Expression, p: Expression)
+    extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = p
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sub_scale_d"
+
+  override def nullSafeEval(av: Any, bv: Any, pv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val pp = pv.asInstanceOf[Double]
+    val n = math.min(x.numElements(), y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = x.getDouble(i) - pp * y.getDouble(i)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y, pp) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $x.getDouble($i) - $pp * $y.getDouble($i);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SubScaleD =
+    copy(a = newFirst, b = newSecond, p = newThird)
+}
+
 object VectorExpressions {
   /** Single source of truth for the SRP band family. `graft.queries.Dedup
     * .EmbBands` and `graft.queries.SimilaritySearch.BandPlanes` alias
@@ -254,8 +348,17 @@ object VectorExpressions {
     * where no static oracle runs.
     */
   def adaptiveSrpPlanes(n: Long): Int = {
-    val p = math.max(SrpPlanes,
-      math.ceil(math.log(n / 64.0) / math.log(2.0)).toInt)
+    // integer formulation (r14, ADVICE): smallest p with 64·2^p ≥ n,
+    // i.e. bitLength(ceil(n/64) − 1). The float ceil(log(n/64)/log(2))
+    // route and DuckDB's ceil(log2(x)) could straddle an integer when
+    // n/64 is an exact power of two; exact integer arithmetic on both
+    // sides (the twin uses length(bin(m−1))) provably agrees. Values
+    // are identical to the float form at every current fixture size
+    // (verified 1..8192 including the 2^k boundaries).
+    val m = (n + 63) / 64
+    val grown =
+      if (m <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
+    val p = math.max(SrpPlanes, grown)
     // the DuckDB twins unroll the PINNED (SrpBands, SrpPlanes) family;
     // today's oracle-checked fixtures (embeddings ≤ 500 rows) all floor
     // to it, so a departure is expected only at bench/ladder scale —
@@ -288,6 +391,11 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction(
       "srp_buckets_p", exprs => SrpBucketsF(exprs(0), SrpBands,
         exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_d", exprs => DotD(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sub_scale_d", exprs => SubScaleD(exprs(0), exprs(1), exprs(2)),
       "built-in")
   }
 }

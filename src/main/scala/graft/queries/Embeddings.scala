@@ -105,12 +105,12 @@ ORDER BY vec_id, idx""")),
     // only at the output edge. Step 2 of ABTT (dominant-direction
     // removal) would reuse exactly this mean machinery plus a power
     // iteration over the same decimal sums. At 100 TB: the mean is one
-    // narrow shuffle (dim-keyed, map-side partial over 32 groups), the
-    // dim-sized mean vector broadcasts, and centering is a pure map.
+    // narrow shuffle (dim-keyed, map-side partial over 32 groups)
+    // collected as an O(dim) driver array, and centering is a pure
+    // codegen map with the mean inlined.
     Q("emb_mean_center",
-      (s, d) => centeredVectors(s, d)
-        .withColumn("nrm",
-          sqrt(aggregate(col("cv"), lit(0.0), (acc, y) => acc + y * y)))
+      (s, d) => centeredLit(s, d, meanVector(s, d))
+        .withColumn("nrm", sqrt(call_function("dot_d", col("cv"), col("cv"))))
         .select(col("vec_id"), col("nrm"), posexplode(col("cv")))
         .select(col("vec_id"), col("pos").cast("long").as("idx"),
           round(col("col") / col("nrm"), 6).as("val"))
@@ -137,18 +137,25 @@ ORDER BY vec_id, idx""")),
     // count, no float-summation order anywhere. λ (the covariance
     // eigenvalue estimate ‖y‖/n) rides along. At 100 TB: each
     // iteration is ONE narrow dim-keyed shuffle (map-side partials
-    // over 32 groups) + a 1-row rollup; the centered corpus
-    // materializes once and the dim-sized v broadcasts — power
-    // iteration costs 3 scans, not 3 shuffles of the corpus.
+    // over 32 groups) collected as an O(dim) driver array (the MLlib
+    // iteration pattern) and inlined into the next scan — power
+    // iteration costs 3 scans with no broadcast builds and no
+    // materialized corpus copy (centering re-derives per scan as a
+    // codegen map; guide §5's recompute-when-cheap rule).
     Q("emb_pca_top_component",
       (s, d) => {
-        val (c, v) = pcaTop(s, d, 3)
-        val n = c.agg(count(lit(1)).as("n"))
-        v.crossJoin(n)
-          .select(col("y_nrm"), col("n"), posexplode(col("v")))
-          .select(col("pos").cast("long").as("idx"),
-            round(col("col"), 6).as("val"),
-            round(col("y_nrm") / col("n"), 6).as("lam"))
+        val mu = meanVector(s, d)
+        val (v, yNrm) = powerIterateLit(centeredLit(s, d, mu), 3, mu.length)
+        // n from the memoized immutable-fixture table stat (the
+        // rowCount convention) — the centered frame has one row per
+        // embedding by construction, so the count is the same number
+        val n = graft.Tables.rowCount(s, d, "embeddings")
+        import s.implicits._
+        v.toSeq.zipWithIndex
+          .map { case (x, i) => (i.toLong, x, yNrm / n) }
+          .toDF("idx", "v0", "l0")
+          .select(col("idx"), round(col("v0"), 6).as("val"),
+            round(col("l0"), 6).as("lam"))
           .orderBy("idx")
       },
       Some(s"""
@@ -175,15 +182,16 @@ ORDER BY idx""")),
     // subtree + 3 narrow dim-keyed shuffles.
     Q("emb_pca_deflated_component",
       (s, d) => {
-        val r = graft.Caching.materialize(s,
-          abttResiduals(s, d).select(col("vec_id"), col("r").as("cv")))
-        val v = powerIterate(r, 3)
-        val n = r.agg(count(lit(1)).as("n"))
-        v.crossJoin(n)
-          .select(col("y_nrm"), col("n"), posexplode(col("v")))
-          .select(col("pos").cast("long").as("idx"),
-            round(col("col"), 6).as("val"),
-            round(col("y_nrm") / col("n"), 6).as("lam"))
+        val (res, dim) = abttResiduals(s, d)
+        val r = res.select(col("vec_id"), col("r").as("cv"))
+        val (v, yNrm) = powerIterateLit(r, 3, dim)
+        val n = graft.Tables.rowCount(s, d, "embeddings")
+        import s.implicits._
+        v.toSeq.zipWithIndex
+          .map { case (x, i) => (i.toLong, x, yNrm / n) }
+          .toDF("idx", "v0", "l0")
+          .select(col("idx"), round(col("v0"), 6).as("val"),
+            round(col("l0"), 6).as("lam"))
           .orderBy("idx")
       },
       Some(s"""
@@ -206,7 +214,7 @@ ORDER BY idx""")),
     // map — the broadcast carries 2×dim doubles regardless of corpus
     // size. Component-wise verification like emb_normalize.
     Q("emb_abtt_transform",
-      (s, d) => abttResiduals(s, d)
+      (s, d) => abttResiduals(s, d)._1
         .select(col("vec_id"), col("nrm"), posexplode(col("r")))
         .select(col("vec_id"), col("pos").cast("long").as("idx"),
           round(col("col") / col("nrm"), 6).as("val"))
@@ -244,25 +252,31 @@ ORDER BY vec_id, idx""")),
           .withColumn("nrm", expr("norm_f(embedding)"))
           .select(posexplode(col("embedding").cast("array<double>"))
             .as(Seq("pos", "c0")), col("nrm"))
-          .select(col("pos"), (col("c0") / col("nrm")).as("c"))
+          .select(lit("raw").as("stage"), col("pos"),
+            (col("c0") / col("nrm")).as("c"))
         // the "after" arm measures EXACTLY the shipped transform — the
         // residuals come from the same helper emb_abtt_transform dumps
-        val abtt = abttResiduals(s, d)
+        val abtt = abttResiduals(s, d)._1
           .select(posexplode(col("r")).as(Seq("pos", "c0")), col("nrm"))
-          .select(col("pos"), (col("c0") / col("nrm")).as("c"))
-        def report(stage: String, unit: org.apache.spark.sql.DataFrame) =
-          unit.groupBy("pos")
-            .agg(sum(col("c").cast("decimal(38,15)")).as("sj"),
-              count(lit(1)).as("nj"))
-            .agg(transform(array_sort(collect_list(struct(col("pos"),
-                col("sj").cast("double").as("sd")))),
-              t => t.getField("sd")).as("sv"),
-              max("nj").as("n"))
-            .select(lit(stage).as("stage"),
-              round((aggregate(col("sv"), lit(0.0),
-                (a, z) => a + z * z) - col("n")) /
-                (col("n") * (col("n") - 1)), 6).as("avg_cos"))
-        report("raw", raw).unionAll(report("abtt", abtt))
+          .select(lit("abtt").as("stage"), col("pos"),
+            (col("c0") / col("nrm")).as("c"))
+        // both arms in ONE stage-keyed aggregation (r14): per-stage sums
+        // are the same order-independent DECIMAL folds the two separate
+        // jobs computed, so the report is unchanged while one barrier
+        // replaces two
+        raw.unionAll(abtt)
+          .groupBy("stage", "pos")
+          .agg(sum(col("c").cast("decimal(38,15)")).as("sj"),
+            count(lit(1)).as("nj"))
+          .groupBy("stage")
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+              col("sj").cast("double").as("sd")))),
+            t => t.getField("sd")).as("sv"),
+            max("nj").as("n"))
+          .select(col("stage"),
+            round((aggregate(col("sv"), lit(0.0),
+              (a, z) => a + z * z) - col("n")) /
+              (col("n") * (col("n") - 1)), 6).as("avg_cos"))
           .orderBy("stage")
       },
       Some(s"""
@@ -405,57 +419,50 @@ FROM a2 ORDER BY vec_id""")),
     // scaled-integer DECIMAL(38,0) aggregate, every row-local fold has
     // one association; the sort key is the 6dp-rounded λ so both
     // engines rank identically. 100 TB shape per component: 3 narrow
-    // dim-keyed shuffles (the power steps) + one 1-row Rayleigh
-    // aggregate + one broadcast-map deflation pass; the original
-    // centered corpus stays materialized (the quotients need it), and
-    // each residual is RELEASED once its successor exists, so peak
-    // footprint is two corpus copies regardless of R.
+    // dim-keyed shuffles (the power steps), each collected as an O(dim)
+    // driver array and inlined into the next scan; all R Rayleigh
+    // quotients land in ONE corpus pass (R aggregate columns); the
+    // deflation chain is a per-scan codegen map, so peak footprint is
+    // ZERO pinned corpus copies regardless of R (r14 — previously one
+    // materialized centered corpus + one residual).
     Q("emb_pca_topr",
       (s, d) => {
         val R = 4
-        val c0 = graft.Caching.materialize(s, centeredVectors(s, d))
-        val n = c0.count()
+        val mu = meanVector(s, d)
+        val c0 = centeredLit(s, d, mu)
+        val n = graft.Tables.rowCount(s, d, "embeddings")
+        // deflation chain with driver-resident directions (r14): each
+        // residual is a pure map over the previous one, fused into the
+        // next power step's scan — no materialized corpus copies, no
+        // broadcast-build jobs, 3 jobs per component instead of ~18
         var frame = c0
-        val vFrames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-        val parts = (1 to R).map { k =>
-          val v = graft.Caching.materialize(s, powerIterate(frame, 3))
-          vFrames += v
-          val lam = c0.crossJoin(broadcast(v))
-            .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
-              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-            .agg((sum(expr(
-              "CAST(round(sc * sc * 1000000000000.0, 0) AS DECIMAL(38,0))"))
-              .cast("double") / lit(1e12) / lit(n.toDouble)).as("lam0"))
-          val out = v.crossJoin(lam)
-            .select(lit(k.toLong).as("step"), round(col("lam0"), 6).as("lam"),
-              posexplode(col("v")))
-            .select(col("step"), col("lam"),
-              col("pos").cast("long").as("idx"),
-              round(col("col"), 6).as("val"))
-          if (k < R) {
-            val next = graft.Caching.materialize(s,
-              frame.crossJoin(broadcast(v))
-                .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
-                  (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-                .select(col("vec_id"), zip_with(col("cv"), col("v"),
-                  (a, b) => a - col("proj") * b).as("cv")))
-            if (frame ne c0) graft.Caching.release(frame)
-            frame = next
-          }
-          out
+        val vs = (1 to R).map { k =>
+          val (v, _) = powerIterateLit(frame, 3, mu.length)
+          if (k < R) frame = deflateLit(frame, v)
+          v
         }
+        // all R exact Rayleigh quotients in ONE corpus pass: the same
+        // scaled-integer DECIMAL(38,0) sums, R aggregate columns
+        val lamAggs = vs.zipWithIndex.map { case (v, i) =>
+          val sc = call_function("dot_d", col("cv"), typedLit(v.toSeq))
+          (sum(round(sc * sc * lit(1000000000000.0), 0)
+            .cast("decimal(38,0)"))
+            .cast("double") / lit(1e12) / lit(n.toDouble)).as(s"lam$i")
+        }
+        val lamRow = c0.agg(lamAggs.head, lamAggs.tail: _*).head()
+        import s.implicits._
+        val rows = for {
+          k <- 1 to R
+          (x, i) <- vs(k - 1).zipWithIndex
+        } yield (k.toLong, lamRow.getDouble(k - 1), i.toLong, x)
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("lam").desc, col("step").asc)
-        val out = parts.reduce(_.unionAll(_))
+        rows.toDF("step", "lam0", "idx", "v0")
+          .select(col("step"), round(col("lam0"), 6).as("lam"),
+            col("idx"), round(col("v0"), 6).as("val"))
           .withColumn("comp", dense_rank().over(w).cast("long"))
           .select(col("comp"), col("idx"), col("val"), col("lam"))
           .orderBy("comp", "idx")
-        // release c0, every eigenvector frame, and the last residual
-        // once the (R·dim)-row result is eagerly materialized — the
-        // same discipline the route/community queries follow
-        val pins = Seq(c0) ++ vFrames.result() ++
-          (if (frame ne c0) Seq(frame) else Nil)
-        graft.Caching.releasing(s, pins: _*)(out)
       },
       Some {
         // residual/power chains for steps 2..4, prefixed so all coexist
@@ -509,43 +516,35 @@ ORDER BY comp, idx"""
     Q("emb_whitening",
       (s, d) => {
         val R = 2
-        val c0 = graft.Caching.materialize(s, centeredVectors(s, d))
-        val n = c0.count()
+        val mu = meanVector(s, d)
+        val c0 = centeredLit(s, d, mu)
+        val n = graft.Tables.rowCount(s, d, "embeddings")
         var frame = c0
-        val vFrames = Seq.newBuilder[org.apache.spark.sql.DataFrame]
-        val comps = (1 to R).map { k =>
-          val v = graft.Caching.materialize(s, powerIterate(frame, 3))
-          vFrames += v
-          val lam = c0.crossJoin(broadcast(v))
-            .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
-              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-            .agg(round(sum(expr(
-              "CAST(round(sc * sc * 1000000000000.0, 0) AS DECIMAL(38,0))"))
-              .cast("double") / lit(1e12) / lit(n.toDouble), 6).as("lam"))
-          val comp = v.crossJoin(lam)
-            .select(lit(k.toLong).as("comp"), col("v"), col("lam"))
-          if (k < R) {
-            val next = graft.Caching.materialize(s,
-              frame.crossJoin(broadcast(v))
-                .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
-                  (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-                .select(col("vec_id"), zip_with(col("cv"), col("v"),
-                  (a, b) => a - col("proj") * b).as("cv")))
-            if (frame ne c0) graft.Caching.release(frame)
-            frame = next
-          }
-          comp
+        val vs = (1 to R).map { k =>
+          val (v, _) = powerIterateLit(frame, 3, mu.length)
+          if (k < R) frame = deflateLit(frame, v)
+          v
         }
-        val out = comps.map { cdf =>
-          c0.crossJoin(broadcast(cdf))
-            .withColumn("sc", aggregate(zip_with(col("cv"), col("v"),
-              (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-            .select(col("vec_id"), col("comp"),
-              round(col("sc") / sqrt(col("lam")), 6).as("z"))
-        }.reduce(_.unionAll(_)).orderBy("vec_id", "comp")
-        val pins = Seq(c0) ++ vFrames.result() ++
-          (if (frame ne c0) Seq(frame) else Nil)
-        graft.Caching.releasing(s, pins: _*)(out)
+        // both λ's in one corpus pass (same 6dp-rounded divisors as the
+        // per-component jobs produced), then z is a single map over the
+        // corpus emitting both components per vector — zero broadcasts,
+        // zero materialized copies
+        val lamAggs = vs.zipWithIndex.map { case (v, i) =>
+          val sc = call_function("dot_d", col("cv"), typedLit(v.toSeq))
+          round(sum(round(sc * sc * lit(1000000000000.0), 0)
+            .cast("decimal(38,0)"))
+            .cast("double") / lit(1e12) / lit(n.toDouble), 6).as(s"lam$i")
+        }
+        val lamRow = c0.agg(lamAggs.head, lamAggs.tail: _*).head()
+        val zStructs = vs.zipWithIndex.map { case (v, i) =>
+          val sc = call_function("dot_d", col("cv"), typedLit(v.toSeq))
+          struct(lit((i + 1).toLong).as("comp"),
+            round(sc / sqrt(lit(lamRow.getDouble(i))), 6).as("z"))
+        }
+        c0.select(col("vec_id"), explode(array(zStructs: _*)).as("e"))
+          .select(col("vec_id"), col("e.comp").as("comp"),
+            col("e.z").as("z"))
+          .orderBy("vec_id", "comp")
       },
       Some {
         val deflate2 = sqlDeflate("c", "v3", "g2") + ",\n" +
@@ -577,54 +576,64 @@ ORDER BY vec_id, comp"""
     * axis — the same association as DuckDB's list_reduce, so the
     * doubles are bit-identical across engines.
     */
-  /** Mean-centered vectors (vec_id, cv) with the per-dim DECIMAL(38,15)
-    * mean broadcast back — shared by emb_mean_center's twin arithmetic,
-    * the PCA power iteration, and the ABTT transform.
+  /** Per-dim DECIMAL(38,15) corpus mean, collected to the driver as an
+    * O(dim) array (r14: the MLlib-iteration pattern — a 64-double
+    * model-sized scalar, NOT data; same bounded-collect class as the
+    * 5-integer knee reads). Inlining it as a literal makes centering a
+    * pure map with no broadcast-build job, which at 100 TB removes one
+    * exchange-and-broadcast barrier per consumer and keeps the centered
+    * corpus recomputable instead of materialized (centering is a map —
+    * re-deriving it per scan is cheaper than writing a second corpus
+    * copy; guide §5's cache-only-when-recompute-is-expensive rule).
     */
-  private def centeredVectors(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val dv = col("embedding").cast("array<double>")
-    val e = Tables.embeddings(s, d).select(col("vec_id"), dv.as("x"))
-    val mean = e.select(posexplode(col("x")))
+  private def meanVector(s: org.apache.spark.sql.SparkSession,
+      d: String): Array[Double] =
+    Tables.embeddings(s, d)
+      .select(posexplode(col("embedding").cast("array<double>")))
       .groupBy("pos")
       .agg((sum(col("col").cast("decimal(38,15)")).cast("double") /
         count(lit(1))).as("mu"))
-    val mv = mean.agg(transform(
-      array_sort(collect_list(struct(col("pos"), col("mu")))),
-      t => t.getField("mu")).as("muv"))
-    e.crossJoin(broadcast(mv))
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+
+  /** Mean-centered vectors (vec_id, cv) with the driver-collected mean
+    * inlined — a pure map over the scan (no broadcast, no pinned copy);
+    * shared by emb_mean_center, the PCA power iteration, and the ABTT
+    * transform. Arithmetic is unchanged from the broadcast form: the
+    * same per-dim doubles subtract element-wise.
+    */
+  private def centeredLit(s: org.apache.spark.sql.SparkSession,
+      d: String, mu: Array[Double]): org.apache.spark.sql.DataFrame = {
+    VectorExpressions.register(s)
+    // sub_scale_d with p = 1: a − 1.0·b ≡ a − b in IEEE arithmetic, and
+    // the centering runs as a codegen primitive loop instead of an
+    // interpreted zip_with lambda (guide §4)
+    Tables.embeddings(s, d)
       .select(col("vec_id"),
-        zip_with(col("x"), col("muv"), (a, b) => a - b).as("cv"))
+        call_function("sub_scale_d",
+          col("embedding").cast("array<double>"),
+          typedLit(mu.toSeq), lit(1.0)).as("cv"))
   }
 
-  /** One power-iteration step v → y = Σᵢ cᵢ (cᵢ·v), returned as a 1-row
-    * frame (v_next array, y_nrm double). Engine-exact: the per-row dot
-    * product is a row-local left fold; the CROSS-ROW per-dim sum of
-    * cᵢⱼ·sᵢ rounds each term to a scaled integer (·10¹², the LM-score
-    * rule) and sums as DECIMAL(38,0) — exact, order-independent, and
-    * overflow-free past int64 row counts; the scale-back division and
-    * normalization are IEEE ops on identical inputs.
+  /** One power-iteration step v → y = Σᵢ cᵢ (cᵢ·v) with v a literal,
+    * returning the UNNORMALIZED per-dim sums as an O(dim) driver array
+    * (one Spark job: map + dim-keyed partial aggregation + a 64-row
+    * collect). Engine-exact: the per-row dot product is a row-local
+    * left fold; the CROSS-ROW per-dim sum of cᵢⱼ·sᵢ rounds each term to
+    * a scaled integer (·10¹², the LM-score rule) and sums as
+    * DECIMAL(38,0) — exact, order-independent, and overflow-free past
+    * int64 row counts; the scale-back division happens in-plan exactly
+    * as before, so the collected doubles are the broadcast form's
+    * doubles bit-for-bit.
     */
-  private def pcaStep(c: org.apache.spark.sql.DataFrame,
-      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val scored = c.crossJoin(broadcast(v))
-      .withColumn("s", aggregate(zip_with(col("cv"), col("v"),
-        (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-    val y = scored
+  private def pcaStepLit(c: org.apache.spark.sql.DataFrame,
+      v: Array[Double]): Array[Double] =
+    c.withColumn("s", call_function("dot_d", col("cv"), typedLit(v.toSeq)))
       .select(col("s"), posexplode(col("cv")))
       .withColumn("term",
         expr("CAST(round(col * s * 1000000000000.0, 0) AS DECIMAL(38,0))"))
       .groupBy("pos")
       .agg((sum("term").cast("double") / 1000000000000.0).as("yd"))
-    y.agg(transform(
-        array_sort(collect_list(struct(col("pos"), col("yd")))),
-        t => t.getField("yd")).as("yv"))
-      .select(
-        transform(col("yv"), z => z / sqrt(aggregate(col("yv"), lit(0.0),
-          (a, w) => a + w * w))).as("v"),
-        sqrt(aggregate(col("yv"), lit(0.0), (a, w) => a + w * w))
-          .as("y_nrm"))
-  }
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
 
   /** (vec_id, r, nrm): centered vectors with their projection on the
     * dominant direction removed, plus the residual norm — the ABTT
@@ -634,16 +643,20 @@ ORDER BY vec_id, comp"""
     * transform than the one shipped.
     */
   private def abttResiduals(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val (c, v) = pcaTop(s, d, 3)
-    c.crossJoin(broadcast(v))
-      .withColumn("proj", aggregate(zip_with(col("cv"), col("v"),
-        (a, b) => a * b), lit(0.0), (acc, y) => acc + y))
-      .withColumn("r", zip_with(col("cv"), col("v"),
-        (a, b) => a - col("proj") * b))
-      .withColumn("nrm",
-        sqrt(aggregate(col("r"), lit(0.0), (acc, y) => acc + y * y)))
-      .select(col("vec_id"), col("r"), col("nrm"))
+      d: String): (org.apache.spark.sql.DataFrame, Int) = {
+    val mu = meanVector(s, d)
+    val c = centeredLit(s, d, mu)
+    val (v, _) = powerIterateLit(c, 3, mu.length)
+    val vl = typedLit(v.toSeq)
+    // codegen kernels end-to-end: the interpreted zip_with form paid a
+    // ×dim per-element re-evaluation of the inlined projection even in
+    // the broadcast-era code; dot_d/sub_scale_d evaluate the scalar
+    // once and run as primitive loops. Same fold order → same doubles.
+    (c.select(col("vec_id"), call_function("sub_scale_d", col("cv"), vl,
+      call_function("dot_d", col("cv"), vl)).as("r"))
+      .select(col("vec_id"), col("r"),
+        sqrt(call_function("dot_d", col("r"), col("r"))).as("nrm")),
+      mu.length)
   }
 
   /** DuckDB CTE chain mirroring [[pcaTop]]: mean-centering (e/u0/m/mv/c)
@@ -725,32 +738,44 @@ ${p}v$k AS (SELECT list_transform(yv, z -> z /
   private def sqlPcaChain(iters: Int): String =
     sqlCenteredChain + ",\n" + sqlPowerSteps("c", "", iters)
 
-  /** (centered vectors, v after `iters` power steps carrying y_nrm) —
-    * v₀ is the uniform unit vector 1/√dim, derived from each row's own
-    * length so the machinery never hard-codes the embedding dim.
+  /** `iters` power steps over a (possibly lazy) `(vec_id, cv)` frame,
+    * v₀ = the uniform unit vector 1/√dim. Returns (v, ‖y‖) as driver
+    * arrays — one Spark job per step, the normalize/renorm arithmetic
+    * replicated on the driver with the SAME left-fold association the
+    * in-plan form used (foldLeft over pos order == aggregate() over the
+    * pos-sorted array), so every double is bit-identical to the old
+    * broadcast-chain form. Shared by component 1 (over the centered
+    * corpus), the deflated component-2 query (over the ABTT residuals)
+    * and the top-R deflation chain.
     */
-  /** `iters` power steps over an already-materialized `(vec_id, cv)`
-    * frame, v₀ = the uniform unit vector derived from each row's own
-    * length. Shared by [[pcaTop]] (component 1, over the centered
-    * corpus) and the deflated component-2 query (over the ABTT
-    * residuals).
-    */
-  private def powerIterate(c: org.apache.spark.sql.DataFrame,
-      iters: Int): org.apache.spark.sql.DataFrame = {
-    val v0 = c.limit(1).select(
-      transform(col("cv"), _ =>
-        lit(1.0) / sqrt(size(col("cv")).cast("double"))).as("v"),
-      lit(0.0).as("y_nrm"))
-    var v = v0
-    for (_ <- 1 to iters) v = pcaStep(c, v)
-    v
+  private def powerIterateLit(c: org.apache.spark.sql.DataFrame,
+      iters: Int, dim: Int): (Array[Double], Double) = {
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    var yNrm = 0.0
+    for (_ <- 1 to iters) {
+      val yv = pcaStepLit(c, v)
+      yNrm = math.sqrt(yv.foldLeft(0.0)((a, w) => a + w * w))
+      v = yv.map(_ / yNrm)
+    }
+    (v, yNrm)
   }
 
-  private[queries] def pcaTop(s: org.apache.spark.sql.SparkSession,
-      d: String, iters: Int): (org.apache.spark.sql.DataFrame,
-      org.apache.spark.sql.DataFrame) = {
-    val c = graft.Caching.materialize(s, centeredVectors(s, d))
-    (c, powerIterate(c, iters))
+  /** Project literal direction `v` out of `(vec_id, cv)` — a pure map
+    * (deflation with a driver-resident direction needs no broadcast and
+    * no materialized residual copy: each downstream scan re-derives the
+    * chain level-by-level as nested codegen kernels. An interpreted
+    * zip_with formulation is NOT equivalent here: CollapseProject
+    * inlines the projection scalar into the lambda, which the
+    * interpreter then re-evaluates per array element — a ×dim blow-up
+    * per nesting level, observed as a pinned-CPU ZipWith/ArrayAggregate
+    * eval stack. The primitive-loop kernels evaluate their scalar
+    * argument once and cost O(dim) per level per reference.)
+    */
+  private def deflateLit(c: org.apache.spark.sql.DataFrame,
+      v: Array[Double]): org.apache.spark.sql.DataFrame = {
+    val vl = typedLit(v.toSeq)
+    c.select(col("vec_id"), call_function("sub_scale_d", col("cv"), vl,
+      call_function("dot_d", col("cv"), vl)).as("cv"))
   }
 
   private def sqDist(x: org.apache.spark.sql.Column,

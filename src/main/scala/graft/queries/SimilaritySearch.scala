@@ -842,16 +842,19 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
           .select(col("vec_id"), col("embedding"),
             expr("norm_f(embedding)").as("nrm"))
         val cents = kmeansCents(emb)
-        def assign(df: DataFrame, nprobe: Int): DataFrame = {
+        def assign(df: DataFrame, nprobe: Int,
+            keepRnc: Boolean = false): DataFrame = {
           val w = Window.partitionBy("vec_id")
             .orderBy(col("cos_c").desc, col("cent_id").asc)
-          df.crossJoin(broadcast(cents))
+          val base = df.crossJoin(broadcast(cents))
             .withColumn("cos_c",
               round(expr("dot_f(embedding, c_emb)") / (col("nrm") * col("c_nrm")), 6))
             .withColumn("rnc", row_number().over(w))
             .filter(col("rnc") <= nprobe)
-            .select(col("vec_id"), col("embedding"), col("nrm"),
-              col("cent_id").as("cell"))
+          val cols = Seq(col("vec_id"), col("embedding"), col("nrm"),
+            col("cent_id").as("cell")) ++
+            (if (keepRnc) Seq(col("rnc")) else Nil)
+          base.select(cols: _*)
         }
         val cands = graft.Caching.materialize(s,
           assign(emb.filter(col("vec_id") >= 10), 1)
@@ -865,32 +868,51 @@ FROM asgc GROUP BY cell ORDER BY cell""")),
         // denominator follows in both engines instead of silently
         // going stale
         val truth = bt.agg(count(lit(1)).as("n_truth"))
-        val armFrames = Seq(1, 2, 4).map { np =>
-          val q = assign(emb.filter(col("vec_id") < 10), np)
-            .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-              col("nrm").as("q_norm"), col("cell"))
-          val scored = graft.Caching.materialize(s,
-            cands.join(q, Seq("cell"))
-              .withColumn("cos", round(expr("dot_f(q_emb, c_emb2)") /
-                (col("q_norm") * col("c_norm")), 6))
-              .select("q_id", "c_id", "cos"))
-          val w = Window.partitionBy("q_id")
-            .orderBy(col("cos").desc, col("c_id").asc)
-          val top = scored.withColumn("rn", row_number().over(w))
+        // r14: the three arms share ONE scored frame. nprobe ∈ {1,2,4}
+        // probe NESTED cell prefixes of the same (cos_c desc, cent_id)
+        // ranking, and a candidate lives in exactly one cell, so arm
+        // np's scored set is precisely the rnc ≤ np slice of the
+        // nprobe=4 join — one materialization instead of three, the
+        // match counts one tagged join instead of three subplans, and
+        // the per-arm n_scored three conditional sums in one pass.
+        val q4 = assign(emb.filter(col("vec_id") < 10), 4, keepRnc = true)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("nrm").as("q_norm"), col("cell"), col("rnc"))
+        val scored4 = graft.Caching.materialize(s,
+          cands.join(q4, Seq("cell"))
+            .withColumn("cos", round(expr("dot_f(q_emb, c_emb2)") /
+              (col("q_norm") * col("c_norm")), 6))
+            .select("q_id", "c_id", "cos", "rnc"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("cos").desc, col("c_id").asc)
+        val topAll = Seq(1, 2, 4).map { np =>
+          scored4.filter(col("rnc") <= np)
+            .withColumn("rn", row_number().over(w))
             .filter(col("rn") <= 5)
-          val m = bt.join(top.select(col("q_id").as("tq"), col("c_id").as("tc")),
-              col("q_id") === col("tq") && col("c_id") === col("tc"), "left")
-            .agg(count(col("tc")).as("n_match"))
-          (scored, m.crossJoin(scored.agg(count(lit(1)).as("n_scored")))
-            .crossJoin(broadcast(truth))
-            .select(lit(np.toLong).as("nprobe"), col("n_scored"),
-              col("n_match"),
-              (col("n_match").cast("double") / col("n_truth"))
-                .as("recall_at_5")))
-        }
-        val out = armFrames.map(_._2).reduce(_.unionAll(_)).orderBy("nprobe")
-        graft.Caching.releasing(s,
-          (cands +: bt +: armFrames.map(_._1)): _*)(out)
+            .select(lit(np.toLong).as("nprobe"), col("q_id"), col("c_id"))
+        }.reduce(_.unionAll(_))
+        val mAll = bt.join(topAll.select(col("nprobe"),
+            col("q_id").as("tq"), col("c_id").as("tc")),
+            col("q_id") === col("tq") && col("c_id") === col("tc"))
+          .groupBy("nprobe").agg(count(lit(1)).as("n_match"))
+        val nsc = scored4.agg(
+          coalesce(sum(when(col("rnc") <= 1, 1L)), lit(0L)).as("ns1"),
+          coalesce(sum(when(col("rnc") <= 2, 1L)), lit(0L)).as("ns2"),
+          count(lit(1)).as("ns4"))
+        import s.implicits._
+        val out = Seq(1L, 2L, 4L).toDF("nprobe")
+          .join(mAll, Seq("nprobe"), "left")
+          .crossJoin(broadcast(nsc))
+          .crossJoin(broadcast(truth))
+          .select(col("nprobe"),
+            when(col("nprobe") === 1, col("ns1"))
+              .when(col("nprobe") === 2, col("ns2"))
+              .otherwise(col("ns4")).as("n_scored"),
+            coalesce(col("n_match"), lit(0L)).as("n_match"),
+            (coalesce(col("n_match"), lit(0L)).cast("double") /
+              col("n_truth")).as("recall_at_5"))
+          .orderBy("nprobe")
+        graft.Caching.releasing(s, cands, bt, scored4)(out)
       },
       Some {
         def qAssign(np: Int): String = s"""
@@ -1305,7 +1327,9 @@ SELECT stage, n_vecs, planes_pinned, planes_fresh, mean_pop, decision FROM (
   SELECT '2_grown', (SELECT 2 * nb FROM n),
          CAST(${VectorExpressions.SrpPlanes} AS BIGINT),
          GREATEST(CAST(${VectorExpressions.SrpPlanes} AS BIGINT),
-                  CAST(ceil(log2((SELECT 2 * nb FROM n) / 64.0)) AS BIGINT)),
+                  (SELECT CAST(CASE WHEN ((2 * nb + 63) // 64) <= 1 THEN 0
+                               ELSE length(bin(((2 * nb + 63) // 64) - 1))
+                               END AS BIGINT) FROM n)),
          (SELECT mp FROM mg),
          CASE WHEN (SELECT mp FROM mg) > 64.0 OR (SELECT mp FROM mg) <= 32.0
               THEN 'reband' ELSE 'keep' END)

@@ -85,9 +85,21 @@ object StateStore {
       * [[Long.MinValue]] when the chain has never been compacted.
       */
     def horizon: Long =
-      if (java.nio.file.Files.exists(horizonPath))
-        new String(java.nio.file.Files.readAllBytes(horizonPath),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      if (java.nio.file.Files.exists(horizonPath)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(horizonPath),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        // a malformed horizon (e.g. a partial write by a pre-r14 build,
+        // or manual edits) must fail with the actionable rebuild hint,
+        // not a bare NumberFormatException on every parentFor call
+        try txt.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalStateException(
+            s"malformed compaction horizon at $horizonPath " +
+              s"(contents: '${txt.take(40)}') — the chain metadata is " +
+              "corrupt; delete the state dir and rebuild from the " +
+              "bootstrap instead of deriving from an unknown horizon")
+        }
+      }
       else Long.MinValue
 
     /** Fold superseded versions: keep the newest `keepLast` numbered
@@ -126,9 +138,18 @@ object StateStore {
       val numbered = versions().filter(_ != bootName).sortBy(idOf)
       if (numbered.length > keepLast) {
         val kept = numbered.takeRight(keepLast)
-        java.nio.file.Files.write(horizonPath,
+        // atomic horizon write (temp + ATOMIC_MOVE): a crash MID-WRITE
+        // must never leave a truncated horizon file that poisons every
+        // later parentFor (the doc above covers a crash BETWEEN write
+        // and deletes; this covers a crash during the write itself)
+        val tmp = java.nio.file.Paths.get(baseDir,
+          s"_compact_horizon.tmp${System.nanoTime()}")
+        java.nio.file.Files.write(tmp,
           idOf(kept.head).toString
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        java.nio.file.Files.move(tmp, horizonPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         numbered.dropRight(keepLast)
           .foreach(n => graft.Scratch.delete(s"$baseDir/$n"))
       }
