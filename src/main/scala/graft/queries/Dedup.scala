@@ -402,6 +402,13 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
     */
   def rawPostings(s: SparkSession, docs: DataFrame): DataFrame = {
     TextHash.register(s)
+    // inside foreachBatch `docs` belongs to the micro-batch's CLONED
+    // session whose function registry was copied at stream start —
+    // register there too, or shingle_set resolves only when some
+    // earlier query happened to register it before the clone was cut
+    // (observed: st20 failing UNRESOLVED_ROUTINE when the warm dirs
+    // were disk-cached and no dedup query had run first)
+    TextHash.register(docs.sparkSession)
     docs.select(col("doc_id"), explode(expr("shingle_set(text)")).as("sh"))
       .withColumn("h", expr("tok_hash(sh)")) // hash once, 8 sigs read it
   }
@@ -482,7 +489,11 @@ pairs AS (SELECT a.doc_id AS i, b.doc_id AS j,
     // it. Tiny relative to the corpus (one row per distinct shingle
     // occurrence).
     val raw = rawPostings(s, docs)
-    val post = cappedPostings(raw, shingleDf(raw), DfCap).persist()
+    // materialize, not persist (r14): a persisted plan compiles without
+    // AQE, so every downstream stage inherited the static 32-partition
+    // shuffles; the checkpointed copy is read partition-coalesced
+    val post = graft.Caching.materialize(s,
+      cappedPostings(raw, shingleDf(raw), DfCap))
     val sig = signatures(post)
     // Candidates: one shuffle on the band key, with wide buckets
     // salted into bounded block pairs before any list is collected
@@ -576,9 +587,15 @@ sigt AS (SELECT doc_id, count(*) AS n, $mins FROM hs GROUP BY doc_id)"""
   def labelPropagation(s: SparkSession, edges: DataFrame,
       allDocs: DataFrame): DataFrame = {
     def truncate(df: DataFrame): DataFrame = graft.Caching.materialize(s, df)
-    val und = edges.select(col("i").as("a"), col("j").as("b"))
-      .union(edges.select(col("j").as("a"), col("i").as("b")))
-      .persist()
+    // materialize (localCheckpoint), not persist (r14): a persist()ed
+    // plan is compiled WITHOUT adaptive execution, so every round's
+    // join against it inherited the full static shuffle-partition
+    // count — measured 442 tasks / 123 s summed task time for the
+    // sf0.1 loop vs 114 / 17 s with AQE-coalesced reads. The
+    // checkpointed copy is partition-coalesced once at materialization
+    // and every round reads that.
+    val und = truncate(edges.select(col("i").as("a"), col("j").as("b"))
+      .union(edges.select(col("j").as("a"), col("i").as("b"))))
     // inGraph is truncated so the post-loop singleton anti-join reads a
     // materialized copy instead of the persisted und — which lets the
     // loop release und's blocks deterministically once it converges.
@@ -607,7 +624,7 @@ sigt AS (SELECT doc_id, count(*) AS n, $mins FROM hs GROUP BY doc_id)"""
       labels = step.select("doc_id", "cluster")
       iter += 1
     }
-    und.unpersist(false)
+    graft.Caching.release(und)
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIters rounds " +
         "— component diameter exceeds the cap; raise maxIters")

@@ -68,7 +68,16 @@ object DedupIndex {
     */
   case class UpdateMetrics(nDelta: Long, nAffected: Long, nSigsRecomputed: Long)
 
-  case class UpdateResult(pairs: DataFrame, metrics: UpdateMetrics)
+  /** `metrics` is LAZY (r14): the declared queries consume only
+    * `pairs`, and the two id-set counts were two eager jobs on every
+    * update — including inside st20's streaming drains. The counts are
+    * computed on first access (the spec path); the id-set frames'
+    * lineage survives release, so a late read just recomputes them.
+    */
+  final class UpdateResult(val pairs: DataFrame,
+      metricsF: () => UpdateMetrics) {
+    lazy val metrics: UpdateMetrics = metricsF()
+  }
 
   case class Meta(dfCap: Int, rawDirs: Seq[String], dfDirs: Seq[String])
 
@@ -171,7 +180,7 @@ object DedupIndex {
     val dfCap = meta.dfCap
     val oldSig = s.read.parquet(s"$inDir/sig")
     val raw = s.read.parquet(meta.rawDirs: _*)
-    val dead = tombstones.select("doc_id").distinct().persist()
+    val dead = Caching.materialize(s, tombstones.select("doc_id").distinct())
 
     raw.join(dead, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outDir/rawpost")
@@ -183,11 +192,10 @@ object DedupIndex {
       .select(col("sh"), col("df").as("df_dead"))
     val dfOld = s.read.parquet(meta.dfDirs: _*)
       .groupBy("sh").agg(sum("df").as("df_old"))
-    val merged = dfOld
+    val merged = Caching.materialize(s, dfOld
       .join(dfDead, Seq("sh"), "left")
       .select(col("sh"), col("df_old"),
-        (col("df_old") - coalesce(col("df_dead"), lit(0L))).as("df"))
-      .persist()
+        (col("df_old") - coalesce(col("df_dead"), lit(0L))).as("df")))
     merged.filter(col("df") > 0).select("sh", "df")
       .write.mode("overwrite").parquet(s"$outDir/df")
     val dfT = s.read.parquet(s"$outDir/df")
@@ -196,8 +204,8 @@ object DedupIndex {
     // became cold have stale (df-capped) signatures
     val flipped = merged
       .filter((col("df_old") > dfCap) =!= (col("df") > dfCap)).select("sh")
-    val affected = keptRaw.join(flipped, Seq("sh")).select("doc_id").distinct()
-      .persist()
+    val affected = Caching.materialize(s,
+      keptRaw.join(flipped, Seq("sh")).select("doc_id").distinct())
 
     val rawRe = keptRaw.join(affected, Seq("doc_id"), "left_semi")
     // content is unchanged by a purge — re-signed docs keep their th
@@ -215,7 +223,7 @@ object DedupIndex {
       nPurged = dead.count(),
       nAffected = affected.count(),
       nSigsRecomputed = affected.count())
-    dead.unpersist(false); merged.unpersist(false); affected.unpersist(false)
+    Seq(dead, merged, affected).foreach(Caching.release)
     m
   }
 
@@ -273,25 +281,31 @@ object DedupIndex {
     // the cap filter and the flip detection both read it.
     val dfOld = s.read.parquet(meta.dfDirs: _*)
       .groupBy("sh").agg(sum("df").as("df_old"))
-    val merged = dfOld
+    // the *Plan frames are the un-materialized lineage: the lazy
+    // metrics thunk (below) must survive the checkpoint release at the
+    // end of this method, so it reads these, never the materialized
+    // handles (a released localCheckpoint is unrecoverable by design)
+    val mergedPlan = dfOld
       .join(deltaDf.select(col("sh"), col("df").as("df_delta")), Seq("sh"), "full")
       .select(col("sh"), coalesce(col("df_old"), lit(0L)).as("df_old"),
         (coalesce(col("df_old"), lit(0L)) + coalesce(col("df_delta"), lit(0L)))
           .as("df"))
-      .persist()
+    val merged = Caching.materialize(s, mergedPlan)
     val dfT = merged.select("sh", "df")
 
     // Shingles whose hot status the delta changed: every previously-
     // indexed doc carrying one has a stale signature (its kept/rescued
     // posting set changed) and must be re-signed — the correctness
     // guard that makes incremental == from-scratch.
-    val flipped = merged
+    def flippedOver(m: DataFrame): DataFrame = m
       .filter((col("df_old") > dfCap) =!= (col("df") > dfCap)).select("sh")
-    val affected = raw.join(flipped, Seq("sh")).select("doc_id").distinct()
-      .join(indexed, Seq("doc_id"), "left_semi")
-      .persist()
-    val recompute = affected.union(delta.select("doc_id")).distinct()
-      .persist()
+    def affectedOver(m: DataFrame): DataFrame =
+      raw.join(flippedOver(m), Seq("sh")).select("doc_id").distinct()
+        .join(indexed, Seq("doc_id"), "left_semi")
+    val flipped = flippedOver(merged)
+    val affected = Caching.materialize(s, affectedOver(merged))
+    val recompute = Caching.materialize(s,
+      affected.union(delta.select("doc_id")).distinct())
 
     // Sign ONLY the recomputed docs, over postings restricted FIRST —
     // the capped-postings rescue is per-doc, so restricting its input
@@ -314,34 +328,38 @@ object DedupIndex {
     val sig = s.read.parquet(s"$outDir/sig")
     writeMeta(s, outDir, Meta(dfCap, rawDirs, dfDirs))
 
-    // All three metrics come from the two cached id sets: affected ⊆
-    // indexed and delta ∩ indexed = ∅, so |delta| = |recompute| −
-    // |affected|; and every recompute doc has postings, so sigRe has
-    // exactly one row per recompute doc. No extra jobs — the naive
-    // formulation silently re-evaluated the signature aggregation.
-    val nAffected = affected.count()
-    val nRecomputed = recompute.count()
-    val metrics = UpdateMetrics(
-      nDelta = nRecomputed - nAffected,
-      nAffected = nAffected,
-      nSigsRecomputed = nRecomputed)
+    // All three metrics come from the two id sets: affected ⊆ indexed
+    // and delta ∩ indexed = ∅, so |delta| = |recompute| − |affected|;
+    // and every recompute doc has postings, so sigRe has exactly one
+    // row per recompute doc. Computed LAZILY on first .metrics access
+    // (class doc) — the query path pays zero count jobs.
+    val metricsF = () => {
+      val affectedPlan = affectedOver(mergedPlan)
+      val nAffected = affectedPlan.count()
+      val nRecomputed = affectedPlan.union(delta.select("doc_id"))
+        .distinct().count()
+      UpdateMetrics(
+        nDelta = nRecomputed - nAffected,
+        nAffected = nAffected,
+        nSigsRecomputed = nRecomputed)
+    }
 
     // Candidates from the asymmetric band join: recomputed-side bands
     // against the full index — delta-proportional output, and
     // existing×existing pairs never exist to be filtered away.
     val sigNew = sig.join(recompute, Seq("doc_id"), "left_semi")
-    val touching = Dedup.bucketPairsAgainst(
-      Dedup.bandKeys(sigNew), Dedup.bandKeys(sig)).persist()
+    val touching = Caching.materialize(s, Dedup.bucketPairsAgainst(
+      Dedup.bandKeys(sigNew), Dedup.bandKeys(sig)))
 
     // Verification postings restricted to docs actually in a candidate
     // pair — the full-corpus capped-postings materialization was the
     // last corpus-scale stage of the update path.
     val touched = touching.select(col("i").as("doc_id"))
       .union(touching.select(col("j").as("doc_id"))).distinct()
-    val postRel = Dedup.cappedPostings(
-      raw.join(touched, Seq("doc_id"), "left_semi"), dfT, dfCap).persist()
+    val postRel = Caching.materialize(s, Dedup.cappedPostings(
+      raw.join(touched, Seq("doc_id"), "left_semi"), dfT, dfCap))
     val pairs = Caching.releasing(s, postRel, touching, recompute, affected, merged)(
       Dedup.verifyPairs(touching, postRel, sig))
-    UpdateResult(pairs, metrics)
+    new UpdateResult(pairs, metricsF)
   }
 }

@@ -150,16 +150,22 @@ FROM est JOIN exact ON est.grp = exact.grp ORDER BY grp""")),
         // so round-robin to the session's parallelism first
         val li = Tables.lineitem(s, d).select(col("l_suppkey").as("key"))
           .repartition(s.sparkContext.defaultParallelism)
-        val cells = cmsCells(li)
-        val sketch = cells.groupBy("j", "bucket")
-          .agg(count(lit(1)).as("cnt"))
-        // probe the distinct (key, j, bucket) triples out of the same
-        // hashed cells — no second hashing pass over the input
-        val probes = cells.distinct()
-        val estim = probes
+        // ONE hashing pass (r14): the md5 cells used to be evaluated
+        // twice (sketch groupBy + probes distinct) and the exact counts
+        // re-scanned the input. Per-(key, j, bucket) counts give all
+        // three — the sketch is their (j, bucket) roll-up (sum of
+        // counts == count of rows), the probe set is their key side,
+        // and a key's j=0 cell count IS its exact count (every row
+        // contributes exactly one cell per hash row j).
+        val cellCounts = cmsCells(li)
+          .groupBy("key", "j", "bucket").agg(count(lit(1)).as("kc"))
+        val sketch = cellCounts.groupBy("j", "bucket")
+          .agg(sum("kc").as("cnt"))
+        val estim = cellCounts
           .join(sketch, Seq("j", "bucket"))
           .groupBy("key").agg(min("cnt").as("cms_est"))
-        val exact = li.groupBy("key").agg(count(lit(1)).as("exact_cnt"))
+        val exact = cellCounts.filter(col("j") === 0)
+          .select(col("key"), col("kc").as("exact_cnt"))
         estim.join(exact, "key")
           .select(col("key"), col("cms_est"), col("exact_cnt"),
             (col("cms_est") - col("exact_cnt")).as("overcount"))
