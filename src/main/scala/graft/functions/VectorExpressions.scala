@@ -315,6 +315,53 @@ case class SubScaleD(a: Expression, b: Expression, p: Expression)
     copy(a = newFirst, b = newSecond, p = newThird)
 }
 
+/** Σ (a[i]−b[i])² over two `array<double>` columns, sequential
+  * ascending-dim accumulation starting at 0.0 — bit-identical to the
+  * interpreted `aggregate(zip_with(a, b, (x,y) => (x−y)·(x−y)), 0.0, +)`
+  * fold it replaces (guide §4) and to DuckDB's list_reduce over the
+  * same terms (0.0 + t₁ ≡ t₁ in IEEE). Constructed internally only.
+  */
+case class SqDistD(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sqdist_d"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val dd = x.getDouble(i) - y.getDouble(i)
+      s += dd * dd
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val dd = ctx.freshName("dd")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $dd * $dd;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqDistD =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Single source of truth for the SRP band family. `graft.queries.Dedup
     * .EmbBands` and `graft.queries.SimilaritySearch.BandPlanes` alias
@@ -394,6 +441,8 @@ object VectorExpressions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "dot_d", exprs => DotD(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sqdist_d", exprs => SqDistD(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "sub_scale_d", exprs => SubScaleD(exprs(0), exprs(1), exprs(2)),
       "built-in")

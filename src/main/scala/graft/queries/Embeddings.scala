@@ -780,8 +780,7 @@ ${p}v$k AS (SELECT list_transform(yv, z -> z /
 
   private def sqDist(x: org.apache.spark.sql.Column,
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(x, c, (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, e) => acc + e)
+    call_function("sqdist_d", x, c) // codegen twin of the zip_with fold
 
   /** Shared K-means machinery with the default declared-query shape
     * (K=4, two Lloyd iterations, seeds = the K lowest vec_ids).
@@ -819,6 +818,7 @@ ${p}v$k AS (SELECT list_transform(yv, z -> z /
       k: Int = 4, iters: Int = 2, farthest: Boolean = false)
       : Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)] = {
     require(k >= 1 && iters >= 1, s"kmeans needs k>=1, iters>=1; got k=$k iters=$iters")
+    VectorExpressions.register(s) // sqdist_d
     val v = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
     var centroids =

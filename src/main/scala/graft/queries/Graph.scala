@@ -369,12 +369,16 @@ object Graph {
     var converged = false
     while (!converged && round < MaxLpaRounds) {
       round += 1
-      val next = graft.Caching.materialize(s, lpaRound(g, labels))
-      val flips = next.select(col("node"), col("lbl").as("nl"))
+      // the flip flag rides the round's own materialization (r14): the
+      // fixed-point check is then a filter over checkpointed blocks
+      // instead of a separately planned join per round
+      val next = graft.Caching.materialize(s, lpaRound(g, labels)
         .join(labels.select(col("node"), col("lbl").as("ol")), "node")
-        .filter(col("nl") =!= col("ol")).count()
+        .select(col("node"), col("lbl"),
+          (col("lbl") =!= col("ol")).as("flip")))
+      val flips = next.filter(col("flip")).count()
       graft.Caching.release(labels)
-      labels = next
+      labels = next.select("node", "lbl")
       converged = flips == 0L
     }
     graft.Caching.releasing(s, g, labels)(

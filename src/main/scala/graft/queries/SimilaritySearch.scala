@@ -1040,9 +1040,13 @@ SELECT src, rk, dst, cos FROM g2 ORDER BY src, rk""")),
           // order, so next ⊆ prev as an edge SET implies equality; the
           // check is skipped on the last round, whose result exits the
           // loop regardless
+          // set-minus as an anti-join (r14): (src, dst) is unique in
+          // both frames, so next \ g empty ⟺ the anti-join is empty —
+          // same decision without EXCEPT's extra distinct aggregation
           if (r < MaxRefineRounds)
             converged = next.select("src", "dst")
-              .except(g.select("src", "dst")).isEmpty
+              .join(g.select("src", "dst"), Seq("src", "dst"), "left_anti")
+              .isEmpty
           graft.Caching.release(g)
           g = next
         }
@@ -1837,13 +1841,17 @@ ORDER BY m.vec_id""")),
       .union(kg.join(broadcast(entry), col("entry") === col("src"))
         .select(col("qid"), col("dst").as("cid")))
       .distinct()
-    val m5s = (0 to MaxServeDepth).map { depth =>
+    // each depth's top-5 rides along TAGGED and all five match counts
+    // land in ONE job after the loop (r14): the per-depth semi-join
+    // counts were five sequential driver barriers for numbers nothing
+    // in the loop needs (the beam expansion depends only on the scored
+    // frame). Inner-join-then-group == the old per-depth semi counts
+    // because (qid, cid) is unique on both sides.
+    val tops = (0 to MaxServeDepth).map { depth =>
       val sc = mat(rescore(cand))
       val top = sc.withColumn("rn", row_number().over(wq))
-        .filter(col("rn") <= 5).select("qid", "cid")
-      val m5 = truth.join(top.select(col("qid").as("tq"), col("cid").as("tc")),
-        col("qid") === col("tq") && col("cid") === col("tc"), "left_semi")
-        .count()
+        .filter(col("rn") <= 5)
+        .select(lit(depth).as("depth"), col("qid"), col("cid"))
       if (depth < MaxServeDepth) {
         val beamDf = sc.withColumn("rn", row_number().over(wq))
           .filter(col("rn") <= 3).select(col("qid"), col("cid").as("b"))
@@ -1852,9 +1860,15 @@ ORDER BY m.vec_id""")),
             .select(col("qid"), col("dst").as("cid")))
           .distinct()
       }
-      m5
+      top
     }
+    val counts = tops.reduce(_.unionAll(_))
+      .join(truth.select(col("qid").as("tq"), col("cid").as("tc")),
+        col("qid") === col("tq") && col("cid") === col("tc"))
+      .groupBy("depth").agg(count(lit(1)).as("m5"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     pins.foreach(graft.Caching.release)
+    val m5s = (0 to MaxServeDepth).map(d => counts.getOrElse(d, 0L))
     val best = m5s.max
     val knee = m5s.indexWhere(m5 => 20L * m5 >= 19L * best)
     (knee, m5s)

@@ -99,6 +99,30 @@ object StreamingQueries {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** [[stageFile]] with the parquet bytes cached per (process, cache
+    * key) — the [[copyEventSlice]] convention: the staged slices are
+    * deterministic re-encodings of the immutable fixture (INPUT
+    * staging, not computed results), so repeated bench measurements
+    * should not re-pay a Spark write job per tick. `key` must uniquely
+    * identify the slice RECIPE (different queries stage different
+    * frames under the same t1/t2 names).
+    */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageFileCached(root: String, key: String, name: String,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    val src = stagedCache.computeIfAbsent(key, _ => {
+      val dir = graft.Scratch.dir("st_staged")
+      df.coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    })
+    Files.createDirectories(Paths.get(s"$root/in"))
+    Files.copy(Paths.get(src), Paths.get(s"$root/in/$name.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Drop a sentinel event 4 hours past the real data into `inDir` —
     * the end-of-stream watermark-advance technique: append mode only
     * emits windows/sessions the watermark has closed, so the sentinel
@@ -792,7 +816,8 @@ FROM j GROUP BY source ORDER BY source""")),
         AnnIndex.appendBatch(s, cands.filter(col("vec_id") % 3 === 0),
           root, "base")
         def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
-          stageFile(root, name, df.select("vec_id", "embedding"))
+          stageFileCached(root, s"$d:st17:$name", name,
+            df.select("vec_id", "embedding"))
         def drain(): Unit = {
           val q = s.readStream
             .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
@@ -844,7 +869,7 @@ FROM j GROUP BY source ORDER BY source""")),
         TextIndex.appendBatch(s, docs.filter(col("doc_id") % 3 === 0),
           root, "base")
         def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
-          stageFile(root, name, df)
+          stageFileCached(root, s"$d:docs:$name", name, df)
         def drain(): Unit = {
           val q = s.readStream
             .schema("doc_id BIGINT, text STRING")
@@ -899,8 +924,9 @@ FROM j GROUP BY source ORDER BY source""")),
         // STREAMING maintenance, not a build every consumer shares
         val chain = StateStore.VersionChain(s"$root/state", "b",
           "v0", st20BootstrapDir(s, d))
+        // same docs %3 slices as st18 — shared cache key
         def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
-          stageFile(root, name, df)
+          stageFileCached(root, s"$d:docs:$name", name, df)
         def drain(): Unit = {
           val q = s.readStream
             .schema("doc_id BIGINT, text STRING")
@@ -967,7 +993,7 @@ FROM sigt ORDER BY doc_id""")),
         val chain = StateStore.VersionChain(root, "state_b",
           "state_v0", s"$root/state_v0")
         def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit =
-          stageFile(root, name, df)
+          stageFileCached(root, s"$d:st21:$name", name, df)
         def drain(): Unit = {
           val q = s.readStream
             .schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
